@@ -1,0 +1,99 @@
+"""Reusable column-expression builders.
+
+Every reference row-level transform (SURVEY.md §2c/§2g) is a pure
+column expression here — no Python UDFs in the hot path. The two
+reference Python ``apply`` loops (convert_timestamp,
+LAW_CAT_CD_MAPPING.get — /root/reference/scripts/transform.py:38-46,
+89-91) become Catalyst CASE/COALESCE chains that whole-stage codegen
+vectorizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def domain_guard(col: Column | str, valid: Sequence[str], default: str) -> Column:
+    """Uppercase, keep if in `valid`, else `default`.
+
+    Mirrors the law_cat_cd / perp_sex CASE guards
+    (transform.py:27-35, load.py:128-139). Null-safe: null -> default.
+    """
+    c = F.upper(F.col(col) if isinstance(col, str) else col)
+    return F.when(c.isin(*valid), c).otherwise(F.lit(default))
+
+
+def dict_map(col: Column | str, mapping: Mapping[str, str], passthrough: bool = True) -> Column:
+    """Literal dict lookup as a CASE chain (constant-folded by Catalyst).
+
+    passthrough=True keeps the original value when unmapped
+    (borough map, transform.py:20-26,148-150).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for k, v in mapping.items():
+        cond = c == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    assert expr is not None
+    return expr.otherwise(c) if passthrough else expr
+
+
+def parse_date_with_epoch_fallback(col: Column | str) -> Column:
+    """Date parse with epoch-millis rescue (transform.py:106-118).
+
+    Tries ISO date / ISO timestamp; for values that fail, retries the
+    value as epoch milliseconds (reference divides by 1000 then
+    converts; transform.py:38-46). Output DateType, null if hopeless.
+    A numeric string shorter than 11 digits would parse as epoch
+    seconds ambiguity — the reference always treats numerics as millis,
+    so we do too.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(c.cast("string"))
+    iso = F.try_to_date(F.substring(s, 1, 10), "yyyy-MM-dd")
+    is_numeric = s.rlike(r"^\d{11,}$")
+    epoch = F.to_date(F.timestamp_seconds(s.try_cast("long") / F.lit(1000.0)))
+    return F.coalesce(iso, F.when(is_numeric, epoch))
+
+
+def non_blank(col: Column | str) -> Column:
+    """Not-null and not whitespace-only (required-key filter, transform.py:100-104)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.trim(c.cast("string")) != "")
+
+
+def scrub_nan_strings(col: Column | str) -> Column:
+    """Replace the pandas 'nan' stringification artifact with null.
+
+    The reference casts to str then replaces 'nan' with ''
+    (transform.py:79-85); we keep proper nulls internally and apply the
+    observable defaults at fill time (T8).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return F.when(s.isin("nan", "None", ""), F.lit(None)).otherwise(s)
+
+
+# ---------------------------------------------------------------------------
+# Vector helpers (LLM-pipeline extensions; embeddings are array<float>)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (null-safe on zero norms)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))

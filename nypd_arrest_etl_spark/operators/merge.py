@@ -1,0 +1,86 @@
+"""Upsert merge: insert-if-absent, first-writer-wins per key (K4).
+
+Reference semantics (/root/reference/scripts/load.py:112-159 +
+setup_db.py:35): ``INSERT ... ON CONFLICT (arrest_key) DO NOTHING``.
+Two observable guarantees:
+  1. duplicate keys *within* the incoming batch collapse to the first
+     occurrence;
+  2. keys already in the target are discarded (target wins).
+
+Spark-first realization: ``dropDuplicates`` (map-side partial dedup,
+one shuffle on the key) + ``left_anti`` join against the target.
+At scale the anti-join shuffles both sides on arrest_key; when the
+incoming batch is small relative to the target (the incremental case),
+AQE turns it into a broadcast anti-join. Without a transactional table
+format (Delta/Iceberg jars are not in this image) the append itself is
+directory-append Parquet; the merge stays idempotent because re-running
+the same batch anti-joins to zero rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dedup_first_writer_wins(df: DataFrame, key: str = "arrest_key", order_col: str | None = None) -> DataFrame:
+    """Collapse duplicate keys within a batch.
+
+    With ``order_col``, "first" is defined by ascending order of that
+    column (deterministic); without it, an arbitrary row wins — same
+    contract as the reference's COPY-order-dependent PK conflict.
+    """
+    if order_col is None:
+        return df.dropDuplicates([key])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_insert_if_absent(incoming: DataFrame, target: DataFrame | None, key: str = "arrest_key") -> DataFrame:
+    """Rows of `incoming` (deduped) whose key is absent from `target`."""
+    fresh = dedup_first_writer_wins(incoming, key)
+    if target is None:
+        return fresh
+    return fresh.join(target.select(key), on=key, how="left_anti")
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_path: str,
+    key: str = "arrest_key",
+    partition_by: str | None = None,
+) -> int:
+    """Append-only upsert into a Parquet-backed table.
+
+    Returns inserted rowcount (parity with the reference's merge
+    metrics, load.py:151-155). Partitioning by year(arrest_date) is the
+    100 TB layout — partition pruning turns incremental reads into
+    touch-only-new-partitions scans.
+    """
+    target = None
+    if os.path.exists(table_path):
+        try:
+            target = spark.read.parquet(table_path)
+        except Exception:
+            target = None
+    fresh = merge_insert_if_absent(incoming, target, key)
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            writer = fresh.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(table_path)
+        return n
+    finally:
+        fresh.unpersist()

@@ -1,0 +1,88 @@
+"""SparkSession factory tuned for the engine.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and join-strategy re-planning replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is a *local* default; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant
+  as long as it is high enough (set to 2-3x total cores there).
+- Arrow on for every pandas/Python boundary (Pandas UDFs, toPandas).
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  comparable with external engines (DuckDB oracle, Parquet writers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "nypd_arrest_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local mode is a single JVM; ``spark.driver.memory`` is the only
+    memory knob. On a cluster, the same config block applies except
+    master/memory come from the submitter.
+    """
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES):
+    """Read the driver's parquet tables and register them as temp views.
+
+    Returns a dict name -> DataFrame. Reads are lazy; registering views
+    lets both the DataFrame API and spark.sql address the same scans.
+    """
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,80 @@
+"""File sources with the reference's scan contracts (SURVEY.md §2a).
+
+- S3: CSV scan — explicit schema (never inferSchema in prod), header,
+  required-column validation (import_csv.py:21-53).
+- S4: JSON Lines scan — explicit schema skips inference
+  (transform.py:64, load.py:189).
+- S5: required-column check raises on a structurally bad file
+  (extract.py:118-122, import_csv.py:37-41).
+- S2: high-watermark probe over the target table.
+
+The reference's 50k/100k chunking disappears: partitions are the unit
+of parallelism and ``spark.sql.files.maxPartitionBytes`` bounds memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nypd_arrest_etl_spark.schema import RAW_SCHEMA, REQUIRED_COLUMNS
+
+
+class MissingRequiredColumns(ValueError):
+    pass
+
+
+def validate_required(df: DataFrame, required: tuple[str, ...] = REQUIRED_COLUMNS) -> DataFrame:
+    """S5: structural check against df.schema — fails fast, no job run."""
+    have = {c.lower() for c in df.columns}
+    missing = [c for c in required if c.lower() not in have]
+    if missing:
+        raise MissingRequiredColumns(f"scan missing required columns: {missing}")
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S3. PERMISSIVE mode keeps malformed rows as nulls (the clean
+    stage's required-key filter drops them) rather than failing the job.
+
+    NOTE: an explicit CSV schema binds by POSITION, not header name —
+    a source file with a column subset would silently misalign. So by
+    default we bind names from the header with all-string types
+    (inferSchema=False: single pass, no sampling) and let the clean
+    stage coerce types; pass ``schema`` only for headerless files
+    whose layout is known.
+    """
+    if schema is not None:
+        df = spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+    else:
+        df = spark.read.csv(path, header=True, inferSchema=False, mode="PERMISSIVE")
+    return validate_required(df)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S4. Explicit schema: no sampling pass over 100 TB of JSON."""
+    df = spark.read.schema(schema or RAW_SCHEMA).json(path)
+    return validate_required(df)
+
+
+def high_watermark(spark: SparkSession, table_path: str, col: str = "arrest_date", default: str = "1900-01-01"):
+    """S2: MAX(col) over the target; default on empty/missing
+    (extract.py:42-54). A partition-pruned scan when the table is
+    partitioned by year(col) — only partition metadata + max per file
+    footer is touched."""
+    import os
+
+    if not os.path.exists(table_path):
+        return default
+    try:
+        row = spark.read.parquet(table_path).agg(F.max(col).alias("hwm")).collect()[0]
+    except Exception:
+        return default
+    return row["hwm"] or default
+
+
+def incremental_filter(df: DataFrame, hwm, col: str = "arrest_date") -> DataFrame:
+    """The reference pushes `arrest_date > hwm` into the Socrata API
+    (extract.py:60-64); here Catalyst pushes it into the file scan."""
+    return df.filter(F.col(col) > F.lit(hwm))

@@ -1,0 +1,77 @@
+"""Merge (K4) semantics: first-writer-wins, insert-if-absent,
+run-twice idempotency (FIXTURES.md F3; reference load.py:112-159)."""
+
+import json
+
+import pytest
+
+from nypd_arrest_etl_spark.operators.clean import clean
+from nypd_arrest_etl_spark.operators.merge import (
+    dedup_first_writer_wins,
+    merge_insert_if_absent,
+    merge_into_parquet,
+)
+from nypd_arrest_etl_spark.pipeline import run_etl
+from nypd_arrest_etl_spark.sources.files import high_watermark
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "arrest_key string, arrest_date string, v string")
+
+
+def test_dedup_within_batch(spark):
+    df = _df(
+        spark,
+        [("A", "2025-01-01", "x"), ("A", "2025-01-02", "y"), ("B", "2025-01-01", "z")],
+    )
+    out = dedup_first_writer_wins(df, "arrest_key", order_col="arrest_date")
+    rows = {r["arrest_key"]: r["v"] for r in out.collect()}
+    assert rows == {"A": "x", "B": "z"}
+
+
+def test_insert_if_absent(spark):
+    target = _df(spark, [("A", "2025-01-01", "old")])
+    incoming = _df(spark, [("A", "2025-02-01", "new"), ("C", "2025-02-01", "c")])
+    out = merge_insert_if_absent(incoming, target, "arrest_key")
+    assert {r["arrest_key"] for r in out.collect()} == {"C"}
+
+
+@pytest.fixture()
+def raw_jsonl(tmp_path):
+    p = tmp_path / "raw.jsonl"
+    rows = [
+        {"arrest_key": f"K{i}", "arrest_date": f"2025-06-{i + 1:02d}", "perp_sex": "M"}
+        for i in range(5)
+    ]
+    rows.append(rows[0].copy())  # duplicate key within batch
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+def test_pipeline_idempotency(spark, tmp_path, raw_jsonl):
+    target = str(tmp_path / "nypd_arrests")
+    r1 = run_etl(spark, raw_jsonl, target)
+    assert r1.inserted == 5  # 6 raw rows, 1 in-batch duplicate
+    r2 = run_etl(spark, raw_jsonl, target)
+    assert r2.inserted == 0  # run-twice idempotency
+    assert spark.read.parquet(target).count() == 5
+
+
+def test_high_watermark_probe(spark, tmp_path, raw_jsonl):
+    target = str(tmp_path / "t")
+    assert high_watermark(spark, target) == "1900-01-01"
+    run_etl(spark, raw_jsonl, target)
+    assert str(high_watermark(spark, target)) == "2025-06-05"
+
+
+def test_merge_rowcount_metric(spark, tmp_path):
+    target = str(tmp_path / "m")
+    df = clean(
+        spark.createDataFrame(
+            [("A", "2025-01-01"), ("B", "2025-01-02")], "arrest_key string, arrest_date string"
+        )
+    )
+    assert merge_into_parquet(spark, df, target) == 2
+    assert merge_into_parquet(spark, df, target) == 0

@@ -1,0 +1,19 @@
+"""File-source contracts (S3/S4/S5)."""
+
+from nypd_arrest_etl_spark.operators.clean import clean
+from nypd_arrest_etl_spark.sources.files import read_csv
+
+
+def test_csv_partial_columns_bind_by_name(spark, tmp_path):
+    """Regression: an explicit CSV schema binds by position — a
+    column-subset CSV must still land values in the right columns."""
+    p = tmp_path / "arrests.csv"
+    p.write_text(
+        "arrest_key,arrest_date,law_cat_cd,arrest_boro\nC1,2025-03-01,m,K\n"
+    )
+    out = clean(read_csv(spark, str(p))).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["law_cat_cd"] == "M"
+    assert r["arrest_boro"] == "BROOKLYN"
+    assert r["pd_cd"] == "UNKNOWN"
