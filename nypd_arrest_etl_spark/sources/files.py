@@ -53,8 +53,34 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    """S4. Explicit schema: no sampling pass over 100 TB of JSON."""
-    df = spark.read.schema(schema or RAW_SCHEMA).json(path)
+    """S4. Explicit schema: no sampling pass over 100 TB of JSON.
+
+    The default path must honor the reference's T1 contract — a batch
+    may arrive with UPPERCASE keys (transform.py:68-76) — but Spark's
+    JSON reader binds an explicit schema's field names CASE-SENSITIVELY,
+    which would silently null (and then drop) every such row. So we
+    parse each line once into ``map<string,variant>`` and bind the
+    expected columns case-insensitively ourselves: still a single-pass,
+    inference-free scan (safe at 100 TB), robust to nested values like
+    ``lon_lat``, and unlike the reference it survives casing that is
+    mixed row-to-row within one batch. Pass ``schema`` to take the
+    pruned struct fast path when the producer's casing is known.
+    """
+    if schema is not None:
+        df = spark.read.schema(schema).json(path)
+        return validate_required(df)
+
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json("value", "map<string,variant>").alias("m")
+    )
+
+    def pick(name: str) -> F.Column:
+        # first value whose key case-folds to `name` (JSON key order)
+        hits = F.map_filter("m", lambda k, _: F.lower(k) == name)
+        return F.try_element_at(F.map_values(hits), F.lit(1)).try_cast("string").alias(name)
+
+    df = parsed.select(*[pick(c) for c in RAW_SCHEMA.fieldNames()])
     return validate_required(df)
 
 
