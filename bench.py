@@ -1,0 +1,68 @@
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (df.write.format
+("noop")) so every output column is computed and written, with no
+driver-side collect cost. A warmup query first amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from nypd_arrest_etl_spark import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # Warmup: touch every table + JIT the common codepaths once.
+    from nypd_arrest_etl_spark.session import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns (null-safe on zero norms)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame whose scan produced too few partitions
+    to use the cluster — e.g. a single small file read as 1 partition.
+
+    Heavy per-row compute (shingling, signatures, UDF batches) placed
+    downstream of a 1-partition scan runs on ONE core no matter how
+    many the session has; a round-robin repartition ahead of it costs
+    one cheap shuffle of the raw rows and buys full parallelism, and
+    the exchange it introduces is reused (ReusedExchange) by every
+    self-join branch over the same subtree. On a real cluster reading
+    many splits this is a no-op (partitions already >= parallelism).
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)

@@ -1,0 +1,417 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all pure DataFrame ops (no Python in the hot path):
+
+- exact:        canonical-fingerprint groupBy (one shuffle)
+- ngram Jaccard: exact set-similarity self-join with PPJoin-style
+                 prefix filtering (complete — no candidate is missed)
+- MinHash+LSH:  banded signature buckets -> candidates -> exact verify
+- SimHash:      64-bit signature, banded hamming join (complete for
+                 hamming <= 3 by pigeonhole over 4 bands)
+- embedding:    cosine-threshold pairs (brute force; LSH variant in
+                 similarity.py for the 100 TB path)
+
+Scale notes: every candidate generator is a shuffle on a
+*selective* key (rare prefix shingle / band signature), never on the
+raw document. The verify joins carry per-doc shingle arrays — bounded
+by document length, not corpus size. Hot shingles are capped by the
+prefix filter's global-frequency ordering (rarest-first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.functions import cosine_similarity, spread
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def canonical_fingerprint(text_col: str = "text") -> F.Column:
+    """md5 of case-folded, whitespace-collapsed text — the reference's
+    'same row' notion (PK conflict) generalized to near-identical docs."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep min id per fingerprint. One shuffle on the
+    fingerprint (uniform hash key — no skew), map-side partial agg."""
+    return (
+        df.select(F.col(id_col), canonical_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, as one array column.
+
+    Built with JVM array lambdas (transform/sequence) — no explode, so
+    the row count stays |docs| until a candidate generator needs
+    postings.
+
+    The token array is materialized as its OWN projection first: an
+    expression inlined into a higher-order-function lambda is
+    re-evaluated per element, so referencing ``split(text)`` inside the
+    lambda would re-run the regex split once per shingle per access
+    (measured ~50x slowdown). Binding it to a column evaluates it once
+    per row.
+    """
+    toksed = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    return toksed.select("doc_id", grams.alias("shingles"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold. EXACT result.
+
+    Candidate generation uses prefix filtering (Chaudhuri et al. 2006 /
+    PPJoin, Xiao et al. 2008): order each doc's shingles by global
+    document frequency (rarest first); two docs with J >= t MUST share
+    one of their first ``|s| - ceil(t*|s|) + 1`` shingles. Joining only
+    on prefix shingles keeps the hot "the spark"-style shingles out of
+    the candidate join — the completeness guarantee costs nothing.
+
+    Plan: postings explode -> per-shingle document frequency via one
+    window (1 shuffle on shingle) -> per-doc df-ordered hash arrays
+    (1 shuffle on doc) -> prefix explode + equi-join on shingle ->
+    verify with array_intersect on the two docs' full arrays (2 hash
+    joins against the doc-count-sized `ordered`, which is cached: it
+    is referenced by three plan branches whose differing column
+    pruning defeats exchange reuse, so without the cache the whole
+    shingle pipeline would re-execute per branch).
+
+    Shingles travel as xxhash64 longs, never strings: smaller
+    shuffles, int equi-joins, int-array intersects. A 64-bit in-pair
+    collision (~1e-13 for kB-sized docs) is the standard trade.
+    """
+    # Hash token n-grams directly (multi-arg xxhash64) — never builds
+    # the concatenated shingle strings at all.
+    toksed = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+            lambda i: F.xxhash64(
+                *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    postings = toksed.select("doc_id", F.explode(grams).alias("sh"))
+
+    # Rarest-first order per doc: document frequency from ONE window
+    # over the shingle key (no dfreq join), then sort (df, sh) structs.
+    dfreq_w = Window.partitionBy("sh")
+    ordered = (
+        postings.withColumn("df", F.count("*").over(dfreq_w))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("o"))
+        .select(
+            "doc_id",
+            F.col("o.sh").alias("shingles"),
+            F.size("o").alias("n_sh"),
+        )
+        .cache()
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id", F.col("n_sh"), F.explode(F.slice("shingles", 1, prefix_len)).alias("sh")
+    )
+
+    # Length filter: J >= t forces t <= |b|/|a| — prune at candidate gen.
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+    left = ordered.select(
+        F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"), F.col("n_sh").alias("n1")
+    )
+    right = ordered.select(
+        F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"), F.col("n_sh").alias("n2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    return (
+        cand.join(left, "id1")
+        .join(right, "id2")
+        .select(
+            F.col("id1").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """num_perm-wide MinHash signature per doc.
+
+    One xxhash64 per (shingle, seed) computed inside a JVM array
+    lambda — the doc row count never changes, so signature generation
+    is narrow (zero shuffle)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, i))),
+    )
+    return sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, exact-Jaccard verified.
+
+    bands=16 x rows=4 at t=0.8 -> candidate recall 1-(1-t^4)^16 ~ 0.9998;
+    every candidate is then verified with exact Jaccard, so the output
+    has no false positives (it may rarely miss a true pair — that is
+    the LSH contract; use jaccard_pairs for the exact variant).
+
+    Scale: the only shuffle keys are (band_idx, band_hash) — uniformly
+    distributed; bucket sizes stay tiny because identical band hashes
+    imply near-identical docs.
+    """
+    rows_per_band = num_perm // bands
+    sh = with_shingles(df, id_col, text_col, n)
+    # Cache barrier: banding references `sig` per band and the
+    # verify joins reference the shingle arrays — four plan branches
+    # with different column pruning, so without materialization the
+    # 64-hash-per-shingle signature pipeline re-executes per branch
+    # (and Catalyst would inline it 16x into the band lambdas).
+    # Doc-count-sized (|docs| x (num_perm + doc_len) longs).
+    sigs = minhash_signatures(sh, num_perm).cache()
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+    )
+    buckets = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+    left = sigs.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"), F.col("n_sh").alias("n1"))
+    right = sigs.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"), F.col("n_sh").alias("n2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    return (
+        cand.join(left, "id1")
+        .join(right, "id2")
+        .select(
+            F.col("id1").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Pairs whose 64-bit SimHash differs by <= max_hamming bits.
+
+    COMPLETE for max_hamming <= 3: the signature splits into 4 16-bit
+    bands, and 3 differing bits cannot touch all 4 bands (pigeonhole),
+    so every qualifying pair collides on at least one exact band.
+    Candidates are verified with bit_count(xor) — no false positives.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    hashes = F.transform("shingles", lambda s: F.xxhash64(s))
+    # Single pass over the shingle hashes: fold into a 64-wide array of
+    # per-bit +-1 counts, then pack sign bits into one long. (A
+    # per-bit formulation — transform(0..63, k -> aggregate(hs, ...)) —
+    # re-evaluates the hash array once per bit after Catalyst inlines
+    # it through collapsed projections: measured 64x slower.)
+    sig_expr = """
+      aggregate(
+        hs,
+        array_repeat(0, 64),
+        (acc, h) -> zip_with(acc, sequence(0, 63),
+            (a, k) -> a + case when (shiftright(h, cast(k as int)) & 1) = 1
+                               then 1 else -1 end),
+        counts -> aggregate(
+            zip_with(counts, sequence(0, 63),
+                (c, k) -> case when c > 0 then shiftleft(1L, cast(k as int)) else 0L end),
+            0L, (s, v) -> s | v)
+      )
+    """
+    sigs = sh.withColumn("hs", hashes).select(
+        "doc_id", F.expr(sig_expr).alias("sig")
+    )
+    # Cache barrier: the self-join + band explode reference `sig`
+    # from several branches; materialize the |docs|-row signature
+    # table once instead of recomputing the fold per branch.
+    sigs = sigs.cache()
+    band = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(65535))
+            for i in range(4)
+        ]
+    )
+    buckets = sigs.select(
+        "doc_id", "sig", F.posexplode(band).alias("band_idx", "band_val")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine(embedding) >= threshold — brute-force O(n^2)
+    baseline (exact). The 100 TB path buckets by random-hyperplane LSH
+    first (similarity.py:ann_lsh_topk) and verifies within buckets.
+
+    Executed as a distributed block matrix product: the unit-normalized
+    corpus matrix is broadcast to executors, each Arrow batch of rows
+    computes its (batch x corpus) cosine block with one numpy matmul
+    and emits only above-threshold upper-triangle pairs. ~100x faster
+    than a per-pair expression join (vectorized flops vs interpreted
+    array lambdas), and the shuffle-free map shape scales with input
+    splits; the broadcast bounds corpus size at executor memory —
+    beyond that, use the LSH bucket variant.
+
+    Vectors are cast to double before any arithmetic so results are
+    stable across engines (float32 accumulation is not)."""
+    import numpy as np
+
+    v = spread(df).select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    id_t = dict(v.dtypes)["vid"]
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms == 0, 1.0, norms)
+
+    corpus_pdf = v.toPandas()
+    ids = corpus_pdf["vid"].to_numpy()
+    mat = unit(np.vstack(corpus_pdf["vec"].to_numpy()).astype("float64"))
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def op(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids = pdf["vid"].to_numpy()
+            q = unit(np.vstack(pdf["vec"].to_numpy()).astype("float64"))
+            sims = q @ c_mat.T
+            # upper triangle by id + loose threshold (exact rounded
+            # filter happens JVM-side so round semantics match SQL)
+            keep = (sims >= threshold - 1e-6) & (q_ids[:, None] < c_ids[None, :])
+            qi, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": q_ids[qi],
+                    "vec_id_2": c_ids[cj],
+                    "cosine": sims[qi, cj],
+                }
+            )
+
+    pairs = v.mapInPandas(
+        op, schema=f"vec_id_1 {id_t}, vec_id_2 {id_t}, cosine double"
+    )
+    return pairs.select(
+        "vec_id_1", "vec_id_2", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (codegen'd, zero Python in the hot path):
+quality scoring, token counting (whitespace + BPE-ish regex),
+language-ID heuristic, and rolling-hash document fingerprinting
+(winnowing). These run per-document — narrow, no shuffle — so they
+scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.functions import spread
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Tiny marker profiles for the language-ID heuristic. Real pipelines
+# plug in fastText/cld3 via a Pandas UDF; the heuristic keeps the
+# operator dependency-free and deterministic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token counts, ratios."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.length(F.col(text_col))
+    n_alpha = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    # counts cast to long so the schema matches SQL engines' BIGINT len()
+    return spread(df).select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        bpe_tokens.cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_alpha / n_chars, 6).alias("alpha_ratio"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_chars / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score (Gopher/C4-style heuristics):
+    penalize too-short/too-long docs, low alpha ratio, low token
+    diversity. Built from UNROUNDED components so the combination is
+    bit-identical across engines (rounding only the final value)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    alpha = (
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))) / n_chars
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    diversity = F.least(n_uniq / n_tok * 2, F.lit(1.0))
+    return spread(df).select(
+        id_col,
+        F.round(0.4 * len_ok + 0.3 * alpha + 0.3 * diversity, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic with CJK script fast-path.
+
+    Scores = count of language-marker stopwords among the doc's
+    tokens; predicted = argmax with fixed tie order (en,de,fr,es).
+    CJK codepoints short-circuit to 'zh'. SQL-expressible, so the
+    DuckDB oracle can replay it exactly.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    has_cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")) > 0
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return spread(df).select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint_winnow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): hash all k-char
+    grams, keep the min hash of each sliding window of `window` grams;
+    the distinct kept hashes are the document's fingerprint set.
+
+    Used for plagiarism-style containment detection: shared
+    fingerprints => shared substrings, robust to insertions. All array
+    lambdas — narrow, zero shuffle until the (optional) pair join.
+    """
+    # Each stage binds its array to a real column before the next
+    # lambda references it: an inlined expression is re-evaluated per
+    # element, which would make the window scan O(n^2) hashes per doc.
+    s = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length("s") - k + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.col("s").substr(i, F.lit(k)))
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("grams") - window, F.lit(0))),
+        lambda i: F.array_min(F.slice("grams", i + 1, window)),
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), s.alias("s"))
+        .select(F.col(id_col), grams.alias("grams"))
+        .select(F.col(id_col), F.array_distinct(windows).alias("fingerprints"))
+    )

@@ -1,0 +1,242 @@
+"""LLM-data-pipeline query inventory: dedup, similarity search, text
+analysis, multimodal plumbing — each over the driver's ``documents``
+and ``embeddings`` tables, with a DuckDB oracle wherever the semantics
+are SQL-expressible (hash-sketch ops — MinHash/SimHash/winnowing/LSH —
+get the driver's rows-only check; their correctness tests live in
+tests/test_dedup.py against the exact operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators import dedup as D
+from nypd_arrest_etl_spark.operators import multimodal as M
+from nypd_arrest_etl_spark.operators import similarity as SIM
+from nypd_arrest_etl_spark.operators import text as TX
+from nypd_arrest_etl_spark.plans.queries import t
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# Naive exact oracle (all-pairs via shingle join) — the Spark side uses
+# prefix filtering but must return the identical pair set.
+ORACLE_JACCARD_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id1 AS doc_id_1, id2 AS doc_id_2,
+       round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+ORACLE_EMBEDDING_PAIRS = """
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_STATS = r"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks, length(text) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       nc AS n_chars,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       round(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], lower(x)))) * 1.0 / len(toks), 6)
+         AS stopword_ratio,
+       round((nc - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / nc, 6)
+         AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / nc, 6)
+         AS punct_ratio,
+       round(nc * 1.0 / len(toks), 6) AS avg_token_len
+FROM base
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(t(spark, sf_dir, "documents"))
+
+
+ORACLE_LANGUAGE_ID = r"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+             ['the','and','of','is','with'])) AS s_en,
+         len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+             ['der','die','und','ist','nicht'])) AS s_de,
+         len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+             ['le','la','et','est','les'])) AS s_fr,
+         len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+             ['el','la','que','es','los'])) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scored
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS nu,
+         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+           + 0.3 * alpha_ratio
+           + 0.3 * least(nu * 1.0 / nt * 2, 1.0), 6) AS quality
+FROM s
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint cardinality per doc (hash values are
+    xxhash64 — not SQL-expressible; rows-only check)."""
+    fp = TX.fingerprint_winnow(t(spark, sf_dir, "documents"))
+    return fp.select("doc_id", F.size("fingerprints").cast("long").alias("n_fingerprints"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the real mapInPandas decode path (fake decoder) —
+    byte lengths, digests, derived dimensions all SQL-checkable."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.decode_media(media, fake=True)
+
+
+ORACLE_MULTIMODAL_MANIFEST = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(strlen(text) % 640 + 1 AS INT) AS width,
+       CAST((strlen(text) // 640) % 480 + 1 AS INT) AS height,
+       CAST(strlen(text) * 10 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF feature extraction (byte-histogram fake encoder);
+    summarized to a stable projection (rows-only check)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    feats = M.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("l1"),
+    )
+
+
+LLM_OPS: dict[str, tuple] = {
+    "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
+    "dedup_minhash_pairs": (q_minhash_pairs, None),
+    "dedup_simhash_pairs": (q_simhash_pairs, None),
+    "dedup_embedding_pairs": (q_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
+    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    "similarity_ann_lsh": (q_ann_lsh, None),
+    "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
+    "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
+    "text_quality_score": (q_quality, ORACLE_QUALITY),
+    "text_fingerprints": (q_fingerprints, None),
+    "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
+    "multimodal_features": (q_media_features, None),
+}

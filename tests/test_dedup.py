@@ -1,0 +1,89 @@
+"""Dedup operator semantics on controlled corpora + the driver's
+documents table at sf0.001."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different text about spark engines"),
+    (5, "THE QUICK  BROWN fox jumps over the lazy dog"),  # case/space variant
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_collapses_canonical_variants(docs):
+    out = D.dedup_exact(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    # 1, 2, 5 share a canonical fingerprint (case/whitespace folded)
+    assert by_keep[1] == 3
+    assert by_keep[3] == 1
+    assert by_keep[4] == 1
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any({4} & {a, b} for a, b in pairs)
+
+
+def test_jaccard_prefix_filter_is_complete(spark, sf_dir):
+    """Prefix-filtered result == naive all-pairs result."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = {
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in D.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    sh = D.with_shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size("a.shingles") + F.size("b.shingles") - inter
+    naive = {
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert fast == naive
+
+
+def test_minhash_no_false_positives_and_high_recall(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r.doc_id_1, r.doc_id_2) for r in D.jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.doc_id_1, r.doc_id_2) for r in D.minhash_lsh_pairs(docs, 0.8).collect()}
+    assert lsh <= exact  # verify stage kills false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9  # banded recall
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    pairs = {(r.doc_id_1, r.doc_id_2): r.hamming for r in D.simhash_pairs(docs, 3).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_neardup_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),  # ~0.995 cosine to 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.vec_id_1, r.vec_id_2) for r in D.embedding_neardup_pairs(df, 0.9).collect()}
+    assert out == {(1, 2)}
