@@ -1,0 +1,120 @@
+"""Structured Streaming surface: incremental ETL (checkpoint resume,
+idempotent merge), tumbling windows, session windows."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nypd_arrest_etl_spark.streaming import (
+    sessionized_stream,
+    stream_etl,
+    tumbling_counts_stream,
+)
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_etl_incremental_and_idempotent(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(
+        src / "batch1.json",
+        [
+            {"arrest_key": "S1", "arrest_date": "2024-01-05", "law_cat_cd": "F"},
+            {"arrest_key": "S2", "arrest_date": "2024-01-06", "law_cat_cd": "M"},
+            # duplicate key within the stream -> dropped by state dedup
+            {"arrest_key": "S1", "arrest_date": "2024-01-07", "law_cat_cd": "V"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt)
+    q.awaitTermination(120)
+    got = {r["arrest_key"] for r in spark.read.parquet(target).collect()}
+    assert got == {"S1", "S2"}
+
+    # second trigger: only the NEW file is read (checkpoint offsets);
+    # re-sent key S2 is anti-joined away by the merge.
+    _write_jsonl(
+        src / "batch2.json",
+        [
+            {"arrest_key": "S2", "arrest_date": "2024-01-06", "law_cat_cd": "M"},
+            {"arrest_key": "S3", "arrest_date": "2024-02-01", "law_cat_cd": "I"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt)
+    q.awaitTermination(120)
+    final = spark.read.parquet(target)
+    assert {r["arrest_key"] for r in final.collect()} == {"S1", "S2", "S3"}
+    assert final.count() == 3
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _events_stream(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-03-01T10:05:00Z", "event_type": "click", "value": 1.0, "user_id": 1},
+        {"ts": "2024-03-01T10:45:00Z", "event_type": "click", "value": 2.0, "user_id": 1},
+        {"ts": "2024-03-01T11:10:00Z", "event_type": "view", "value": 3.0, "user_id": 1},
+        # >30 min gap for user 2 -> two sessions
+        {"ts": "2024-03-01T10:00:00Z", "event_type": "click", "value": 4.0, "user_id": 2},
+        {"ts": "2024-03-01T12:00:00Z", "event_type": "view", "value": 5.0, "user_id": 2},
+    ]
+    _write_jsonl(src / "e1.json", rows)
+    return spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    agg = tumbling_counts_stream(_events_stream(spark, tmp_path))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    assert got[("2024-03-01T10:00:00", "click")] == (3, 7.0)
+    assert got[("2024-03-01T11:00:00", "view")] == (1, 3.0)
+    assert got[("2024-03-01T12:00:00", "view")] == (1, 5.0)
+
+
+def test_sessionized_stream(spark, tmp_path):
+    sess = sessionized_stream(_events_stream(spark, tmp_path))
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    # user 1: 10:05 | 40-min gap | 10:45, 11:10 -> two sessions (1 + 2)
+    assert sorted(by_user[1]) == [1, 2]
+    # user 2: 10:00 and 12:00 -> two singleton sessions
+    assert sorted(by_user[2]) == [1, 1]
