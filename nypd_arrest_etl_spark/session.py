@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource API pushdown (sources/rest.py pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long (ns since epoch) and convert with
         # exact integer arithmetic (see plans.queries.events_with_ts).
