@@ -1,0 +1,140 @@
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF JOIN (SURVEY.md §2e marks the category absent
+in the reference too); a naive formulation is a non-equi theta join
+that Catalyst plans as a broadcast-nested-loop — quadratic and
+unusable at scale. Both operators here reduce to ONE equi-shuffle:
+
+- ``asof_join``: union-then-window. Tag right rows, union with left,
+  sort within each key partition by time; the "most recent right value
+  at or before t" is ``last(value, ignorenulls=True)`` over the
+  running frame. One shuffle on the key, no join at all — the standard
+  scale formulation (classic kdb/pandas merge_asof semantics,
+  backward direction, inclusive).
+- ``range_pair_join``: time-bucketing. Events within ``gap`` seconds
+  must fall in the same or adjacent ``gap``-sized bucket, so exploding
+  the left side into two bucket keys turns the interval predicate into
+  an equi-join with an exact residual filter. Join fan-in is bounded
+  by events-per-2*gap per key, never corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, append the latest right
+    row's ``value_cols`` with ``right.on <= left.on`` and same ``by``
+    key (inclusive, ties prefer the right row). Unmatched -> nulls;
+    with ``tolerance`` (same units as ``on``), matches older than
+    ``on - tolerance`` are nulled out.
+
+    All left columns are preserved; value columns get an ``asof_``
+    prefix. One shuffle on ``by``; at 100 TB skewed keys fall to AQE
+    skew splitting (safe: the window is per-key-ordered, and salting
+    would break cross-row carry semantics — prefer key+time-range
+    pre-bucketing for pathological keys).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, by)
+    ]
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__rt"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c != by and c != on else F.col(c) for c in lcols],
+        F.lit(0).alias("__is_left"),
+        F.col(on).cast("long").alias("__rt"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal time -> inclusive match
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        F.last("__rt", ignorenulls=True).over(w).alias("__matched_t"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__matched_t") >= F.col(on).cast("long") - F.lit(tolerance)
+        carried = carried.select(
+            *lcols,
+            F.when(in_tol, F.col("__matched_t")).alias("__matched_t"),
+            *[
+                F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return carried.select(
+        *lcols,
+        F.col("__matched_t").alias(f"asof_{on}"),
+        *[F.col(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_pair_join(
+    events: DataFrame,
+    gap: int,
+    ts_col: str = "sec",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Pairs of same-key events within ``gap`` time units
+    (0 < t2 - t1 <= gap, id1 != id2; ordered so t1 <= t2).
+
+    Bucketing: right side keyed by its own bucket; left side exploded
+    to (bucket, bucket+1) so any pair within ``gap`` shares a join
+    key; the exact range predicate filters residuals. Equi-shuffle on
+    (key, bucket) — no nested-loop, fan-in bounded by 2*gap density.
+    """
+    e = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("t"),
+        (F.col(ts_col).cast("long") / gap).cast("long").alias("b"),
+    )
+    lhs = e.select(
+        "id", "k", "t", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb")
+    )
+    rhs = e.select(
+        F.col("id").alias("id2"),
+        F.col("k").alias("k2"),
+        F.col("t").alias("t2"),
+        F.col("b").alias("jb"),
+    )
+    dt = F.col("t2") - F.col("t")
+    return (
+        lhs.join(rhs, ["jb"])
+        .filter(
+            (F.col("k") == F.col("k2"))
+            & (dt > 0)
+            & (dt <= gap)
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("id").alias("id_1"),
+            F.col("id2").alias("id_2"),
+            dt.alias("dt"),
+        )
+    )  # no dedup needed: each qualifying pair matches exactly one bucket key

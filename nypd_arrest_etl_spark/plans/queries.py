@@ -484,6 +484,100 @@ FROM sessions GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins (§2e absent-category: as-of / range)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before
+    it (backward inclusive as-of). Union+window — one shuffle, no
+    nested-loop join (operators/temporal.py)."""
+    from nypd_arrest_etl_spark.operators.temporal import asof_join
+
+    e = events_with_ts(spark, sf_dir).select("event_id", "user_id", "event_type", "value", "sec")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "sec")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "sec", "value")
+    out = asof_join(purchases, clicks, on="sec", by="user_id", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.col("asof_sec").alias("click_sec"),
+        F.round("asof_value", 2).alias("click_value"),
+    )
+
+
+ORACLE_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, sec, value FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.sec,
+       c.sec AS click_sec, round(c.value, 2) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.sec
+"""
+
+
+def q_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 5 minutes — interval join via
+    time-bucket equi-join (operators/temporal.py), not a theta BNLJ."""
+    from nypd_arrest_etl_spark.operators.temporal import range_pair_join
+
+    e = events_with_ts(spark, sf_dir)
+    return range_pair_join(e, gap=300, ts_col="sec", key_col="user_id", id_col="event_id")
+
+
+ORACLE_RANGE_PAIRS = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+)
+SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2, b.sec - a.sec AS dt
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND b.sec - a.sec > 0 AND b.sec - a.sec <= 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped Python-UDF surface (§2i)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nypd_arrest_etl_spark.operators.grouped import embedding_centroids
+
+    return embedding_centroids(t(spark, sf_dir, "embeddings"), n_groups=10)
+
+
+ORACLE_CENTROIDS = """
+WITH u AS (
+  SELECT vec_id % 10 AS grp, s.i AS dim,
+         CAST(embedding[s.i + 1] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) s
+)
+SELECT grp, CAST(dim AS INT) AS dim, round(avg(x), 6) AS centroid
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nypd_arrest_etl_spark.operators.grouped import grouped_median
+
+    return grouped_median(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice", out_col="median_price"
+    )
+
+
+ORACLE_MEDIAN_PRICE = """
+SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -504,4 +598,8 @@ RELATIONAL: dict[str, tuple] = {
     "tumbling_hourly": (q_tumbling_hourly, ORACLE_TUMBLING_HOURLY),
     "sliding_daily": (q_sliding_daily, ORACLE_SLIDING_DAILY),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "asof_click_before_purchase": (q_asof_click_before_purchase, ORACLE_ASOF),
+    "range_pairs_5min": (q_range_pairs, ORACLE_RANGE_PAIRS),
+    "embedding_centroids": (q_embedding_centroids, ORACLE_CENTROIDS),
+    "median_price": (q_median_price, ORACLE_MEDIAN_PRICE),
 }
