@@ -483,6 +483,29 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point (SURVEY §3.4 surface 3): identical
+    SQL text runs on the registered views in both engines. GROUPING
+    SETS plans as one Expand + single shuffle, same as cube/rollup."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (§2e absent-category: as-of / range)
 # ---------------------------------------------------------------------------
@@ -598,6 +621,7 @@ RELATIONAL: dict[str, tuple] = {
     "tumbling_hourly": (q_tumbling_hourly, ORACLE_TUMBLING_HOURLY),
     "sliding_daily": (q_sliding_daily, ORACLE_SLIDING_DAILY),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "grouping_sets_sql": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "asof_click_before_purchase": (q_asof_click_before_purchase, ORACLE_ASOF),
     "range_pairs_5min": (q_range_pairs, ORACLE_RANGE_PAIRS),
     "embedding_centroids": (q_embedding_centroids, ORACLE_CENTROIDS),
