@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): the cleaning stage's observable
+semantics hold for arbitrary dirty input, not just the handcrafted
+fixtures. Each example evaluates one small Spark job over a generated
+batch; example counts are bounded to keep the suite fast."""
+
+import datetime as dt
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.functions import (
+    dict_map,
+    domain_guard,
+    parse_date_with_epoch_fallback,
+)
+from nypd_arrest_etl_spark.schema import BORO_MAP, LAW_CAT_VALID
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+texty = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=12
+)
+
+
+def _eval(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    return [r["out"] for r in df.select(expr.alias("out")).collect()]
+
+
+@settings(**SETTINGS)
+@given(st.lists(texty, min_size=1, max_size=8))
+def test_domain_guard_closed_and_idempotent(spark, values):
+    outs = _eval(spark, values, domain_guard("c", LAW_CAT_VALID, "U"))
+    # closed: output is always in the valid domain union the default
+    assert all(o in set(LAW_CAT_VALID) | {"U"} for o in outs)
+    # idempotent: guarding an already-guarded value changes nothing
+    again = _eval(spark, outs, domain_guard("c", LAW_CAT_VALID, "U"))
+    assert again == outs
+    # case-insensitive acceptance
+    for v, o in zip(values, outs):
+        if v.upper() in LAW_CAT_VALID:
+            assert o == v.upper()
+
+
+@settings(**SETTINGS)
+@given(st.lists(texty, min_size=1, max_size=8))
+def test_boro_map_passthrough(spark, values):
+    outs = _eval(spark, values, dict_map("c", BORO_MAP))
+    for v, o in zip(values, outs):
+        if v in BORO_MAP:
+            assert o == BORO_MAP[v]
+        else:
+            assert o == v  # unmapped values pass through untouched
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(  # epoch millis within parquet-friendly range
+            min_value=int(dt.datetime(1971, 1, 1).timestamp() * 1000),
+            max_value=int(dt.datetime(2199, 12, 31).timestamp() * 1000),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_epoch_millis_rescue_matches_utc(spark, millis):
+    outs = _eval(
+        spark, [str(m) for m in millis], parse_date_with_epoch_fallback("c")
+    )
+    for m, o in zip(millis, outs):
+        want = dt.datetime.fromtimestamp(m / 1000.0, dt.timezone.utc).date()
+        assert o == want, (m, o, want)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.sampled_from(["", " ", "garbage", "12-99", "nan"]), min_size=1, max_size=6))
+def test_unparseable_dates_become_null(spark, values):
+    outs = _eval(spark, values, parse_date_with_epoch_fallback("c"))
+    assert all(o is None for o in outs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "arrest_key": st.one_of(st.none(), texty),
+                "arrest_date": st.sampled_from(
+                    ["2024-01-05", "1704672000000", "junk", None]
+                ),
+                "law_cat_cd": st.one_of(st.none(), texty),
+                "perp_sex": st.one_of(st.none(), texty),
+            }
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_clean_output_always_satisfies_target_contract(spark, rows):
+    """Whatever goes in: survivors have non-blank keys, parsed dates,
+    guarded domains, and no nulls in defaulted columns."""
+    import tempfile
+
+    from nypd_arrest_etl_spark.operators.clean import clean
+    from nypd_arrest_etl_spark.schema import RAW_SCHEMA
+
+    p = tempfile.mktemp(suffix=".json")
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps({k: v for k, v in r.items() if v is not None}) + "\n")
+    out = clean(spark.read.schema(RAW_SCHEMA).json(str(p))).collect()
+    for r in out:
+        assert r["arrest_key"] and r["arrest_key"].strip()
+        assert isinstance(r["arrest_date"], dt.date)
+        assert r["law_cat_cd"] in set(LAW_CAT_VALID) | {"U"}
+        assert r["perp_sex"] in {"M", "F", "U"}
+        assert r["pd_cd"] is not None and r["arrest_precinct"] is not None
