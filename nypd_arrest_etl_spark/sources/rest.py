@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -203,8 +204,79 @@ class SocrataRestReader(DataSourceReader):
             yield tuple(out)
 
 
+def _rows_to_tuples(rows, fields):
+    # a LIST, not a generator: the streaming prefetch cache copy.copy()s
+    # the iterator for replay, which a generator cannot survive
+    out_rows = []
+    for rec in rows:
+        out = []
+        for f in fields:
+            v = rec.get(f)
+            if v is None:
+                out.append(None)
+            elif isinstance(v, (dict, list)):
+                out.append(json.dumps(v, sort_keys=True))
+            else:
+                out.append(str(v))
+        out_rows.append(tuple(out))
+    return out_rows
+
+
+class SocrataStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the reference's resume
+    checkpoint (``{total_records, offset}`` JSON re-read on restart,
+    extract.py:74-95) becomes a real streaming offset — Spark persists
+    it in the checkpointLocation, replays ``readBetweenOffsets`` after
+    a crash, and each microbatch pulls exactly one page. A short page
+    means "caught up" (the reference's loop-until-short-batch,
+    extract.py:109-134) and subsequent triggers poll from the same
+    offset until new rows appear."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.fields = schema.fieldNames()
+        self.url = options.get("url")
+        if not self.url:
+            raise ValueError("socrata source requires option 'url'")
+        self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
+        self.max_pages_per_batch = int(options.get("maxpagesperbatch", 20))
+        self.fixture_dir = options.get("fixturedir")
+        self.where = options.get("where")
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch_page(self, offset: int, limit: int):
+        params = {"$order": ":id", "$limit": limit, "$offset": offset}
+        if self.where:
+            params["$where"] = self.where
+        return fetch_json(build_url(self.url, params), self.fixture_dir)
+
+    def read(self, start: dict):
+        # Drain pages until a short page (the reference's
+        # loop-until-short-batch, extract.py:109-134), bounded by
+        # max_pages_per_batch so one microbatch can't swallow an
+        # unbounded backlog; the next trigger continues from the
+        # checkpointed offset.
+        offset = int(start["offset"])
+        out = []
+        for _ in range(self.max_pages_per_batch):
+            rows = self._fetch_page(offset, self.batch_size)
+            out.extend(_rows_to_tuples(rows, self.fields))
+            offset += len(rows)
+            if len(rows) < self.batch_size:
+                break
+        return out, {"offset": offset}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        offset, end_offset = int(start["offset"]), int(end["offset"])
+        n = end_offset - offset
+        rows = self._fetch_page(offset, n) if n > 0 else []
+        return _rows_to_tuples(rows, self.fields)
+
+
 class SocrataRestDataSource(DataSource):
-    """``spark.read.format("socrata").option("url", ...).load()``.
+    """``spark.read.format("socrata").option("url", ...).load()`` or
+    ``spark.readStream.format("socrata")...`` for the incremental path.
 
     Default schema is the permissive all-string raw schema; pass
     ``.schema(...)`` to project fewer columns (the reader only
@@ -220,6 +292,9 @@ class SocrataRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SocrataRestReader:
         return SocrataRestReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> SocrataStreamReader:
+        return SocrataStreamReader(schema, dict(self.options))
 
 
 def register_socrata(spark) -> None:

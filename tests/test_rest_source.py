@@ -168,3 +168,37 @@ def test_feeds_clean_pipeline(socrata, tmp_path):
     assert row["arrest_boro"] == "BROOKLYN"
     assert row["law_cat_cd"] == "F"
     assert "lon_lat" not in row.asDict()
+
+
+def test_streaming_reads_pages_as_offsets(socrata, tmp_path):
+    """readStream pulls one page per microbatch; offsets land in the
+    checkpoint so a restart resumes where the last run stopped —
+    the reference's resume-from-offset checkpoint, formalized."""
+    fixtures = _manifest(
+        tmp_path,
+        {
+            _page_url(0, 2): ROWS[0:2],
+            _page_url(2, 2): ROWS[2:4],
+            _page_url(4, 2): ROWS[4:5],
+            _page_url(5, 2): [],  # caught up
+        },
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        socrata.readStream.format("socrata")
+        .option("url", BASE)
+        .option("batchSize", 2)
+        .option("fixtureDir", fixtures)
+        .load()
+        .select("arrest_key")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_socrata_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["arrest_key"] for r in socrata.sql("SELECT * FROM t_socrata_stream").collect()}
+    assert got == {f"K{i}" for i in range(5)}
