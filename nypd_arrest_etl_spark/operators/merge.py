@@ -52,20 +52,28 @@ def merge_insert_if_absent(incoming: DataFrame, target: DataFrame | None, key: s
     return fresh.join(target.select(key), on=key, how="left_anti")
 
 
+YEAR_COL = "arrest_year"
+
+
 def merge_into_parquet(
     spark: SparkSession,
     incoming: DataFrame,
     table_path: str,
     key: str = "arrest_key",
     partition_by: str | None = None,
+    partition_source: str = "arrest_date",
 ) -> int:
     """Append-only upsert into a Parquet-backed table.
 
     Returns inserted rowcount (parity with the reference's merge
-    metrics, load.py:151-155). Partitioning by year(arrest_date) is the
-    100 TB layout — partition pruning turns incremental reads into
-    touch-only-new-partitions scans.
+    metrics, load.py:151-155). ``partition_by=YEAR_COL`` gives the
+    100 TB layout — a derived year(arrest_date) directory partition,
+    so incremental reads and the high-watermark probe prune to the
+    newest partitions instead of scanning history, and the anti-join's
+    target side reads only partition footers for recent years.
     """
+    if partition_by == YEAR_COL and YEAR_COL not in incoming.columns:
+        incoming = incoming.withColumn(YEAR_COL, F.year(partition_source))
     target = None
     if os.path.exists(table_path):
         try:

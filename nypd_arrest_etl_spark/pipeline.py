@@ -43,9 +43,16 @@ def extract(spark: SparkSession, source_path: str, fmt: str = "jsonl") -> DataFr
 transform = clean  # stage alias: transform(df) -> cleaned DataFrame
 
 
-def load(spark: SparkSession, df: DataFrame, target_path: str) -> EtlResult:
+def load(
+    spark: SparkSession,
+    df: DataFrame,
+    target_path: str,
+    partition_by: str | None = None,
+) -> EtlResult:
     """First-writer-wins upsert into the Parquet-backed target."""
-    n = merge_into_parquet(spark, df, target_path, key="arrest_key")
+    n = merge_into_parquet(
+        spark, df, target_path, key="arrest_key", partition_by=partition_by
+    )
     return EtlResult(inserted=n)
 
 
@@ -55,6 +62,7 @@ def run_etl(
     target_path: str,
     fmt: str = "jsonl",
     incremental: bool = True,
+    partitioned: bool = False,
 ) -> EtlResult:
     """The full pipeline as one lazy DAG (reference: etl.py:20-57).
 
@@ -69,4 +77,5 @@ def run_etl(
     if incremental:
         hwm = high_watermark(spark, target_path, "arrest_date")
         cleaned = incremental_filter(cleaned, hwm, "arrest_date")
-    return load(spark, cleaned, target_path)
+    part = "arrest_year" if partitioned else None
+    return load(spark, cleaned, target_path, partition_by=part)

@@ -94,7 +94,14 @@ def high_watermark(spark: SparkSession, table_path: str, col: str = "arrest_date
     if not os.path.exists(table_path):
         return default
     try:
-        row = spark.read.parquet(table_path).agg(F.max(col).alias("hwm")).collect()[0]
+        df = spark.read.parquet(table_path)
+        if "arrest_year" in df.columns:
+            # two-step: max partition value prunes the real scan to the
+            # newest year directory (footer-only elsewhere)
+            ymax = df.agg(F.max("arrest_year")).collect()[0][0]
+            if ymax is not None:
+                df = df.filter(F.col("arrest_year") == ymax)
+        row = df.agg(F.max(col).alias("hwm")).collect()[0]
     except Exception:
         return default
     return row["hwm"] or default

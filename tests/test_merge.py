@@ -75,3 +75,37 @@ def test_merge_rowcount_metric(spark, tmp_path):
     )
     assert merge_into_parquet(spark, df, target) == 2
     assert merge_into_parquet(spark, df, target) == 0
+
+
+def test_partitioned_target_layout(spark, tmp_path):
+    """M1 layout: partitioned=True writes year(arrest_date) directory
+    partitions; idempotency and incrementality hold across layouts."""
+    import json
+    import os
+
+    from nypd_arrest_etl_spark.pipeline import run_etl
+
+    src1 = tmp_path / "b1.jsonl"
+    with open(src1, "w") as f:
+        f.write(json.dumps({"arrest_key": "P1", "arrest_date": "2023-06-01"}) + "\n")
+        f.write(json.dumps({"arrest_key": "P2", "arrest_date": "2024-01-15"}) + "\n")
+    target = str(tmp_path / "tgt")
+
+    r1 = run_etl(spark, str(src1), target, partitioned=True)
+    assert r1.inserted == 2
+    dirs = {d for d in os.listdir(target) if d.startswith("arrest_year=")}
+    assert dirs == {"arrest_year=2023", "arrest_year=2024"}
+
+    # idempotent
+    assert run_etl(spark, str(src1), target, partitioned=True).inserted == 0
+
+    # incremental append lands in a new partition; older row skipped
+    src2 = tmp_path / "b2.jsonl"
+    with open(src2, "w") as f:
+        f.write(json.dumps({"arrest_key": "P3", "arrest_date": "2022-01-01"}) + "\n")
+        f.write(json.dumps({"arrest_key": "P4", "arrest_date": "2025-03-03"}) + "\n")
+    r3 = run_etl(spark, str(src2), target, partitioned=True)
+    assert r3.inserted == 1
+    final = spark.read.parquet(target)
+    assert {r["arrest_key"] for r in final.collect()} == {"P1", "P2", "P4"}
+    assert "arrest_year=2025" in set(os.listdir(target))
