@@ -136,3 +136,50 @@ def fingerprint_winnow(
         .select(F.col(id_col), grams.alias("grams"))
         .select(F.col(id_col), F.array_distinct(windows).alias("fingerprints"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Plagiarism-style containment: pairs whose winnowing-fingerprint
+    overlap covers >= ``threshold`` of the SMALLER document's
+    fingerprint set (detects near-containment that Jaccard misses when
+    sizes differ widely — a quote inside a long article).
+
+    Plan: fingerprint postings self-join on the hash (selective keys:
+    winnowing keeps ~2/(window+1) of grams, and each kept hash is a
+    local minimum — rare by construction) -> per-pair shared count ->
+    containment against broadcast per-doc set sizes. Boilerplate
+    shared across a whole corpus makes hot fingerprints; at scale,
+    drop fingerprints whose document frequency exceeds a cap first
+    (they carry no discriminative signal).
+    """
+    fp = fingerprint_winnow(df, id_col, text_col, k, window).cache()
+    postings = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprints").alias("h"))
+    sizes = fp.select(F.col(id_col).alias("doc"), F.size("fingerprints").alias("n"))
+
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
+    containment = F.col("shared") / F.least("n1", "n2")
+    return (
+        shared.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select(
+            F.col("id1").alias("doc_id_1"),
+            F.col("id2").alias("doc_id_2"),
+            "shared",
+            F.round(containment, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

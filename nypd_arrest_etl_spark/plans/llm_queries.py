@@ -183,6 +183,12 @@ FROM s
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint containment pairs (hash-based; rows-only
+    check — exact-guarantee unit tests live in tests/test_text.py)."""
+    return TX.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per doc (hash values are
     xxhash64 — not SQL-expressible; rows-only check)."""
@@ -237,6 +243,7 @@ LLM_OPS: dict[str, tuple] = {
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),
     "text_fingerprints": (q_fingerprints, None),
+    "text_containment_pairs": (q_containment, None),
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
     "multimodal_features": (q_media_features, None),
 }

@@ -1,0 +1,73 @@
+"""Text-analysis operator guarantees on handcrafted documents."""
+
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators.text import (
+    containment_pairs,
+    fingerprint_winnow,
+    language_id,
+    text_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_have_full_containment(spark):
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    df = _docs(spark, [(1, text), (2, text), (3, "entirely different words here okay")])
+    pairs = {(r["doc_id_1"], r["doc_id_2"]): r["containment"] for r in containment_pairs(df, 0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_quote_inside_long_article_is_contained(spark):
+    quote = "to be or not to be that is the question"
+    article = ("lorem ipsum dolor sit amet " * 10) + quote + (" consectetur adipiscing elit " * 10)
+    df = _docs(spark, [(1, quote), (2, article)])
+    got = containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1 and got[0]["doc_id_1"] == 1 and got[0]["containment"] >= 0.8
+
+
+def test_winnow_fingerprints_subset_of_gram_hashes(spark):
+    """Every fingerprint is the min of a window of k-gram hashes, so
+    fingerprints(doc) is a subset of all k-gram hashes of the doc."""
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = _docs(spark, [(1, text)])
+    fps = set(fingerprint_winnow(df, k=8, window=4).collect()[0]["fingerprints"])
+    all_hashes = set(
+        df.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(F.lower("text")) - 7),
+                    lambda i: F.xxhash64(F.lower("text").substr(i, F.lit(8))),
+                )
+            ).alias("h")
+        ).toPandas()["h"]
+    )
+    assert fps and fps.issubset(all_hashes)
+
+
+def test_language_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog is with me"),
+            (2, "der hund ist nicht hier und da"),
+            (3, "le chat est dans la maison et les jardins"),
+            (4, "el perro es grande y los gatos que duermen"),
+            (5, "zzz qqq xxx"),
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_text_stats_basics(spark):
+    df = _docs(spark, [(1, "Hello, world! The answer is 42.")])
+    r = text_stats(df).collect()[0]
+    assert r["n_chars"] == 31
+    assert r["n_tokens"] == 6
+    # BPE-ish: Hello , world ! The answer is 42 . -> 9
+    assert r["n_bpe_tokens"] == 9
+    assert 0 < r["alpha_ratio"] < 1 and 0 < r["punct_ratio"] < 1
