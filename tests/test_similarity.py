@@ -1,0 +1,83 @@
+"""Similarity search: exact top-k against a numpy reference; LSH ANN
+recall on planted clusters; embedding near-dup threshold exactness."""
+
+import numpy as np
+import pytest
+
+from nypd_arrest_etl_spark.operators.dedup import embedding_neardup_pairs
+from nypd_arrest_etl_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+DIM = 16
+
+
+def _vectors(seed=7, n=40):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(4, DIM)
+    rows = []
+    for i in range(n):
+        # four tight clusters: cluster center + small noise
+        v = base[i % 4] + rng.randn(DIM) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+
+
+def _brute_topk(rows, qid, k):
+    mat = np.array([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat[qid]
+    order = sorted(
+        (i for i, _ in rows if i != qid),
+        key=lambda i: (-round(sims[i], 6), i),
+    )
+    return order[:k]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rows = _vectors()
+    df = _df(spark, rows)
+    out = cosine_topk(df.filter("vec_id < 3"), df, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        want = _brute_topk(rows, qid, 5)
+        assert [n for _, n in sorted(got[qid])] == want
+
+
+def test_ann_lsh_high_recall_on_clusters(spark):
+    rows = _vectors()
+    df = _df(spark, rows)
+    exact = {
+        qid: set(_brute_topk(rows, qid, 5)) for qid in range(3)
+    }
+    out = ann_lsh_topk(df.filter("vec_id < 3"), df, k=5, dim=DIM)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # same-cluster neighbors share buckets with overwhelming probability
+    recall = np.mean([len(got.get(q, set()) & exact[q]) / 5 for q in range(3)])
+    assert recall >= 0.8, (recall, got)
+
+
+def test_neardup_pairs_exact_at_threshold(spark):
+    rows = _df(spark, _vectors(n=20))
+    got = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+        for r in embedding_neardup_pairs(rows, threshold=0.9).collect()
+    }
+    mat = np.array([v for _, v in _vectors(n=20)])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    want = {
+        (i, j): sims[i, j]
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if sims[i, j] >= 0.9
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
