@@ -37,11 +37,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
-    # Warmup: touch every table + JIT the common codepaths once.
+    # Warmup: touch every table + JIT the common codepaths once, and
+    # pre-fork the Python UDF worker pool (numpy import per worker)
+    # so no single query pays the ~12 s pool cold start.
     from nypd_arrest_etl_spark.session import load_tables
 
     for df in load_tables(spark, SF_DIR).values():
         df.count()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        yield from batches
+
+    spark.range(10_000).repartition(64).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

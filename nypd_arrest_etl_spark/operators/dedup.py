@@ -149,18 +149,28 @@ def jaccard_pairs(
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")
     prefixes = ordered.select(
-        "doc_id", F.col("n_sh"), F.explode(F.slice("shingles", 1, prefix_len)).alias("sh")
+        "doc_id",
+        F.col("n_sh"),
+        F.posexplode(F.slice("shingles", 1, prefix_len)).alias("pos", "sh"),
     )
 
-    # Length filter: J >= t forces t <= |b|/|a| — prune at candidate gen.
+    # Candidate pruning at the join (PPJoin, Xiao et al. 2008):
+    # - length filter: J >= t forces t <= |b|/|a|
+    # - position filter: a match at prefix positions (i, j) bounds the
+    #   total overlap by 1 + min(n1-i-1, n2-j-1), which must reach
+    #   ceil(t/(1+t) * (n1+n2)) — the minimum overlap J >= t implies.
+    n1, n2 = F.col("a.n_sh"), F.col("b.n_sh")
+    ub = 1 + F.least(n1 - F.col("a.pos") - 1, n2 - F.col("b.pos") - 1)
+    alpha = F.ceil(F.lit(threshold / (1 + threshold)) * (n1 + n2))
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+            & (n2 * F.lit(threshold) <= n1)
+            & (n1 * F.lit(threshold) <= n2)
+            & (ub >= alpha),
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
@@ -342,6 +352,56 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus contamination (train-vs-test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-leakage check: for each TRAIN document, the fraction
+    of its word n-grams that also occur anywhere in the TEST corpus
+    (the GPT-3-style n-gram collision test, applied Spark-side).
+
+    Output: (doc_id, n_grams, n_hits, contamination) per train doc
+    with at least one distinct n-gram; contamination in [0, 1].
+
+    Plan: both corpora shingle narrowly; the TEST side collapses to a
+    distinct n-gram set (grouped, so the join key is unique on the
+    right); one equi-join on the shingle + per-doc count. At 100 TB
+    the test corpus (benchmarks) is tiny relative to train — its
+    distinct-gram set broadcasts and the whole check is map-side.
+    """
+    tr = with_shingles(train, id_col, text_col, n).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    te = (
+        with_shingles(test, id_col, text_col, n)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(F.broadcast(te), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination"),
+        )
     )
 
 

@@ -74,6 +74,30 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split of the documents table by doc_id parity; flags
+    train docs sharing word 3-grams with the test corpus."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.ngram_contamination(train, test, n=3)
+
+
+ORACLE_CONTAMINATION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) t
+),
+tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 2 = 0),
+te AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1)
+SELECT tr.doc_id, count(*) AS n_grams, count(te.g) AS n_hits,
+       round(count(te.g) * 1.0 / count(*), 6) AS contamination
+FROM tr LEFT JOIN te USING (g)
+GROUP BY tr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -237,6 +261,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_minhash_pairs": (q_minhash_pairs, None),
     "dedup_simhash_pairs": (q_simhash_pairs, None),
     "dedup_embedding_pairs": (q_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
+    "dedup_contamination": (q_contamination, ORACLE_CONTAMINATION),
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     "similarity_ann_lsh": (q_ann_lsh, None),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),

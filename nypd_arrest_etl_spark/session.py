@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # keep the Python UDF worker pool alive between queries —
+        # re-forking 32 workers (+ numpy import) costs ~12 s
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeout", "30min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -118,3 +118,56 @@ def test_sessionized_stream(spark, tmp_path):
     assert sorted(by_user[1]) == [1, 2]
     # user 2: 10:00 and 12:00 -> two singleton sessions
     assert sorted(by_user[2]) == [1, 1]
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Append mode emits a window only once its end passes the
+    watermark, and events arriving behind the watermark are dropped —
+    the formal replacement for the reference's assumption that old
+    data never changes."""
+    src = tmp_path / "late"
+    src.mkdir()
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    agg = tumbling_counts_stream(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "b1.json",
+            [
+                {"ts": "2024-03-01T10:05:00Z", "event_type": "click", "value": 1.0, "user_id": 1},
+                {"ts": "2024-03-01T10:45:00Z", "event_type": "click", "value": 2.0, "user_id": 1},
+            ],
+        )
+        q.processAllAvailable()  # watermark advances to 10:45 - 2h = 08:45
+        _write_jsonl(
+            src / "b2.json",
+            [
+                # window [07:00, 08:00) ends before watermark 08:45 ->
+                # dropped (drop is by window end, not raw event time)
+                {"ts": "2024-03-01T07:10:00Z", "event_type": "click", "value": 99.0, "user_id": 1},
+                # advances watermark to 11:00, finalizing the 10:00 window
+                {"ts": "2024-03-01T13:00:00Z", "event_type": "view", "value": 3.0, "user_id": 1},
+            ],
+        )
+        q.processAllAvailable()
+        # one more empty-ish batch lets the 10:00 window emit
+        _write_jsonl(
+            src / "b3.json",
+            [{"ts": "2024-03-01T13:30:00Z", "event_type": "view", "value": 4.0, "user_id": 1}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window_start"].isoformat(): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_late").collect()}
+    # 10:00 window finalized WITHOUT the dropped 99.0 late event
+    assert rows.get("2024-03-01T10:00:00") == (2, 3.0)
+    # the dropped event never materialized an 07:00 window
+    assert "2024-03-01T07:00:00" not in rows
+    # 13:00 window not yet final (watermark 11:30 < 14:00)
+    assert "2024-03-01T13:00:00" not in rows
