@@ -483,6 +483,74 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact sides pushed to
+    the scans, customer broadcast, lineitem-orders join shuffles on
+    orderkey, top-10 by revenue via TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the JSON props column via the
+    VARIANT type (parse once, typed access after) — per event_type
+    stats of the numeric $.k property."""
+    e = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "double")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.min("k"), 2).alias("min_k"),
+            F.round(F.max("k"), 2).alias("max_k"),
+        )
+    )
+
+
+ORACLE_PROPS_VARIANT = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS DOUBLE)) AS n_with_k,
+       round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       round(min(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS min_k,
+       round(max(CAST(json_extract(props, '$.k') AS DOUBLE)), 2) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql entry point (SURVEY §3.4 surface 3): identical
     SQL text runs on the registered views in both engines. GROUPING
@@ -621,6 +689,8 @@ RELATIONAL: dict[str, tuple] = {
     "tumbling_hourly": (q_tumbling_hourly, ORACLE_TUMBLING_HOURLY),
     "sliding_daily": (q_sliding_daily, ORACLE_SLIDING_DAILY),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "props_variant_stats": (q_props_variant, ORACLE_PROPS_VARIANT),
     "grouping_sets_sql": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "asof_click_before_purchase": (q_asof_click_before_purchase, ORACLE_ASOF),
     "range_pairs_5min": (q_range_pairs, ORACLE_RANGE_PAIRS),

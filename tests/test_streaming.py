@@ -171,3 +171,50 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     assert "2024-03-01T07:00:00" not in rows
     # 13:00 window not yet final (watermark 11:30 < 14:00)
     assert "2024-03-01T13:00:00" not in rows
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Continuous aggregate: after two incremental triggers the stored
+    rollup equals a from-scratch batch aggregation, and a re-trigger
+    with no new data changes nothing (idempotent)."""
+    from nypd_arrest_etl_spark.streaming.rollup import rollup_stream
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    b1 = [
+        {"ts": "2024-03-01T10:05:00Z", "event_type": "click", "value": 1.0, "user_id": 1},
+        {"ts": "2024-03-01T10:50:00Z", "event_type": "click", "value": 2.0, "user_id": 2},
+        {"ts": "2024-03-02T09:00:00Z", "event_type": "view", "value": 3.0, "user_id": 1},
+    ]
+    b2 = [
+        # adds into an EXISTING window (10:00 on 03-01) and a new day
+        {"ts": "2024-03-01T10:59:00Z", "event_type": "click", "value": 4.0, "user_id": 3},
+        {"ts": "2024-03-03T01:00:00Z", "event_type": "view", "value": 5.0, "user_id": 1},
+    ]
+
+    def run():
+        q = rollup_stream(
+            spark,
+            spark.readStream.schema(EVENTS_SCHEMA).json(str(src)),
+            rollup,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", b1)
+    run()
+    _write_jsonl(src / "b2.json", b2)
+    run()
+    run()  # no new data: nothing changes
+
+    got = {
+        (str(r["day"]), r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got[("2024-03-01", "2024-03-01T10:00:00", "click")] == (3, 7.0)
+    assert got[("2024-03-02", "2024-03-02T09:00:00", "view")] == (1, 3.0)
+    assert got[("2024-03-03", "2024-03-03T01:00:00", "view")] == (1, 5.0)
+    assert len(got) == 3
