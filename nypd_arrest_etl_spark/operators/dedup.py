@@ -356,6 +356,64 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_id_1",
+    dst_col: str = "doc_id_2",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Cluster the near-dup pair graph: every node gets the minimum
+    doc id reachable from it (the cluster representative to KEEP;
+    everything else in the cluster is the drop set).
+
+    Iterative min-label propagation — each round, every node takes the
+    min of its own label and its neighbors' labels; stops early when a
+    round changes nothing. Near-dup graphs are unions of near-cliques,
+    so convergence is fast (diameter rounds, usually <= 2); for
+    adversarially long path graphs raise ``max_iter`` (or switch to
+    large-star/small-star, which converges in O(log^2 n) rounds).
+    Each round is one shuffle join + one aggregate; labels are cached
+    per round and the previous round's cache is released.
+    """
+    fwd = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = fwd.unionByName(
+        pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).cache()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
 # Cross-corpus contamination (train-vs-test n-gram overlap)
 # ---------------------------------------------------------------------------
 

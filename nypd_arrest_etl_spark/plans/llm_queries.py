@@ -98,6 +98,39 @@ GROUP BY tr.doc_id
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph:
+    (doc_id, cluster_rep) for every doc in a near-dup cluster.
+    Iterative min-label propagation; oracle replays it with a
+    recursive CTE."""
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    return D.connected_components(pairs)
+
+
+ORACLE_NEARDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -221,6 +254,71 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation (the composed LLM-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pipeline as ONE lazy plan: quality-filter, keep
+    English, drop exact duplicates (keep the min-id copy). What a
+    pretraining data pass actually runs; each stage is narrow or a
+    single selective shuffle, so composition adds no extra passes
+    over the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    quality = TX.quality_score(docs).filter(F.col("quality") >= 0.55)
+    english = TX.language_id(docs).filter(F.col("lang_pred") == "en")
+    keepers = D.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .join(quality.select("doc_id"), "doc_id")
+        .join(english.select("doc_id"), "doc_id")
+        .join(keepers, "doc_id")
+        .select("doc_id", "source")
+    )
+
+
+ORACLE_CURATION = r"""
+WITH q AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN len(string_split(text,' ')) BETWEEN 10 AND 100000
+                             THEN 1.0 ELSE 0.3 END)
+               + 0.3 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                        * 1.0 / length(text))
+               + 0.3 * least(len(list_distinct(string_split(text,' ')))
+                             * 1.0 / len(string_split(text,' ')) * 2, 1.0), 6) AS quality
+    FROM documents
+  ) WHERE quality >= 0.55
+),
+lang AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+               ['the','and','of','is','with'])) AS s_en,
+           len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+               ['der','die','und','ist','nicht'])) AS s_de,
+           len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+               ['le','la','et','est','les'])) AS s_fr,
+           len(list_intersect(list_transform(string_split(text,' '), x -> lower(x)),
+               ['el','la','que','es','los'])) AS s_es,
+           length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk
+    FROM documents
+  )
+  WHERE n_cjk = 0 AND s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es)
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (SELECT doc_id FROM q)
+  AND doc_id IN (SELECT doc_id FROM lang)
+  AND doc_id IN (SELECT doc_id FROM keepers)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
 
@@ -262,6 +360,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_simhash_pairs, None),
     "dedup_embedding_pairs": (q_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
     "dedup_contamination": (q_contamination, ORACLE_CONTAMINATION),
+    "dedup_neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     "similarity_ann_lsh": (q_ann_lsh, None),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
@@ -269,6 +368,7 @@ LLM_OPS: dict[str, tuple] = {
     "text_quality_score": (q_quality, ORACLE_QUALITY),
     "text_fingerprints": (q_fingerprints, None),
     "text_containment_pairs": (q_containment, None),
+    "curate_corpus": (q_curation, ORACLE_CURATION),
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
     "multimodal_features": (q_media_features, None),
 }
