@@ -669,6 +669,156 @@ FROM orders GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Pivot / explode / percentiles / ntile / decorrelated subquery
+# (§2d grouped-agg family + §2f windows + §4 "subquery decorrelation")
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per order-year x status. Passing the pivot
+    values explicitly skips the extra distinct-collect job Spark would
+    otherwise run to discover them — at 100 TB that discovery pass is
+    a full scan, so enumerating the (tiny, known) domain matters.
+    Plans as one partial+final aggregate, single shuffle on o_year."""
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_year",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT CAST(year(o_orderdate) AS INT)              AS o_year,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode: tokenize documents (same [a-z0-9]+ regex both
+    engines), count terms, global top-20 with a total tie-break order.
+    Generate(explode) stays inside the scan stage (narrow); the only
+    shuffle is the term agg; top-k plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort, scale-safe."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)).alias(
+            "term"
+        )
+    )
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TERMS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+)
+SELECT term, count(*) AS n FROM toks GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — identical
+    definition to DuckDB quantile_cont). Exact percentile buffers each
+    group's values: fine for bounded group count x bounded rows/group;
+    the 100 TB path swaps in approx_percentile (t-digest, mergeable
+    partial aggs) when groups get huge — same query shape."""
+    o = t(spark, sf_dir, "orders")
+    pcts = [0.25, 0.50, 0.75]
+    cols = [
+        F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(f"p{int(p * 100)}") for p in pcts
+    ]
+    return o.groupBy("o_orderpriority").agg(*cols)
+
+
+ORACLE_PERCENTILE_PRICES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of customer balance WITHIN market segment.
+    The window partitions by c_mktsegment (parallel across segments)
+    rather than a global ORDER BY — a global ntile serializes the
+    whole table through one partition at 100 TB. Tie-break on
+    c_custkey makes the frame order total, so results are
+    deterministic across engines."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    q = c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+ORACLE_NTILE_QUARTILES = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM q GROUP BY 1, 2
+"""
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) — written as SQL so Catalyst's decorrelation rewrites it
+    into an aggregate + join instead of a per-row re-execution
+    (SURVEY §4: 'subquery decorrelation comes free'). The p_brand
+    filter prunes the part side to ~1/25 before the join; AQE turns
+    the pruned side into a broadcast at runtime."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+ORACLE_SMALL_ORDER_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -696,4 +846,9 @@ RELATIONAL: dict[str, tuple] = {
     "range_pairs_5min": (q_range_pairs, ORACLE_RANGE_PAIRS),
     "embedding_centroids": (q_embedding_centroids, ORACLE_CENTROIDS),
     "median_price": (q_median_price, ORACLE_MEDIAN_PRICE),
+    "pivot_status_by_year": (q_pivot_status_by_year, ORACLE_PIVOT_STATUS),
+    "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
+    "percentile_prices": (q_percentile_prices, ORACLE_PERCENTILE_PRICES),
+    "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE_QUARTILES),
+    "small_order_revenue": (q_small_order_revenue, ORACLE_SMALL_ORDER_REVENUE),
 }

@@ -218,3 +218,59 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     assert got[("2024-03-02", "2024-03-02T09:00:00", "view")] == (1, 3.0)
     assert got[("2024-03-03", "2024-03-03T01:00:00", "view")] == (1, 5.0)
     assert len(got) == 3
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    """Custom stateful operator: per-user accumulators survive across
+    microbatches in the state store, and sessions close deterministically
+    when the event-time watermark passes last activity + gap."""
+    from nypd_arrest_etl_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "stateful"
+    src.mkdir()
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "s1.json",
+            [
+                {"ts": "2024-03-01T10:00:00Z", "event_type": "click", "value": 1.0, "user_id": 1},
+                {"ts": "2024-03-01T10:01:00Z", "event_type": "click", "value": 2.0, "user_id": 1},
+                {"ts": "2024-03-01T10:00:30Z", "event_type": "view", "value": 5.0, "user_id": 2},
+            ],
+        )
+        q.processAllAvailable()
+        _write_jsonl(
+            src / "s2.json",
+            [{"ts": "2024-03-01T10:02:00Z", "event_type": "click", "value": 4.0, "user_id": 1}],
+        )
+        q.processAllAvailable()
+        # advance the watermark far past user 2's (10:00:30 + 30s) expiry
+        _write_jsonl(
+            src / "s3.json",
+            [{"ts": "2024-03-01T10:05:00Z", "event_type": "click", "value": 9.0, "user_id": 3}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r["user_id"], r["n_events"], r["sum_value"], r["closed"])
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    ]
+    # batch 1 running rows
+    assert (1, 2, 3.0, False) in rows and (2, 1, 5.0, False) in rows
+    # batch 2: user 1's state carried over (2 + 1 events, 3.0 + 4.0)
+    assert (1, 3, 7.0, False) in rows
+    # batch 3: watermark (10:02) passed user 2's expiry (10:01) -> closed;
+    # the post-batch watermark bump to 10:05 then closes user 1 (10:02:30)
+    assert (2, 1, 5.0, True) in rows
+    assert (1, 3, 7.0, True) in rows
+    # user 3 (10:05 + 30s expiry) is still ahead of the watermark -> open
+    assert (3, 1, 9.0, False) in rows
+    assert not any(u == 3 and closed for (u, _n, _s, closed) in rows)
