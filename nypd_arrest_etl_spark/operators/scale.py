@@ -1,0 +1,204 @@
+"""Scale-hardening operators: the explicit tools for the 100 TB path
+(SURVEY.md §7 M6) that go beyond what AQE applies automatically.
+
+Three situations where Catalyst/AQE alone is not enough at scale:
+
+- **Skewed join keys** (``salted_join``): AQE's skew-join splitting
+  only fires for sort-merge joins after a shuffle has already produced
+  oversized partitions, and cannot split a skewed *broadcast-probe* or
+  pre-shuffle hot key. Salting rewrites the join so the hot key's rows
+  are spread over N synthetic sub-keys before the shuffle happens —
+  the classic fix for the reference's own default-value hot keys
+  ('UNKNOWN', -1) created by its null-fill step
+  (/root/reference/scripts/transform.py:129-146, SURVEY §4).
+
+- **Repeated co-located joins** (``write_bucketed``): two tables
+  bucketed by the same key into the same bucket count join with ZERO
+  shuffle — each task reads matching bucket files from both sides. At
+  100 TB a fact-table shuffle is the single largest cost in the plan;
+  bucketing pays it once at write time and amortizes it over every
+  subsequent join/aggregation on that key.
+
+- **Cross-stage semi-join pruning** (``bloom_prune``): Spark's runtime
+  row-group/bloom pruning (``spark.sql.optimizer.runtime.bloomFilter``)
+  only injects within a single query. When the "dim side" is computed
+  in a different pipeline stage (or a different job entirely), an
+  explicit bloom filter built with ``bloom_filter_agg`` and shipped to
+  the probe side as a literal prunes the fact scan *before* the join
+  shuffle, with zero false negatives (join result provably unchanged).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over
+    ``salt_buckets`` sub-keys.
+
+    The skewed side gets a deterministic-per-row salt (hash of a
+    monotonic row id — the salt *value* never affects the result, only
+    the shuffle placement); the other side is exploded x``salt_buckets``
+    so every (key, salt) pair still meets its matches. The join keys
+    become ``on + [__salt]``, so one hot key hashes to ``salt_buckets``
+    shuffle partitions instead of one straggler.
+
+    Cost model: the non-skewed side is duplicated N times through the
+    shuffle — use this when the skewed side's hot key dwarfs
+    ``len(other) * salt_buckets`` (else plain AQE skew-split or a
+    broadcast is cheaper). Supports inner/left joins (the salted side
+    must be the left/row-preserving side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, on + ["__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) by ``key``.
+
+    Joins and aggregations between tables bucketed by the same key into
+    the same ``num_buckets`` plan with no Exchange on either side; with
+    ``sort=True`` the sort-merge join also skips its per-task sort.
+    ``num_buckets`` sizes a bucket file to fit one task comfortably —
+    at 100 TB pick buckets so each is O(100-500 MB) compressed.
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def _bloom_hashes(key: str) -> list[F.Column]:
+    """Two independent 64-bit hashes of ``key``, computed JVM-side with
+    ``xxhash64`` so build and probe agree bit-for-bit (double hashing:
+    position_i = h1 + i*h2 gives k derived hash functions)."""
+    return [
+        F.xxhash64(F.col(key)).alias("__h1"),
+        F.xxhash64(F.col(key), F.lit(0x9E3779B9)).alias("__h2"),
+    ]
+
+
+def _positions(h1, h2, k: int, num_bits: int):
+    import numpy as np
+
+    a = h1.to_numpy(dtype="int64").astype("uint64")
+    b = h2.to_numpy(dtype="int64").astype("uint64")
+    for i in range(k):
+        yield ((a + np.uint64(i) * b) % np.uint64(num_bits)).astype("int64")
+
+
+def build_bloom(
+    dim: DataFrame, dim_key: str, expected_items: int = 1_000_000, num_bits: int = 8_388_608
+) -> tuple[bytes, int]:
+    """Aggregate ``dim[dim_key]`` into a bloom bitmap: each partition
+    builds a local ``num_bits``-bit numpy bitmap (a mergeable partial
+    aggregate — the map-side combine shape), the driver ORs the
+    per-partition bitmaps. Driver traffic is O(partitions x bits/8),
+    never O(rows). Returns (bitmap bytes, k hash functions)."""
+    import math
+
+    import numpy as np
+
+    k = max(1, min(8, round(num_bits / max(1, expected_items) * math.log(2))))
+    nb = num_bits
+
+    def _partial(batches):
+        import numpy as np
+
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                for pos in _positions(pdf["__h1"], pdf["__h2"], k, nb):
+                    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype("uint8"))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = dim.select(*_bloom_hashes(dim_key)).mapInPandas(
+        _partial, "bitmap binary"
+    ).collect()
+    merged = np.zeros(num_bits // 8, dtype=np.uint8)
+    for row in partials:
+        merged |= np.frombuffer(bytes(row["bitmap"]), dtype=np.uint8)
+    return merged.tobytes(), k
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    expected_items: int = 1_000_000,
+    num_bits: int = 8_388_608,
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``fact_key`` *might* appear in
+    ``dim[dim_key]``, using a bloom filter aggregated over the dim side.
+
+    No false negatives: ``fact.join(dim)`` on the keys returns exactly
+    the same rows before and after pruning — the filter only discards
+    fact rows that provably have no match, before they pay the join
+    shuffle. The bitmap (1 MiB at the default) ships to every fact task
+    once in the UDF closure; the probe is a vectorized Arrow-batched
+    bit test over JVM-computed hashes. Same mechanics as Spark's
+    injected runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) but usable
+    across pipeline stages/jobs where the optimizer cannot see both
+    sides in one plan.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim_key = dim_key or fact_key
+    bitmap, k = build_bloom(dim, dim_key, expected_items, num_bits)
+    nb = num_bits
+
+    @pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = np.frombuffer(bitmap, dtype=np.uint8)
+        ok = np.ones(len(h1), dtype=bool)
+        for pos in _positions(h1, h2, k, nb):
+            ok &= (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype("uint8"))) != 0
+        return pd.Series(ok)
+
+    h1, h2 = _bloom_hashes(fact_key)
+    return (
+        fact.withColumns({"__h1": h1, "__h2": h2})
+        .filter(_might_contain("__h1", "__h2"))
+        .drop("__h1", "__h2")
+    )
+
+
+def distribute_by(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
+    """Explicit repartition-by-key (DISTRIBUTE BY): pay one shuffle now
+    so several downstream ops on the same key (window + agg + join)
+    reuse the partitioning instead of each shuffling independently."""
+    return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+__all__ = ["salted_join", "write_bucketed", "bloom_prune", "distribute_by"]

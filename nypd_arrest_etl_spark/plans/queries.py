@@ -819,6 +819,67 @@ WHERE p_brand = 'Brand#23'
 
 
 # ---------------------------------------------------------------------------
+# Scale-hardening operators under the oracle gate (operators/scale.py):
+# a salted join and a bloom-pruned join must produce byte-identical
+# results to the plain joins DuckDB runs — the rewrites only move
+# work, never change semantics.
+# ---------------------------------------------------------------------------
+
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x orders revenue by priority THROUGH salted_join: the
+    skewed side's keys spread over 4 salt buckets before the shuffle
+    (the fix for hot keys AQE's SMJ-only skew split can't reach).
+    Oracle is the plain join — salting must be invisible in results."""
+    from nypd_arrest_etl_spark.operators.scale import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, ["okey"], "inner", salt_buckets=4)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+ORACLE_SALTED_REVENUE = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-size parts x lineitem THROUGH bloom_prune: the fact scan
+    is pre-filtered by a 1 MiB bloom bitmap built over the selective
+    dim (cross-stage semi-join pruning; no false negatives, so the
+    join after pruning equals the plain join the oracle runs)."""
+    from nypd_arrest_etl_spark.operators.scale import bloom_prune
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    dim = t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey", "p_brand")
+    pruned = bloom_prune(li, dim, "l_partkey", "p_partkey", expected_items=100_000)
+    j = pruned.join(dim, pruned.l_partkey == dim.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+ORACLE_BLOOM_PRUNED = """
+SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -851,4 +912,6 @@ RELATIONAL: dict[str, tuple] = {
     "percentile_prices": (q_percentile_prices, ORACLE_PERCENTILE_PRICES),
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE_QUARTILES),
     "small_order_revenue": (q_small_order_revenue, ORACLE_SMALL_ORDER_REVENUE),
+    "salted_revenue": (q_salted_revenue, ORACLE_SALTED_REVENUE),
+    "bloom_pruned_join": (q_bloom_pruned_join, ORACLE_BLOOM_PRUNED),
 }
