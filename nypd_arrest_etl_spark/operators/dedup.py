@@ -20,7 +20,7 @@ prefix filter's global-frequency ordering (rarest-first).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.functions import cosine_similarity, spread
@@ -82,6 +82,30 @@ def with_shingles(
     return toksed.select("doc_id", grams.alias("shingles"))
 
 
+def hashed_shingle_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, sh) postings where sh = xxhash64 of the word n-gram.
+
+    Hashes token n-grams directly with multi-arg xxhash64 — the
+    concatenated shingle strings are never built, and everything
+    downstream (distinct, joins, broadcasts) moves 8-byte longs
+    instead of strings. The per-doc distinct happens on the hash
+    array before the explode, so the posting list is exact."""
+    toksed = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+            lambda i: F.xxhash64(
+                *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    return toksed.select("doc_id", F.explode(grams).alias("sh"))
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard with prefix filtering (PPJoin-style)
 # ---------------------------------------------------------------------------
@@ -103,39 +127,30 @@ def jaccard_pairs(
     on prefix shingles keeps the hot "the spark"-style shingles out of
     the candidate join — the completeness guarantee costs nothing.
 
-    Plan: postings explode -> per-shingle document frequency via one
-    window (1 shuffle on shingle) -> per-doc df-ordered hash arrays
-    (1 shuffle on doc) -> prefix explode + equi-join on shingle ->
-    verify with array_intersect on the two docs' full arrays (2 hash
-    joins against the doc-count-sized `ordered`, which is cached: it
-    is referenced by three plan branches whose differing column
-    pruning defeats exchange reuse, so without the cache the whole
-    shingle pipeline would re-execute per branch).
+    Plan: postings explode -> per-shingle document frequency by
+    groupBy (map-side partial agg collapses postings to the much
+    smaller distinct-shingle table) -> join back to postings (AQE
+    broadcasts the dfreq table when it fits, else SMJ — either way
+    cheaper than windowing over the full posting list, which must
+    shuffle AND sort every posting by shingle) -> per-doc df-ordered
+    hash arrays (1 shuffle on doc) -> prefix explode + equi-join on
+    shingle -> verify with array_intersect on the two docs' full
+    arrays (2 hash joins against the doc-count-sized `ordered`, which
+    is cached: it is referenced by three plan branches whose differing
+    column pruning defeats exchange reuse, so without the cache the
+    whole shingle pipeline would re-execute per branch).
 
     Shingles travel as xxhash64 longs, never strings: smaller
     shuffles, int equi-joins, int-array intersects. A 64-bit in-pair
     collision (~1e-13 for kB-sized docs) is the standard trade.
     """
-    # Hash token n-grams directly (multi-arg xxhash64) — never builds
-    # the concatenated shingle strings at all.
-    toksed = spread(df).select(
-        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-            lambda i: F.xxhash64(
-                *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
-    postings = toksed.select("doc_id", F.explode(grams).alias("sh"))
+    postings = hashed_shingle_postings(df, id_col, text_col, n)
 
-    # Rarest-first order per doc: document frequency from ONE window
-    # over the shingle key (no dfreq join), then sort (df, sh) structs.
-    dfreq_w = Window.partitionBy("sh")
+    # Rarest-first order per doc: document frequency via partial-agg
+    # groupBy + join back, then sort (df, sh) structs per doc.
+    dfreq = postings.groupBy("sh").agg(F.count("*").alias("df"))
     ordered = (
-        postings.withColumn("df", F.count("*").over(dfreq_w))
+        postings.join(dfreq, "sh")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("o"))
         .select(
@@ -379,10 +394,11 @@ def connected_components(
     Each round is one shuffle join + one aggregate; labels are cached
     per round and the previous round's cache is released.
     """
-    fwd = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = fwd.unionByName(
-        pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    ).cache()
+    # Materialize the pair set ONCE before symmetrizing: `sym` references
+    # `pairs` from two plan branches, and without this cache the entire
+    # upstream candidate pipeline (e.g. jaccard_pairs) executes twice.
+    pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).cache()
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).cache()
@@ -392,24 +408,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the change flag through the label update so convergence
+        # detection is a count over the SAME cached result — one action
+        # per round, not a second self-join job.
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("changed"),
             )
         ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("changed").limit(1).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    # `pairs` stays cached: the returned frame's lineage runs through it,
+    # and the pair list is tiny (near-dup edges, not the corpus).
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
@@ -434,21 +450,23 @@ def ngram_contamination(
 
     Plan: both corpora shingle narrowly; the TEST side collapses to a
     distinct n-gram set (grouped, so the join key is unique on the
-    right); one equi-join on the shingle + per-doc count. At 100 TB
-    the test corpus (benchmarks) is tiny relative to train — its
-    distinct-gram set broadcasts and the whole check is map-side.
+    right); one equi-join on the shingle + per-doc count. N-grams
+    travel as xxhash64 longs, never strings (~5x less join/shuffle
+    bytes; a 64-bit collision is ~1e-13 for benchmark-sized corpora).
+    At 100 TB the test corpus (benchmarks) is tiny relative to train —
+    AQE sees its runtime size and broadcasts it, making the whole
+    check map-side; the hint is left to AQE because a forced broadcast
+    pessimizes the small-local case and adds nothing at scale.
     """
-    tr = with_shingles(train, id_col, text_col, n).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    tr = hashed_shingle_postings(train, id_col, text_col, n)
     te = (
-        with_shingles(test, id_col, text_col, n)
-        .select(F.explode("shingles").alias("sh"))
+        hashed_shingle_postings(test, id_col, text_col, n)
+        .select("sh")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        tr.join(F.broadcast(te), "sh", "left")
+        tr.join(te, "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -154,7 +154,10 @@ def containment_pairs(
     Plan: fingerprint postings self-join on the hash (selective keys:
     winnowing keeps ~2/(window+1) of grams, and each kept hash is a
     local minimum — rare by construction) -> per-pair shared count ->
-    containment against broadcast per-doc set sizes. Boilerplate
+    containment against per-doc set sizes (AQE broadcasts the
+    |docs|-row sizes table when it fits; forcing the hint pessimizes
+    the small case and is wrong when the corpus outgrows executor
+    memory, so strategy choice is left to the runtime). Boilerplate
     shared across a whole corpus makes hot fingerprints; at scale,
     drop fingerprints whose document frequency exceeds a cap first
     (they carry no discriminative signal).
@@ -173,8 +176,8 @@ def containment_pairs(
     s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
     containment = F.col("shared") / F.least("n1", "n2")
     return (
-        shared.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
+        shared.join(s1, "id1")
+        .join(s2, "id2")
         .select(
             F.col("id1").alias("doc_id_1"),
             F.col("id2").alias("doc_id_2"),
