@@ -3,16 +3,24 @@
 - ``cosine_topk``: exact brute-force top-k — the correctness baseline.
   Queries broadcast; corpus scanned once; per-group heap via
   row_number window (WindowGroupLimit keeps state k-bounded).
-- ``ann_lsh_topk``: random-hyperplane LSH bucketing — the scale path.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing — a scale path.
   Sign-bit signatures put near neighbors in the same bucket with
   probability rising in cosine; top-k is computed within buckets only
   (approximate: may miss neighbors straddling a hyperplane; raise
   ``rotations`` for recall).
+- ``ann_ivf_topk``: IVF (inverted-file) coarse quantization — the
+  other scale path. K-means centroids trained on a driver-side sample;
+  every corpus vector is assigned to its nearest centroid cell (one
+  vectorized pass, no shuffle); queries probe the ``nprobe`` nearest
+  cells and re-rank exactly within them.
 
 At 100 TB the brute-force variant is a broadcast-nested-loop over the
 corpus — linear scan per query batch, embarrassingly parallel, no
-shuffle; the LSH variant turns it into one shuffle on (rotation,
-bucket) with bounded bucket fan-in.
+shuffle; LSH turns it into one shuffle on (rotation, bucket) with
+bounded bucket fan-in; IVF scans ~nprobe/n_cells of the corpus per
+query and its cell assignment doubles as a partition key for layout
+(cluster the stored corpus by cell id -> each probe is partition-
+pruned to a handful of files).
 """
 
 from __future__ import annotations
@@ -143,6 +151,104 @@ def ann_lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _kmeans_centroids(
+    sample: "np.ndarray", n_cells: int, iters: int = 10
+) -> "np.ndarray":
+    """Deterministic Lloyd iterations on a unit-normalized sample.
+
+    Init = evenly strided rows of the (id-ordered) sample — reproducible
+    across runs and engines, no RNG. Empty cells keep their previous
+    centroid. Runs on the DRIVER over a bounded sample (IVF training
+    never needs the full corpus; FAISS trains on ~256 vectors/cell)."""
+    n = len(sample)
+    idx = np.linspace(0, n - 1, num=min(n_cells, n), dtype="int64")
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        # cosine assignment == dot product on unit vectors
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization (FAISS IVFFlat
+    shape, Spark-native):
+
+    1. TRAIN (driver): k-means centroids from a deterministic corpus
+       sample (first ``train_size`` by id — cheap `limit` scan).
+    2. ASSIGN (map-only): each corpus vector -> argmax-dot centroid
+       cell; one Arrow-vectorized pass, zero shuffle. The (cell ->
+       vectors) inverted file is implicit in the cell_id column.
+    3. PROBE: each query -> its ``nprobe`` nearest cells; candidates =
+       corpus vectors in those cells (equi-join on cell_id); exact
+       cosine + row_number re-rank, identical tie rules to the exact
+       baseline (rounded cosine desc, neighbor id asc).
+
+    Recall rises with nprobe/n_cells (nprobe == n_cells degenerates to
+    exact brute force). Queries broadcast (bounded per batch); the
+    corpus side never moves except the cell_id equi-join, which AQE
+    plans as broadcast-hash when the probed query set is small.
+    """
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms == 0, 1.0, norms)
+
+    train_pdf = c.orderBy("neighbor_id").limit(train_size).toPandas()
+    cents = _kmeans_centroids(
+        unit(np.vstack(train_pdf["cv"].to_numpy()).astype("float64")), n_cells
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = unit(np.vstack(vs.to_numpy()).astype("float64"))
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = unit(np.vstack(vs.to_numpy()).astype("float64"))
+        order = np.argsort(-(m @ bc.value.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, : min(nprobe, len(bc.value))].astype("int32")))
+
+    cb = c.withColumn("cell_id", cell_of("cv"))
+    qb = q.select("query_id", "qv", F.explode(probe_cells("qv")).alias("cell_id"))
+
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

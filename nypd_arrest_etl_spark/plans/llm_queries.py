@@ -161,6 +161,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (approximate by design: nprobe of
+    n_cells cells scanned per query — rows-only check; exactness at
+    full probe and cluster recall are unit-tested in
+    tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -363,6 +374,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     "similarity_ann_lsh": (q_ann_lsh, None),
+    "similarity_ann_ivf": (q_ann_ivf, None),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),

@@ -818,6 +818,76 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders in a quarter having
+    at least one line item shipped more than 60 days after the order
+    date, counted by priority. Written as SQL so Catalyst decorrelates
+    the EXISTS into a left-semi join (no per-row subquery execution);
+    the o_orderdate range predicate pushes to the orders scan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (average positive
+    balance) + correlated NOT EXISTS (customers with no orders),
+    aggregated by market segment. Catalyst plans the scalar subquery
+    as a one-row broadcast and the NOT EXISTS as a left-anti join —
+    both decorrelated, no nested-loop re-execution."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scale-hardening operators under the oracle gate (operators/scale.py):
 # a salted join and a bloom-pruned join must produce byte-identical
@@ -912,6 +982,8 @@ RELATIONAL: dict[str, tuple] = {
     "percentile_prices": (q_percentile_prices, ORACLE_PERCENTILE_PRICES),
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE_QUARTILES),
     "small_order_revenue": (q_small_order_revenue, ORACLE_SMALL_ORDER_REVENUE),
+    "late_order_priority": (q_late_order_priority, ORACLE_LATE_ORDER_PRIORITY),
+    "idle_rich_customers": (q_idle_rich_customers, ORACLE_IDLE_RICH_CUSTOMERS),
     "salted_revenue": (q_salted_revenue, ORACLE_SALTED_REVENUE),
     "bloom_pruned_join": (q_bloom_pruned_join, ORACLE_BLOOM_PRUNED),
 }

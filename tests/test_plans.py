@@ -67,3 +67,14 @@ def test_clean_pushes_required_key_filters_to_scan(spark, tmp_path):
     assert "[codegen id : 1]" in plan
     assert "[codegen id : 2]" not in plan
     assert "Exchange" not in plan
+
+
+def test_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must plan as semi/anti hash joins, never as
+    per-row subquery re-execution or a nested loop."""
+    plan = _plan(Q.q_late_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(Q.q_idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -81,3 +81,32 @@ def test_neardup_pairs_exact_at_threshold(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_ann_ivf_high_recall_on_clusters(spark):
+    from nypd_arrest_etl_spark.operators.similarity import ann_ivf_topk
+
+    rows = _vectors()
+    df = _df(spark, rows)
+    exact = {qid: set(_brute_topk(rows, qid, 5)) for qid in range(3)}
+    # 4 planted clusters, 8 cells, probe 4: each query's own cluster is
+    # always among the probed cells
+    out = ann_ivf_topk(df.filter("vec_id < 3"), df, k=5, n_cells=8, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = np.mean([len(got.get(q, set()) & exact[q]) / 5 for q in range(3)])
+    assert recall >= 0.8, (recall, got)
+
+
+def test_ann_ivf_full_probe_is_exact(spark):
+    from nypd_arrest_etl_spark.operators.similarity import ann_ivf_topk
+
+    rows = _vectors()
+    df = _df(spark, rows)
+    out = ann_ivf_topk(df.filter("vec_id < 3"), df, k=5, n_cells=4, nprobe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        assert [n for _, n in sorted(got[qid])] == _brute_topk(rows, qid, 5)
