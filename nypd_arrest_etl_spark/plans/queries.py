@@ -888,6 +888,30 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics — the 100 TB substitute for exact
+    distincts and exact percentiles. ``approx_count_distinct`` (HLL++)
+    and ``percentile_approx`` (KLL-style) are MERGEABLE partial
+    aggregates: each partition builds a fixed-size sketch, the shuffle
+    moves one sketch per group per partition (not the key stream), and
+    merge is associative — so the plan is one map-side-combined pass
+    regardless of key cardinality, where exact countDistinct must
+    expand to a two-phase distinct shuffle. Sketch encodings are
+    engine-specific, so this is a rows-only entry; error bounds vs the
+    exact answers are asserted in tests/test_scale.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("nd_orders_approx"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.5, 10_000), 2
+        ).alias("p50_price_approx"),
+        F.round(
+            F.percentile_approx("l_extendedprice", 0.99, 10_000), 2
+        ).alias("p99_price_approx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale-hardening operators under the oracle gate (operators/scale.py):
 # a salted join and a bloom-pruned join must produce byte-identical
@@ -984,6 +1008,7 @@ RELATIONAL: dict[str, tuple] = {
     "small_order_revenue": (q_small_order_revenue, ORACLE_SMALL_ORDER_REVENUE),
     "late_order_priority": (q_late_order_priority, ORACLE_LATE_ORDER_PRIORITY),
     "idle_rich_customers": (q_idle_rich_customers, ORACLE_IDLE_RICH_CUSTOMERS),
+    "sketch_stats": (q_sketch_stats, None),
     "salted_revenue": (q_salted_revenue, ORACLE_SALTED_REVENUE),
     "bloom_pruned_join": (q_bloom_pruned_join, ORACLE_BLOOM_PRUNED),
 }

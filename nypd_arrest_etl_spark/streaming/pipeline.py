@@ -129,3 +129,42 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each LEFT event pairs with RIGHT
+    events for the same key whose timestamp lands in
+    ``[left_ts, left_ts + upper]`` — the streaming twin of the batch
+    bounded range join (operators/temporal.py).
+
+    Both sides are watermarked, and the join condition bounds the
+    right side's event time relative to the left's, which is what lets
+    the engine EXPIRE buffered rows: state held per side is
+    ``watermark + upper`` of event time, independent of stream length.
+    An unbounded condition (or missing watermark) would buffer forever
+    — Spark rejects it in append mode for exactly that reason.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{right_ts} >= l.{left_ts} AND "
+            f"r.{right_ts} <= l.{left_ts} + interval {upper}"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.event_type").alias("right_type"),
+    )

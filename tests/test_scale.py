@@ -91,3 +91,32 @@ def test_bloom_prune_keeps_exactly_the_join_survivors(spark, sf_dir):
     assert n_pruned < n_all
     # every surviving row might match; misses are only false positives
     assert n_pruned >= plain
+
+
+def test_sketch_stats_within_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts land within ~3x the configured rsd of the
+    exact answers; approximate percentiles land inside the exact value
+    range for the group (sanity, not a distributional guarantee)."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.plans.queries import q_sketch_stats, t
+
+    got = {r["l_returnflag"]: r for r in q_sketch_stats(spark, sf_dir).collect()}
+    li = t(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["nd_parts_approx"] - e["nd_parts"]) <= 0.06 * e["nd_parts"] + 1
+        assert abs(g["nd_orders_approx"] - e["nd_orders"]) <= 0.06 * e["nd_orders"] + 1
+        assert e["lo"] <= g["p50_price_approx"] <= g["p99_price_approx"] <= e["hi"]

@@ -274,3 +274,47 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     # user 3 (10:05 + 30s expiry) is still ahead of the watermark -> open
     assert (3, 1, 9.0, False) in rows
     assert not any(u == 3 and closed for (u, _n, _s, closed) in rows)
+
+
+def test_interval_join_stream_pairs_within_bound(spark, tmp_path):
+    """Stream-stream interval join: clicks pair with same-user events
+    landing within [click_ts, click_ts + 10 min]; outside-window and
+    cross-user events never pair. State is watermark-bounded."""
+    from nypd_arrest_etl_spark.streaming.pipeline import interval_join_stream
+
+    src_l, src_r = tmp_path / "clicks", tmp_path / "views"
+    src_l.mkdir(), src_r.mkdir()
+    _write_jsonl(
+        src_l / "l.json",
+        [
+            {"ts": "2024-03-01T10:00:00Z", "event_type": "click", "value": 1.0, "user_id": 1},
+            {"ts": "2024-03-01T11:00:00Z", "event_type": "click", "value": 2.0, "user_id": 2},
+        ],
+    )
+    _write_jsonl(
+        src_r / "r.json",
+        [
+            # within 10 min of user 1's click -> pairs
+            {"ts": "2024-03-01T10:07:00Z", "event_type": "view", "value": 3.0, "user_id": 1},
+            # 20 min after user 1's click -> outside bound
+            {"ts": "2024-03-01T10:20:00Z", "event_type": "view", "value": 4.0, "user_id": 1},
+            # within bound but wrong user -> no pair
+            {"ts": "2024-03-01T10:05:00Z", "event_type": "view", "value": 5.0, "user_id": 9},
+            # before the click -> no pair
+            {"ts": "2024-03-01T10:59:00Z", "event_type": "view", "value": 6.0, "user_id": 2},
+        ],
+    )
+    left = spark.readStream.schema(EVENTS_SCHEMA).json(str(src_l))
+    right = spark.readStream.schema(EVENTS_SCHEMA).json(str(src_r))
+    joined = interval_join_stream(left, right, upper="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_interval_join").collect()
+    got = {(r["user_id"], r["right_ts"].isoformat()) for r in rows}
+    assert got == {(1, "2024-03-01T10:07:00")}
