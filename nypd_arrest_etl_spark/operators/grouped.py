@@ -68,3 +68,44 @@ def grouped_median(
     return df.groupBy(group_col).agg(
         F.round(_median(value_col), 2).alias(out_col)
     )
+
+
+def ngram_udtf_class():
+    """Native Python UDTF (Spark 4 ``udtf``): one input row -> N output
+    rows, the table-function shape that ``explode``-style built-ins
+    cover for arrays but not for arbitrary Python row expansion.
+
+    Kept deliberately tiny: the engine's standing rule is that
+    anything expressible as column expressions stays JVM-side
+    (with_shingles does this same n-gram expansion with array
+    lambdas); the UDTF exists to expose the surface for expansions
+    that genuinely need Python, and its eval runs per-row Python — use
+    mapInPandas when the expansion is vectorizable."""
+
+    class NgramUDTF:
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = (text or "").split()
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield doc_id, " ".join(toks[i : i + n])
+
+    return NgramUDTF
+
+
+def ngrams_via_udtf(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Expand documents to (doc_id, ngram) rows through the UDTF,
+    applied with SQL LATERAL (a UDTF is a table function, not a column
+    expression — each input row drives one eval() producing N rows).
+    Registration is lazy so importing this module never needs a live
+    session."""
+    from pyspark.sql.functions import udtf
+
+    spark = df.sparkSession
+    spark.udtf.register("ngram_udtf", udtf(ngram_udtf_class(), returnType="doc_id long, ngram string"))
+    df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        f"SELECT g.doc_id, g.ngram FROM __udtf_docs, LATERAL ngram_udtf(doc_id, text, {int(n)}) g"
+    )

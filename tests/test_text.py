@@ -71,3 +71,18 @@ def test_text_stats_basics(spark):
     # BPE-ish: Hello , world ! The answer is 42 . -> 9
     assert r["n_bpe_tokens"] == 9
     assert 0 < r["alpha_ratio"] < 1 and 0 < r["punct_ratio"] < 1
+
+
+def test_udtf_ngrams_match_expression_shingles(spark):
+    """The native Python UDTF expansion agrees with the JVM-side array
+    shingles (same n-grams per doc, minus the array path's per-doc
+    distinct)."""
+    from nypd_arrest_etl_spark.operators.grouped import ngrams_via_udtf
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["ngram"]) for r in ngrams_via_udtf(df, n=2).collect()
+    }
+    assert got == {(1, "a b"), (1, "b c"), (1, "c d"), (2, "x y")}
