@@ -144,7 +144,12 @@ def jaccard_pairs(
     shuffles, int equi-joins, int-array intersects. A 64-bit in-pair
     collision (~1e-13 for kB-sized docs) is the standard trade.
     """
-    postings = hashed_shingle_postings(df, id_col, text_col, n)
+    # Cached: referenced by the dfreq aggregate AND the join-back —
+    # two branches with different column pruning (sh vs doc_id+sh), so
+    # exchange reuse cannot kick in and the whole shingle pipeline
+    # would execute twice. DataFrame.cache() is MEMORY_AND_DISK: at
+    # corpus scale the posting list spills instead of evicting.
+    postings = hashed_shingle_postings(df, id_col, text_col, n).cache()
 
     # Rarest-first order per doc: document frequency via partial-agg
     # groupBy + join back, then sort (df, sh) structs per doc.
