@@ -78,3 +78,25 @@ def test_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
     plan = _plan(Q.q_idle_rich_customers(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_shapes_plan_as_designed(spark, sf_dir):
+    # Q10/Q18 adaptations: top-k must avoid a global sort.
+    assert "TakeOrderedAndProject" in _plan(Q.q_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in _plan(Q.q_large_orders(spark, sf_dir))
+    # Q16 adaptation: the NOT IN denylist (null-free) must plan as a
+    # broadcast anti-join, never a null-aware nested loop.
+    plan = _plan(Q.q_supplier_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Q7 adaptation: both nation sides broadcast.
+    assert _plan(Q.q_volume_shipping(spark, sf_dir)).count("BroadcastHashJoin") >= 3
+
+
+def test_sole_returning_supplier_decorrelates_to_single_agg(spark, sf_dir):
+    # The EXISTS / NOT EXISTS pair is rewritten as ONE per-order
+    # aggregate: exactly 2 lineitem scans total (outer + agg input),
+    # not 3 (outer + one per correlated subquery).
+    plan = _optimized(Q.q_sole_returning_supplier(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "Relation [l_orderkey" in l]
+    assert len(scans) == 2
