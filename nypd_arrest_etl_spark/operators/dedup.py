@@ -385,24 +385,40 @@ def connected_components(
     src_col: str = "doc_id_1",
     dst_col: str = "doc_id_2",
     max_iter: int = 15,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Cluster the near-dup pair graph: every node gets the minimum
     doc id reachable from it (the cluster representative to KEEP;
     everything else in the cluster is the drop set).
 
-    Iterative min-label propagation — each round, every node takes the
-    min of its own label and its neighbors' labels; stops early when a
-    round changes nothing. Near-dup graphs are unions of near-cliques,
-    so convergence is fast (diameter rounds, usually <= 2); for
-    adversarially long path graphs raise ``max_iter`` (or switch to
-    large-star/small-star, which converges in O(log^2 n) rounds).
-    Each round is one shuffle join + one aggregate; labels are cached
-    per round and the previous round's cache is released.
+    Two-level algorithm, picked by the MATERIALIZED edge count:
+
+    - edges <= ``driver_edge_threshold``: collect the edge list and
+      run union-find with path compression on the driver, then
+      parallelize the (node, rep) result back out. Near-dup edge sets
+      are tiny relative to the corpus (pairs above a 0.8 threshold,
+      not documents), so even a 100 TB corpus usually lands here —
+      the same shape GraphFrames' broadcastThreshold and production
+      dedup pipelines (pair-gen distributed, union-find local) use.
+      A driver iteration over a bounded, already-reduced edge list is
+      not a distributed-compute smell; shipping 3 extra shuffle
+      rounds per iteration for a 2M-row graph is.
+    - above the threshold: distributed iterative min-label
+      propagation — each round every node takes the min of its own
+      label and its neighbors', stopping when a round changes
+      nothing. Near-dup graphs are unions of near-cliques, so
+      convergence is fast (diameter rounds, usually <= 2); for
+      adversarially long paths raise ``max_iter`` (or switch to
+      large-star/small-star, O(log^2 n) rounds). Each round is one
+      shuffle join + one aggregate; labels are cached per round and
+      the previous round's cache is released.
     """
     # Materialize the pair set ONCE before symmetrizing: `sym` references
     # `pairs` from two plan branches, and without this cache the entire
     # upstream candidate pipeline (e.g. jaccard_pairs) executes twice.
     pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).cache()
+    if pairs.count() <= driver_edge_threshold:
+        return _driver_union_find(pairs)
     sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -432,6 +448,43 @@ def connected_components(
     # `pairs` stays cached: the returned frame's lineage runs through it,
     # and the pair list is tiny (near-dup edges, not the corpus).
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def _driver_union_find(pairs: DataFrame) -> DataFrame:
+    """Union-find with path compression over a collected edge list;
+    representatives are the minimum member id (matching the min-label
+    semantics of the distributed path exactly)."""
+    from pyspark.sql import types as T
+
+    edges = pairs.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges:
+        a, b = row["a"], row["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    rep: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in rep or node < rep[r]:
+            rep[r] = node
+    out = [(node, rep[find(node)]) for node in parent]
+    id_type = pairs.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_rep", id_type)]
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,14 @@ def test_embedding_neardup_symmetric_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {(r.vec_id_1, r.vec_id_2) for r in D.embedding_neardup_pairs(df, 0.9).collect()}
     assert out == {(1, 2)}
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    # path graph 1-2-3, clique 10-11-12, isolated edge 20-21
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    fast = D.connected_components(pairs)  # edge count under threshold
+    slow = D.connected_components(pairs, driver_edge_threshold=0)
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert {tuple(r) for r in fast.collect()} == expect
+    assert {tuple(r) for r in slow.collect()} == expect
