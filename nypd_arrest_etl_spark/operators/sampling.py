@@ -1,0 +1,101 @@
+"""Deterministic sampling + one-pass profiling for training-data mixes.
+
+Sampling in a 100 TB pipeline must be REPRODUCIBLE (reruns and
+backfills pick the same rows — ``df.sample`` does not guarantee this
+across partitionings) and PUSHABLE (a pure column predicate, so it
+prunes before shuffles/joins). Hash-of-key sampling gives both:
+keep iff hash(key, salt) mod D < fraction * D. Changing the salt
+draws an independent sample; the same salt is a consistent sample
+across tables sharing the key (join-compatible sampling).
+
+The reference has no sampling surface (SURVEY.md §2d: the category is
+an ABSENT — planned extension); this is the standard mechanism used
+for training-data mixture construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000
+
+# Knuth multiplicative hash constants: portable to any engine with
+# 64-bit integer arithmetic (used by the declared-query oracle, which
+# DuckDB must replay bit-for-bit; xxhash64 is Spark-only).
+_KNUTH = 2654435761
+_MASK32 = 4294967296
+
+
+def keep_hash(key: Column, salt: int = 0, portable: bool = False) -> Column:
+    """Uniform [0, _DENOM) bucket for a row key.
+
+    Default is xxhash64 (JVM, fast, good diffusion). ``portable=True``
+    switches to a Knuth multiplicative hash over integer keys that any
+    SQL engine reproduces exactly — used by the oracle-checked query.
+    """
+    if portable:
+        h = F.pmod((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_MASK32))
+    else:
+        h = F.xxhash64(key, F.lit(salt))
+    return F.pmod(h, F.lit(_DENOM))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic ``fraction`` sample by key hash. A pure filter:
+    Catalyst pushes it to the scan, so downstream joins/aggs see only
+    the sample."""
+    return df.filter(
+        keep_hash(F.col(key_col), salt, portable) < int(fraction * _DENOM)
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data mixture
+    construction: e.g. keep 50% of 'en', 5% of everything else).
+
+    One CASE expression per stratum — no per-stratum scans, no
+    ``sampleBy`` RNG. Still a pure filter; with the stratum column in
+    the partition layout the zero-fraction strata prune entirely."""
+    cut = F.lit(int(default_fraction * _DENOM))
+    for value, frac in fractions.items():
+        cut = F.when(F.col(stratum_col) == value, int(frac * _DENOM)).otherwise(cut)
+    return df.filter(keep_hash(F.col(key_col), salt, portable) < cut)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass per-column profile: (column_name, n_rows, n_nulls,
+    n_distinct).
+
+    A single ungrouped Aggregate computes every stat — partial aggs
+    combine map-side, the final reduce sees one row per partition, and
+    the per-column pivot happens on the 1-row result via ``stack``
+    (driver-sized). Multiple exact COUNT(DISTINCT)s plan as one Expand
+    — still a single scan of the table, the property that matters at
+    100 TB. For wide tables swap `approx_count_distinct` in (same
+    shape, no Expand)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = df.agg(*aggs)
+    parts = ", ".join(f"'{c}', n_rows, nn_{c}, nd_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS (column_name, n_rows, n_nulls, n_distinct)"
+        )
+    )

@@ -364,6 +364,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang training mix: portable Knuth hash so the
+    oracle replays the exact bucket arithmetic; the filter is pushed
+    into the scan (pure predicate, no RNG, rerun-stable)."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = S.stratified_hash_sample(
+        docs,
+        key_col="doc_id",
+        stratum_col="lang",
+        fractions={"en": 0.5, "de": 0.2},
+        default_fraction=0.05,
+        salt=7,
+        portable=True,
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id + 7) * 2654435761) % 4294967296 % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 50000 END
+"""
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile of the documents table (row count,
+    nulls, exact distincts per column) — the health check a curation
+    pipeline runs before and after every transformation."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    return S.profile_columns(
+        t(spark, sf_dir, "documents"), ["text", "lang", "source", "n_chars"]
+    )
+
+
+ORACLE_PROFILE_DOCUMENTS = """
+SELECT 'text' AS column_name, count(*) AS n_rows,
+       CAST(count(*) - count(text) AS BIGINT) AS n_nulls,
+       count(DISTINCT text) AS n_distinct FROM documents
+UNION ALL
+SELECT 'lang', count(*), CAST(count(*) - count(lang) AS BIGINT),
+       count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), CAST(count(*) - count(source) AS BIGINT),
+       count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), CAST(count(*) - count(n_chars) AS BIGINT),
+       count(DISTINCT n_chars) FROM documents
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -383,4 +437,6 @@ LLM_OPS: dict[str, tuple] = {
     "curate_corpus": (q_curation, ORACLE_CURATION),
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
     "multimodal_features": (q_media_features, None),
+    "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
 }

@@ -1,0 +1,71 @@
+"""Deterministic sampling + profiling semantics."""
+
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators import sampling as S
+
+
+def test_hash_sample_is_deterministic_and_near_fraction(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a = S.hash_sample(df, "k", 0.25, salt=1)
+    b = S.hash_sample(df, "k", 0.25, salt=1)
+    assert a.count() == b.count()
+    assert {r.k for r in a.collect()} == {r.k for r in b.collect()}
+    # uniform hash: observed fraction close to requested
+    assert abs(a.count() / 20_000 - 0.25) < 0.02
+    # a different salt draws a (mostly) different sample
+    c = S.hash_sample(df, "k", 0.25, salt=2)
+    overlap = a.join(c, "k").count()
+    assert overlap < a.count() * 0.5
+
+
+def test_hash_sample_fraction_nests(spark):
+    # hash-threshold sampling is nested: the 10% sample is a subset of
+    # the 30% sample under the same salt (rerun/backfill stability)
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    small = {r.k for r in S.hash_sample(df, "k", 0.1, salt=3).collect()}
+    big = {r.k for r in S.hash_sample(df, "k", 0.3, salt=3).collect()}
+    assert small <= big
+
+
+def test_stratified_fractions_apply_per_stratum(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = S.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.4, "de": 0.1}, default_fraction=0.0, salt=5
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 5_000 - 0.4) < 0.04
+    assert abs(got["de"] / 5_000 - 0.1) < 0.04
+
+
+def test_sample_filter_reaches_the_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        S.hash_sample(docs, "doc_id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the hash predicate is a filter directly over the file scan —
+    # no shuffle, no sample operator, nothing blocking pushdown
+    assert "Exchange" not in plan and "Sample" not in plan
+
+
+def test_profile_columns_counts(spark):
+    rows = [(1, "a"), (2, "a"), (3, None), (4, "b")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = {r.column_name: r for r in S.profile_columns(df, ["k", "v"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0 and out["k"].n_distinct == 4
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        S.profile_columns(docs, ["lang", "source"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation [doc_id") == 1
