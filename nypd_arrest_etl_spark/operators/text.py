@@ -186,3 +186,76 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# Redaction patterns chosen from the RE2-compatible subset of Java
+# regex so the DuckDB oracle replays them byte-for-byte (no
+# backreferences, no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}"
+PII_IDNUM = r"[0-9]{9,}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / phone-shaped numbers / long digit runs, with
+    per-document match counts for audit. Pure regexp expressions —
+    narrow, codegen'd, linear in input splits; the scrubbed text
+    replaces the original column so the op drops into any curation
+    chain. Order matters: emails first (their local part may contain
+    digit runs), then phones, then bare id-length digit runs."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IDNUM,
+        "<IDNUM>",
+    )
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        scrubbed.alias("text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences: greedy
+    sequential packing per group, in deterministic id order.
+
+    seq_id = floor(running-size-before-this-doc / budget) — a single
+    window cumsum per group, so packing a 100 TB corpus is ONE shuffle
+    on the group key (each group's docs sort within their partition;
+    skewed giant groups can pre-split by a salt column folded into
+    ``group_col``). Deterministic: same inputs -> same packing, which
+    checkpoint/resume of a tokenization run depends on."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # no spread(): the window's partitionBy shuffle is the
+    # parallelism-restoring exchange already
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group_key"),
+        F.col(size_col).cast("long").alias("size"),
+        F.floor(start / budget).alias("seq_id"),
+        start.cast("long").alias("start_offset"),
+    )

@@ -418,6 +418,49 @@ SELECT 'n_chars', count(*), CAST(count(*) - count(n_chars) AS BIGINT),
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents; text returned as an md5 so the
+    driver compares content without shipping full bodies."""
+    out = TX.pii_scrub(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("scrubbed_md5")
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}'))
+            AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}', '<PHONE>', 'g'),
+             '[0-9]{9,}', '<IDNUM>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into 8192-char training
+    sequences per source (one window cumsum — one shuffle)."""
+    return TX.pack_sequences(
+        t(spark, sf_dir, "documents"), budget=8192
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+SELECT doc_id, source AS group_key, CAST(n_chars AS BIGINT) AS size,
+       CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 8192) AS BIGINT) AS seq_id,
+       CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset
+FROM documents
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -439,4 +482,6 @@ LLM_OPS: dict[str, tuple] = {
     "multimodal_features": (q_media_features, None),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }

@@ -2,6 +2,7 @@
 
 from pyspark.sql import functions as F
 
+from nypd_arrest_etl_spark.operators import text as TX
 from nypd_arrest_etl_spark.operators.text import (
     containment_pairs,
     fingerprint_winnow,
@@ -86,3 +87,30 @@ def test_udtf_ngrams_match_expression_shingles(spark):
         (r["doc_id"], r["ngram"]) for r in ngrams_via_udtf(df, n=2).collect()
     }
     assert got == {(1, "a b"), (1, "b c"), (1, "c d"), (2, "x y")}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@test.org or call +1-212-555-0199 ok"),
+        (2, "ssn-ish 123456789 and plain text"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "jo.doe" not in out[1].text and "555" not in out[1].text
+    assert "<IDNUM>" in out[2].text and "123456789" not in out[2].text
+    assert out[3].text == "nothing sensitive here"
+
+
+def test_pack_sequences_greedy_per_group(spark):
+    rows = [
+        (1, "s1", 60), (2, "s1", 60), (3, "s1", 60),  # 0,60,120 -> seq 0,0,1
+        (4, "s2", 250),                               # own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r for r in TX.pack_sequences(df, budget=100).collect()}
+    assert (out[1].seq_id, out[2].seq_id, out[3].seq_id) == (0, 0, 1)
+    assert out[3].start_offset == 120
+    assert out[4].seq_id == 0 and out[4].group_key == "s2"
