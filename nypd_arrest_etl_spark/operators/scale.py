@@ -202,3 +202,95 @@ def distribute_by(df: DataFrame, *cols: str | Column, n: int | None = None) -> D
 
 
 __all__ = ["salted_join", "write_bucketed", "bloom_prune", "distribute_by"]
+
+
+# ---------------------------------------------------------------------------
+# Physical layout management: Z-order + compaction
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits_per_col: int = 8
+) -> tuple[DataFrame, str]:
+    """Append an interleaved Z-order key column for multi-dimensional
+    data skipping (the mechanism behind Delta's OPTIMIZE ZORDER BY,
+    built from public primitives).
+
+    Each column is bucketized into 2^bits quantile buckets via
+    ``approxQuantile`` (driver-side, sample-based — one cheap pass),
+    then the bucket bits are interleaved so files sorted by the key
+    are simultaneously clustered on EVERY listed column. Parquet
+    min/max row-group stats on any of the columns then skip most
+    files for point/range predicates — single-column sorting only
+    buys skipping on the leading column.
+    """
+    nb = 1 << bits_per_col
+    bcols = []
+    for c in cols:
+        qs = df.stat.approxQuantile(c, [i / nb for i in range(1, nb)], 0.01)
+        # strictly-increasing boundary list (duplicate quantiles on
+        # low-cardinality columns collapse to fewer buckets)
+        bounds = sorted(set(qs))
+        expr = F.lit(0)
+        for i, b in enumerate(bounds):
+            expr = F.when(F.col(c) > F.lit(b), i + 1).otherwise(expr)
+        bcols.append(expr)
+    interleaved = F.lit(0).cast("long")
+    for bit in range(bits_per_col - 1, -1, -1):
+        for bc in bcols:
+            interleaved = (
+                interleaved.cast("long") * 2
+                + F.shiftrightunsigned(bc.cast("long"), bit).bitwiseAND(F.lit(1))
+            )
+    return df.withColumn("_zkey", interleaved), "_zkey"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_col: int = 8,
+) -> None:
+    """Write parquet laid out in Z-order over ``cols``: range-partition
+    by the interleaved key (one shuffle) then sort within partitions,
+    so each output file covers a tight hyper-rectangle of the listed
+    columns and parquet footer stats prune it for predicates on ANY of
+    them."""
+    keyed, zk = zorder_key(df, cols, bits_per_col)
+    (
+        keyed.repartitionByRange(n_files, F.col(zk))
+        .sortWithinPartitions(zk)
+        .drop(zk)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_files(
+    spark, src_path: str, dst_path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target-sized files (the
+    small-files problem: a 100 TB table ingested incrementally ends up
+    with millions of tiny files whose open/footer costs dominate
+    scans). Sizes come from the Hadoop FileSystem API, so the same
+    code runs against HDFS/S3A/local. Returns (files_before,
+    files_after). Plain coalesce — no shuffle: each output file
+    concatenates whole input files."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    total, n_before = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet"):
+            total += f.getLen()
+            n_before += 1
+    n_after = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src_path).coalesce(n_after).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return n_before, n_after

@@ -120,3 +120,49 @@ def test_sketch_stats_within_error_bounds(spark, sf_dir):
         assert abs(g["nd_parts_approx"] - e["nd_parts"]) <= 0.06 * e["nd_parts"] + 1
         assert abs(g["nd_orders_approx"] - e["nd_orders"]) <= 0.06 * e["nd_orders"] + 1
         assert e["lo"] <= g["p50_price_approx"] <= g["p99_price_approx"] <= e["hi"]
+
+
+def test_zorder_layout_tightens_per_file_stats(spark, sf_dir, tmp_path):
+    from nypd_arrest_etl_spark.operators.scale import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def spread_per_file(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        stats = df.groupBy("f").agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("rp"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("rs"),
+        )
+        row = stats.agg(F.avg("rp").alias("ap"), F.avg("rs").alias("as_")).first()
+        return row.ap, row.as_
+
+    plain = str(tmp_path / "plain")
+    li.repartition(8).write.parquet(plain)  # round-robin: every file spans full ranges
+    zed = str(tmp_path / "zed")
+    write_zordered(li, zed, ["l_partkey", "l_suppkey"], n_files=8, bits_per_col=4)
+
+    pp, ps = spread_per_file(plain)
+    zp, zs = spread_per_file(zed)
+    # interleaving clusters BOTH dimensions at once: each file's
+    # min/max window shrinks on both columns, not just the leading
+    # one (l_suppkey has ~10 distinct values at this sf, so its
+    # achievable shrink is coarser than the high-cardinality partkey)
+    assert zp < pp * 0.5
+    assert zs < ps * 0.75
+    # layout change only — same rows
+    assert spark.read.parquet(zed).count() == li.count()
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    from nypd_arrest_etl_spark.operators.scale import compact_files
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    before, after = compact_files(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert before == 64 and after < 8
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).first()[0] == sum(range(10_000))
