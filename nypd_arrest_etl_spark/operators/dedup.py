@@ -204,6 +204,11 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter / (F.col("n1") + F.col("n2") - inter)
+    # The pair set itself is cached: it is corpus-selective (near-dup
+    # edges only, orders of magnitude smaller than the input), and
+    # every downstream consumer — clustering, curation, drop-list
+    # writes — re-derives the identical plan, so the cache turns the
+    # whole candidate pipeline into a one-time cost per corpus.
     return (
         cand.join(left, "id1")
         .join(right, "id2")
@@ -213,6 +218,7 @@ def jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .cache()
     )
 
 
