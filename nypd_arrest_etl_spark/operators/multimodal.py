@@ -128,3 +128,44 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         )
     )
     return df.select("media_id", frame_idx.alias("frame_idx", "frame_bytes"))
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """mapInPandas resize: bytes -> fixed-target bytes. The Spark-side
+    plumbing (Arrow batch shape, binary column in AND out, schema) is
+    the real contract; the kernel is a deterministic stride resample
+    of the raw bytes standing in for PIL ``Image.resize`` (not in
+    this image). Narrow and shuffle-free: resizing a 100 TB media
+    corpus is a pure map stage whose parallelism equals input splits,
+    with the payload column rewritten in place so downstream stages
+    carry the small fixed-size version."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL — not in this image")
+            out = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    arr = np.zeros(1, dtype=np.uint8)
+                idx = (np.arange(target) * len(arr) // target) % len(arr)
+                out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)

@@ -56,3 +56,14 @@ def test_sample_frames_fan_out(spark):
         for r in frames.collect()
     }
     assert b[(1, 0)].startswith(b"hel")  # frame 0 starts at byte 0
+
+
+def test_resize_media_fixed_output_size_and_determinism(spark):
+    from nypd_arrest_etl_spark.operators.multimodal import resize_media
+
+    media = _media(spark)
+    out = resize_media(media, width=8, height=8).collect()
+    assert all(len(r.payload) == 64 for r in out)
+    assert all((r.width, r.height) == (8, 8) for r in out)
+    again = {r.media_id: bytes(r.payload) for r in resize_media(media, 8, 8).collect()}
+    assert {r.media_id: bytes(r.payload) for r in out} == again
