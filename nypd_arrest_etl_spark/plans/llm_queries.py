@@ -364,6 +364,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling fan-out (4 frames/payload), summarized as frame
+    hashes (deterministic; binary kernels are not SQL-expressible —
+    rows-only check)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, n_frames=4)
+    return frames.select("media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5"))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-resample resize through the Arrow batch path; payload
+    summarized as md5 (rows-only check)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    resized = M.resize_media(media, width=16, height=16)
+    return resized.select("media_id", "width", "height", F.md5("payload").alias("payload_md5"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-lang training mix: portable Knuth hash so the
     oracle replays the exact bucket arithmetic; the filter is pushed
@@ -484,4 +501,6 @@ LLM_OPS: dict[str, tuple] = {
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "multimodal_frames": (q_media_frames, None),
+    "multimodal_resize": (q_media_resize, None),
 }
