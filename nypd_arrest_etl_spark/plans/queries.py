@@ -1376,6 +1376,353 @@ LIMIT 100
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. All three predicates
+    (shipdate range, discount band, quantity cap) push to the parquet
+    scan as min/max row-group skips; the query is one map stage plus a
+    one-row reduce — the cheapest possible plan, and the benchmark's
+    floor for scan throughput."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where the line's supplier
+    and the ordering customer share a nation, within one region and one
+    order year. The c_nationkey = s_nationkey equality is a join-level
+    filter, not a key — it rides the supplier broadcast join as a
+    residual. Two fact shuffles (lineitem-orders, +customer); all dims
+    broadcast; single agg on n_name."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp fixture — p_retailprice stands in
+    for ps_supplycost): per-nation per-year profit on a part-name
+    pattern. The LIKE filter prunes part before its broadcast; profit
+    is a pure column expression inside one grouped pass; nation
+    broadcasts onto the supplier side."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    # Profit = revenue - cost is cancellation-heavy, and the revenue
+    # terms are exact 4-decimal values — double summation noise (a few
+    # ulps) can straddle the round-half boundary differently per
+    # summation order. Casting each term to DECIMAL(18,4) before the
+    # sum makes accumulation EXACT and therefore order-independent:
+    # the same answer on 1 partition or 10,000.
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    cost = (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round((F.sum(revenue) - F.sum(cost)).cast("double"), 2).alias("sum_profit")
+        )
+    )
+
+
+ORACLE_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  - sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+             AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem stands in for partsupp): parts whose
+    shipped value from one nation's suppliers exceeds a fraction of
+    that nation's total. Written as SQL: the HAVING's scalar subquery
+    plans as a one-row broadcast over the grouped result — Catalyst
+    reuses the same shuffle exchange for both aggregations, so the
+    fact side is scanned and shuffled once."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity) > (
+            SELECT sum(l_extendedprice * l_quantity) * 0.001
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5')
+        """
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * l_quantity) > (
+    SELECT sum(l_extendedprice * l_quantity) * 0.001
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5')
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including
+    zero-order customers — the inventory's LEFT OUTER join entry. The
+    join condition carries a non-key residual (priority exclusion)
+    that must be evaluated AT the join, not as a post-filter (a
+    post-filter would drop the NULL rows the outer join exists to
+    keep). Two shuffles: custkey join+agg, then the tiny c_count
+    re-agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. The revenue relation is built once; the max is an
+    ungrouped agg over it broadcast back as a one-row cross join —
+    never a driver collect, and ties survive (all max suppliers
+    return). Revenue is rounded BEFORE the max compare so both
+    engines pick an identical winner set under fp noise."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem's per-(part,supplier) min unit price
+    stands in for ps_supplycost): for each qualifying part, the
+    European supplier(s) offering the minimum cost.
+
+    The classic correlated-min subquery is rewritten as a window MIN
+    over the region-filtered cost relation — the per-part min and the
+    equality filter happen in the SAME shuffle pass on p_partkey,
+    scanning the cost relation once, where the correlated form would
+    build it twice. Unit cost is rounded before comparison so the
+    min-match set is identical across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("supplycost")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", F.col("p_partkey").asc()
+        )
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT l_partkey, l_suppkey, supplycost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+FROM part JOIN eu ON p_partkey = l_partkey
+WHERE p_size = 15 AND p_type = 'LARGE'
+  AND supplycost = (SELECT min(supplycost) FROM eu e2 WHERE e2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped a
+    meaningful volume of a part-name pattern in one year. The inner
+    grouped-HAVING relation feeds a LEFT SEMI join (IN-subquery
+    decorrelated by construction); part's LIKE filter prunes before
+    broadcast; the semi join's right side is already aggregated so
+    its key set is small enough to broadcast at any scale."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, "s_suppkey", "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+ORACLE_POTENTIAL_PROMOTION = """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey HAVING sum(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1423,4 +1770,12 @@ RELATIONAL: dict[str, tuple] = {
     "large_orders": (q_large_orders, ORACLE_LARGE_ORDERS),
     "disjunctive_revenue": (q_disjunctive_revenue, ORACLE_DISJUNCTIVE_REVENUE),
     "sole_returning_supplier": (q_sole_returning_supplier, ORACLE_SOLE_RETURNING_SUPPLIER),
+    "forecast_revenue": (q_forecast_revenue, ORACLE_FORECAST_REVENUE),
+    "local_supplier_volume": (q_local_supplier_volume, ORACLE_LOCAL_SUPPLIER_VOLUME),
+    "product_type_profit": (q_product_type_profit, ORACLE_PRODUCT_TYPE_PROFIT),
+    "important_stock": (q_important_stock, ORACLE_IMPORTANT_STOCK),
+    "customer_distribution": (q_customer_distribution, ORACLE_CUSTOMER_DISTRIBUTION),
+    "top_supplier": (q_top_supplier, ORACLE_TOP_SUPPLIER),
+    "min_cost_supplier": (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER),
+    "potential_promotion": (q_potential_promotion, ORACLE_POTENTIAL_PROMOTION),
 }

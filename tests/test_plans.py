@@ -100,3 +100,50 @@ def test_sole_returning_supplier_decorrelates_to_single_agg(spark, sf_dir):
     plan = _optimized(Q.q_sole_returning_supplier(spark, sf_dir))
     scans = [l for l in plan.splitlines() if "Relation [l_orderkey" in l]
     assert len(scans) == 2
+
+
+def test_q6_is_scan_filter_agg_only(spark, sf_dir):
+    # Q6 shape: every predicate reaches the parquet scan; no join, no
+    # window — the plan is scan -> partial agg -> exchange -> final agg.
+    plan = _plan(Q.q_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipda" in plan
+    assert "Join" not in plan
+
+
+def test_q13_left_outer_keeps_residual_below_join(spark, sf_dir):
+    # The priority exclusion is a right-side-only predicate of a LEFT
+    # OUTER join, so Catalyst pushes it below the join to the orders
+    # scan (legal: it can't drop preserved-side rows there). It must
+    # NOT appear as a post-join filter — that would silently drop the
+    # zero-order customers the outer join exists to keep.
+    plan = _optimized(Q.q_customer_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan
+    join_seen = False
+    for line in plan.splitlines():
+        if "LeftOuter" in line:
+            join_seen = True
+        if "o_orderpriority" in line and "Filter" in line:
+            assert join_seen, "priority filter must sit below the outer join"
+
+
+def test_q15_max_revenue_joins_broadcast(spark, sf_dir):
+    # The one-row max relation must broadcast back onto the revenue
+    # relation (never a driver collect, never a nested loop).
+    plan = _plan(Q.q_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_min_cost_uses_single_cost_relation(spark, sf_dir):
+    # The window-MIN rewrite scans lineitem once; the correlated-form
+    # oracle scans it twice. One scan + one Window, no self-join.
+    plan = _optimized(Q.q_min_cost_supplier(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "Relation [l_orderkey" in l]
+    assert len(scans) == 1
+    assert "Window" in plan
+
+
+def test_q20_semi_join_after_having(spark, sf_dir):
+    plan = _plan(Q.q_potential_promotion(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
