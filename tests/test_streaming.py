@@ -318,3 +318,61 @@ def test_interval_join_stream_pairs_within_bound(spark, tmp_path):
     rows = spark.sql("SELECT * FROM t_interval_join").collect()
     got = {(r["user_id"], r["right_ts"].isoformat()) for r in rows}
     assert got == {(1, "2024-03-01T10:07:00")}
+
+
+def test_transform_with_state_dedup_stream(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API):
+    first-writer-wins dedup with per-key duplicate accounting that
+    survives across microbatches in the state store.
+
+    The TWS state-server protocol needs protobuf, which this container
+    lacks (no-install environment) — skip there; the operator is the
+    forward path on any standard Spark 4 deployment."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from nypd_arrest_etl_spark.streaming.tws import dedup_stream
+
+    src = tmp_path / "tws"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType()),
+            T.StructField("row_id", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = dedup_stream(stream, key_col="doc", id_col="row_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "b1.json",
+            [
+                {"doc": "A", "row_id": 1},
+                {"doc": "A", "row_id": 2},
+                {"doc": "B", "row_id": 3},
+            ],
+        )
+        q.processAllAvailable()
+        _write_jsonl(
+            src / "b2.json",
+            [{"doc": "A", "row_id": 4}, {"doc": "C", "row_id": 5}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["key"], r["is_first"]): (r["first_id"], r["n_dups"])
+        for r in spark.sql("SELECT * FROM t_tws").collect()
+    }
+    # batch 1: A first seen at row 1 with one in-batch dup; B clean
+    assert rows[("A", True)] == (1, 1)
+    assert rows[("B", True)] == (3, 0)
+    # batch 2: A's state carried over -> cumulative 2 dups, first_id kept
+    assert rows[("A", False)] == (1, 2)
+    assert rows[("C", True)] == (5, 0)
