@@ -1723,6 +1723,78 @@ ORDER BY s_name
 """
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide lineitem measures to long (measure, value)
+    rows, re-aggregated per returnflag. ``df.unpivot`` plans as a
+    single Expand over one scan — a 4x row multiplication but zero
+    extra scans/joins, and the Expand stays inside the scan stage
+    (narrow) so the only shuffle is the final 2-key agg."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+SELECT l_returnflag, measure, count(*) AS n,
+       round(sum(val), 2) AS total, round(avg(val), 6) AS mean
+FROM (
+  SELECT l_returnflag, measure, val
+  FROM lineitem
+  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+GROUP BY l_returnflag, measure
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (§2g extension the LLM-pipeline
+    ops lean on): per-label embedding-norm statistics computed with
+    F.transform + F.aggregate — a sequential JVM-side fold per row, no
+    Python, no explode (an explode would multiply rows x dim before
+    the agg; the fold keeps the row count flat). Both engines fold
+    left-to-right over float32-exact doubles, so norms are bit-equal."""
+    e = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norm = F.sqrt(sq_sum)
+    return (
+        e.select("label", norm.alias("norm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("dim").alias("dim"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+ORACLE_VECTOR_NORMS = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm,
+         len(embedding) AS dim
+  FROM embeddings)
+SELECT label, count(*) AS n_vecs, CAST(max(dim) AS INT) AS dim,
+       round(avg(norm), 6) AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1778,4 +1850,6 @@ RELATIONAL: dict[str, tuple] = {
     "top_supplier": (q_top_supplier, ORACLE_TOP_SUPPLIER),
     "min_cost_supplier": (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER),
     "potential_promotion": (q_potential_promotion, ORACLE_POTENTIAL_PROMOTION),
+    "unpivot_measures": (q_unpivot_measures, ORACLE_UNPIVOT_MEASURES),
+    "vector_norms": (q_vector_norms, ORACLE_VECTOR_NORMS),
 }
