@@ -256,3 +256,79 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``qvec[i] = round(v[i] /
+    qscale)`` with ``qscale = max|v| / 127`` — 4x smaller than float32
+    (the difference between an in-memory corpus and a spilled one at
+    100 TB), reconstruction error bounded by ``qscale / 2`` per
+    coordinate.
+
+    Per-VECTOR scaling (not per-dimension) keeps the operator a single
+    narrow pass — no global statistics job, no shuffle, so it composes
+    with any scan. Rounding is ``floor(x + 0.5)`` (a pure float
+    expression identical across engines) rather than engine-native
+    ``round`` whose half-rule differs between implementations.
+
+    Cosine is SCALE-INVARIANT, so quantized cosine needs only ``qvec``
+    — the int8 arrays alone reproduce float cosine to ~1e-2, which is
+    why ``ann_quantized_topk`` never dequantizes.
+    """
+    assert bits == 8, "int8 is the implemented codebook"
+    dv = _as_double(vec_col)
+    df = df.withColumn("_maxabs", F.array_max(F.transform(dv, F.abs)))
+    qscale = F.when(F.col("_maxabs") > 0, F.col("_maxabs") / 127.0).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        df.withColumn("qscale", qscale)
+        .withColumn(
+            "qvec",
+            F.transform(
+                dv, lambda x: F.floor(x / F.col("qscale") + 0.5).cast("tinyint")
+            ),
+        )
+        .drop("_maxabs")
+    )
+
+
+def ann_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: same plan
+    shape as ``cosine_topk`` (broadcast queries, one corpus scan, no
+    shuffle before the per-query heap) but every distance works on
+    tinyint arrays — 4x less data moved and held per executor. The
+    recall-vs-exact trade is unit-tested (tests/test_similarity.py)."""
+    q = quantize_embeddings(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+    c = quantize_embeddings(spread(corpus), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv")
+    )
+    qd = F.transform("qv", lambda x: x.cast("double"))
+    cd = F.transform("cv", lambda x: x.cast("double"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(qd, cd), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

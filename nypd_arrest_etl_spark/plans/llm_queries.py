@@ -172,6 +172,38 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force top-k. Fully SQL-expressible (the
+    quantizer is floor(x/scale + 0.5), a pure float expression), so
+    unlike the LSH/IVF sketches this scale path gets a value-hash
+    oracle, not just a rows check."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ann_quantized_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+ORACLE_SIMILARITY_QUANTIZED = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+  FROM embeddings),
+qq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x / (CASE WHEN maxabs > 0
+                 THEN maxabs / 127.0 ELSE 1.0 END) + 0.5)) AS qv
+  FROM base),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.qv, b.qv), 6) AS cosine
+  FROM qq a JOIN qq b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 10),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -489,6 +521,7 @@ LLM_OPS: dict[str, tuple] = {
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
     "similarity_ann_lsh": (q_ann_lsh, None),
     "similarity_ann_ivf": (q_ann_ivf, None),
+    "similarity_quantized": (q_similarity_quantized, ORACLE_SIMILARITY_QUANTIZED),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),

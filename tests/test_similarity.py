@@ -110,3 +110,35 @@ def test_ann_ivf_full_probe_is_exact(spark):
         got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
     for qid in range(3):
         assert [n for _, n in sorted(got[qid])] == _brute_topk(rows, qid, 5)
+
+
+def test_quantize_embeddings_bounds_reconstruction_error(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = _vectors()
+    q = quantize_embeddings(_df(spark, rows)).collect()
+    for r in q:
+        orig = dict(rows)[r["vec_id"]]
+        scale = r["qscale"]
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        recon = [c * scale for c in r["qvec"]]
+        # per-coordinate error is at most half a quantization step
+        assert max(abs(a - b) for a, b in zip(orig, recon)) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_high_recall_vs_exact(spark):
+    from nypd_arrest_etl_spark.operators.similarity import ann_quantized_topk
+
+    rows = _vectors()
+    df = _df(spark, rows)
+    got = {}
+    for r in ann_quantized_topk(df.filter("vec_id < 5"), df, k=5).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in range(5):
+        want = set(_brute_topk(rows, qid, 5))
+        hits += len(want & got[qid])
+        total += 5
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
