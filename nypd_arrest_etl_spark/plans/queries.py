@@ -1795,6 +1795,40 @@ FROM norms GROUP BY label
 """
 
 
+_REVENUE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-07-01'
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+def q_monthly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) date spine left-joined
+    to monthly revenue — gap-filled time series with zero rows for
+    empty months, which a plain GROUP BY cannot produce. The recursion
+    generates ~80 rows on the driver side of the plan (UnionLoop); the
+    heavy side is still one scan + one month-key agg, and the spine
+    join broadcasts. Same SQL text runs on both engines (§3.4 SQL
+    surface)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_REVENUE_SPINE_SQL)
+
+
+ORACLE_MONTHLY_REVENUE_SPINE = _REVENUE_SPINE_SQL
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1852,4 +1886,5 @@ RELATIONAL: dict[str, tuple] = {
     "potential_promotion": (q_potential_promotion, ORACLE_POTENTIAL_PROMOTION),
     "unpivot_measures": (q_unpivot_measures, ORACLE_UNPIVOT_MEASURES),
     "vector_norms": (q_vector_norms, ORACLE_VECTOR_NORMS),
+    "monthly_revenue_spine": (q_monthly_revenue_spine, ORACLE_MONTHLY_REVENUE_SPINE),
 }
