@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.operators.clean import clean
 from nypd_arrest_etl_spark.operators.merge import merge_into_parquet
@@ -73,9 +74,23 @@ def run_etl(
     the same predicate partition-prunes the scan.
     """
     raw = extract(spark, source_path, fmt=fmt)
+    # Observation metrics ride the same lazy DAG (computed during the
+    # write action — zero extra scans or jobs), replacing the
+    # reference's per-stage counters (etl.py:49-53) and dropped-row
+    # log (transform.py:100-104) with engine-native observability.
+    obs_scan = Observation("etl.scan")
+    raw = raw.observe(obs_scan, F.count(F.lit(1)).alias("n_scanned"))
     cleaned = transform(raw)
+    obs_clean = Observation("etl.clean")
+    cleaned = cleaned.observe(obs_clean, F.count(F.lit(1)).alias("n_cleaned"))
     if incremental:
         hwm = high_watermark(spark, target_path, "arrest_date")
         cleaned = incremental_filter(cleaned, hwm, "arrest_date")
     part = "arrest_year" if partitioned else None
-    return load(spark, cleaned, target_path, partition_by=part)
+    result = load(spark, cleaned, target_path, partition_by=part)
+    scanned = obs_scan.get["n_scanned"]
+    kept = obs_clean.get["n_cleaned"]
+    result.details.update(
+        {"scanned": scanned, "cleaned": kept, "dropped_invalid": scanned - kept}
+    )
+    return result

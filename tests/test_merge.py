@@ -109,3 +109,22 @@ def test_partitioned_target_layout(spark, tmp_path):
     final = spark.read.parquet(target)
     assert {r["arrest_key"] for r in final.collect()} == {"P1", "P2", "P4"}
     assert "arrest_year=2025" in set(os.listdir(target))
+
+
+def test_observe_metrics_report_scanned_and_dropped(spark, tmp_path):
+    """Observation metrics ride the write action (no extra job) and
+    reproduce the reference's stage counters + dropped-row log
+    (etl.py:49-53, transform.py:100-104)."""
+    p = tmp_path / "dirty.jsonl"
+    rows = [
+        {"arrest_key": "A", "arrest_date": "2025-06-01"},
+        {"arrest_key": "  ", "arrest_date": "2025-06-02"},  # blank key -> dropped
+        {"arrest_date": "2025-06-03"},  # missing key -> dropped
+        {"arrest_key": "B", "arrest_date": "2025-06-04"},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    r = run_etl(spark, str(p), str(tmp_path / "t"))
+    assert r.inserted == 2
+    assert r.details == {"scanned": 4, "cleaned": 2, "dropped_invalid": 2}
