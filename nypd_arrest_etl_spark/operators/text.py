@@ -9,6 +9,7 @@ scale linearly with input splits.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -259,3 +260,29 @@ def pack_sequences(
         F.floor(start / budget).alias("seq_id"),
         start.cast("long").alias("start_offset"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization for dedup/tokenization upstream:
+    Unicode NFC composition, lowercase, collapse whitespace runs to
+    one space, trim. NFC runs as a vectorized Arrow-batched pandas
+    UDF (Python's unicodedata is the reference NFC implementation;
+    Spark has no built-in normalizer) — the ONLY Python step; case
+    fold and whitespace collapse stay JVM-side. Narrow per-row op:
+    composes with any scan, no shuffle at any scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    collapsed = F.trim(
+        F.regexp_replace(F.lower(nfc(F.col(text_col))), r"\s+", " ")
+    )
+    return df.select(F.col(id_col), collapsed.alias("norm_text"))

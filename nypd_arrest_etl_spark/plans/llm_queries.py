@@ -209,6 +209,31 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + casefold + whitespace-collapse normalization; the norm
+    text is summarized (length + token count) so the oracle hash
+    stays value-stable while still covering every output string."""
+    n = TX.normalize_text(t(spark, sf_dir, "documents"))
+    return n.select(
+        "doc_id",
+        "norm_text",
+        F.length("norm_text").alias("n_chars"),
+        F.size(F.split(F.col("norm_text"), " ")).alias("n_tokens"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS INT) AS n_chars,
+       CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
+FROM n
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(t(spark, sf_dir, "documents"))
 
@@ -523,6 +548,7 @@ LLM_OPS: dict[str, tuple] = {
     "similarity_ann_ivf": (q_ann_ivf, None),
     "similarity_quantized": (q_similarity_quantized, ORACLE_SIMILARITY_QUANTIZED),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
+    "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),
     "text_fingerprints": (q_fingerprints, None),

@@ -114,3 +114,18 @@ def test_pack_sequences_greedy_per_group(spark):
     assert (out[1].seq_id, out[2].seq_id, out[3].seq_id) == (0, 0, 1)
     assert out[3].start_offset == 120
     assert out[4].seq_id == 0 and out[4].group_key == "s2"
+
+
+def test_normalize_text_nfc_casefold_whitespace(spark):
+    from nypd_arrest_etl_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Café  du   Monde"),        # decomposed é -> composed
+        (2, "  HELLO\t\nWorld  "),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[1] == "café du monde"
+    assert out[2] == "hello world"
+    assert out[3] is None
