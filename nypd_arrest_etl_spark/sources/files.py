@@ -111,3 +111,16 @@ def incremental_filter(df: DataFrame, hwm, col: str = "arrest_date") -> DataFram
     """The reference pushes `arrest_date > hwm` into the Socrata API
     (extract.py:60-64); here Catalyst pushes it into the file scan."""
     return df.filter(F.col(col) > F.lit(hwm))
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan (built-in vectorized reader; same pushdown /
+    pruning behavior as parquet). Schema rides the file footer — no
+    inference pass. Required-column contract applies as for S3/S4."""
+    return validate_required(spark.read.orc(path))
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink twin of the parquet target — for stacks standardized
+    on ORC (Hive-lineage warehouses). Snappy-by-default, splittable."""
+    df.write.mode(mode).orc(path)

@@ -17,3 +17,22 @@ def test_csv_partial_columns_bind_by_name(spark, tmp_path):
     assert r["law_cat_cd"] == "M"
     assert r["arrest_boro"] == "BROOKLYN"
     assert r["pd_cd"] == "UNKNOWN"
+
+
+def test_orc_round_trip_preserves_schema_and_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.files import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [("K1", "2024-01-05", 40.8), ("K2", "2024-01-06", None)],
+        "arrest_key string, arrest_date string, latitude double",
+    )
+    p = str(tmp_path / "orc_t")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.schema == df.schema
+    assert back.count() == 2
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter(F.col("arrest_key") == "K1")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "arrest_key" in plan
