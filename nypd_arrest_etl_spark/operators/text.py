@@ -286,3 +286,36 @@ def normalize_text(
         F.regexp_replace(F.lower(nfc(F.col(text_col))), r"\s+", " ")
     )
     return df.select(F.col(id_col), collapsed.alias("norm_text"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the unit an embedding/retrieval pipeline feeds the encoder.
+
+    ``sequence(1, len, step)`` + explode is all JVM-side: the chunk
+    starts materialize as a small int array per row and the explode
+    stays inside the scan stage (narrow, no shuffle), so the operator
+    is a pure row-multiplier that scales with input splits. Guarantees
+    full coverage: consecutive chunks share ``overlap`` chars and the
+    last chunk is allowed to run short.
+    """
+    assert 0 <= overlap < chunk_chars
+    step = chunk_chars - overlap
+    starts = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(step))
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            ((F.col("start") - 1) / step).cast("int").alias("chunk_ix"),
+            F.substring(F.col(text_col), F.col("start"), F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_chars", F.length("chunk_text"))
+    )

@@ -234,6 +234,24 @@ FROM n
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """512-char chunks with 64-char overlap (step 448) — retrieval/
+    embedding units with guaranteed coverage."""
+    return TX.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_chars=512, overlap=64
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+SELECT doc_id,
+       CAST((start - 1) / 448 AS INT) AS chunk_ix,
+       substring(text, CAST(start AS INT), 512) AS chunk_text,
+       CAST(length(substring(text, CAST(start AS INT), 512)) AS INT) AS chunk_chars
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 448)) AS start) s
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(t(spark, sf_dir, "documents"))
 
@@ -549,6 +567,7 @@ LLM_OPS: dict[str, tuple] = {
     "similarity_quantized": (q_similarity_quantized, ORACLE_SIMILARITY_QUANTIZED),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
+    "text_chunks": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),
     "text_fingerprints": (q_fingerprints, None),

@@ -1829,6 +1829,101 @@ def q_monthly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MONTHLY_REVENUE_SPINE = _REVENUE_SPINE_SQL
 
 
+def q_nation_accounts_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join shape: per-nation customer vs supplier account
+    totals, keeping nations that have only one side. Both inputs are
+    already aggregated to nation grain before the join, so the outer
+    join moves ~25 rows however large the base tables are — aggregate-
+    then-join, never join-then-aggregate, is the outer-join scale rule."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+        )
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supps"),
+            F.round(F.sum("s_acctbal"), 2).alias("supp_bal"),
+        )
+    )
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("n_custs", F.lit(0)).alias("n_custs"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supps", F.lit(0)).alias("n_supps"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+    )
+
+
+ORACLE_NATION_ACCOUNTS = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_custs,
+         round(sum(c_acctbal), 2) AS cust_bal
+  FROM customer GROUP BY 1),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_supps,
+         round(sum(s_acctbal), 2) AS supp_bal
+  FROM supplier GROUP BY 1)
+SELECT n_name,
+       coalesce(n_custs, 0) AS n_custs, coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(n_supps, 0) AS n_supps, coalesce(supp_bal, 0.0) AS supp_bal
+FROM c FULL OUTER JOIN s USING (nationkey)
+JOIN nation ON nationkey = n_nationkey
+"""
+
+
+def q_trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per-day order revenue with a
+    trailing-7-day moving sum/count per priority. rangeBetween on the
+    epoch-day ORDER BY value (value-based frame — rows at the same day
+    collapse; a ROWS frame would be wrong under duplicates). Daily
+    grain is pre-aggregated before the window, so window state is
+    bounded by days-per-priority, not raw orders."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.withColumn("day", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")))
+        .groupBy("o_orderpriority", "day")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "day_rev",
+        F.round(F.sum("day_rev").over(w), 2).alias("trailing_7d_rev"),
+        F.count(F.lit(1)).over(w).alias("trailing_7d_days"),
+    )
+
+
+ORACLE_TRAILING_WEEK_REVENUE = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+         round(sum(o_totalprice), 2) AS day_rev
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, day, day_rev,
+       round(sum(day_rev) OVER w, 2) AS trailing_7d_rev,
+       count(*) OVER w AS trailing_7d_days
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1887,4 +1982,9 @@ RELATIONAL: dict[str, tuple] = {
     "unpivot_measures": (q_unpivot_measures, ORACLE_UNPIVOT_MEASURES),
     "vector_norms": (q_vector_norms, ORACLE_VECTOR_NORMS),
     "monthly_revenue_spine": (q_monthly_revenue_spine, ORACLE_MONTHLY_REVENUE_SPINE),
+    "nation_accounts_reconciliation": (
+        q_nation_accounts_reconciliation,
+        ORACLE_NATION_ACCOUNTS,
+    ),
+    "trailing_week_revenue": (q_trailing_week_revenue, ORACLE_TRAILING_WEEK_REVENUE),
 }

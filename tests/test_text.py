@@ -129,3 +129,32 @@ def test_normalize_text_nfc_casefold_whitespace(spark):
     assert out[1] == "café du monde"
     assert out[2] == "hello world"
     assert out[3] is None
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    from nypd_arrest_etl_spark.operators.text import chunk_documents
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(1000))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_chars=100, overlap=20).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_ix"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # full coverage: stitching chunks (dropping each 20-char overlap)
+    # reconstructs the document exactly
+    chunks = by_doc[1]
+    assert chunks[0]["chunk_ix"] == 0
+    stitched = chunks[0]["chunk_text"] + "".join(
+        c["chunk_text"][20:] for c in chunks[1:]
+    )
+    assert stitched == text
+    # consecutive chunks share exactly the overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk_text"][-20:] == b["chunk_text"][:20]
+    # short docs -> one chunk; empty docs -> one empty chunk (coverage row)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_chars"] == 0
