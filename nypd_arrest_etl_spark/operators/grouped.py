@@ -109,3 +109,34 @@ def ngrams_via_udtf(
     return spark.sql(
         f"SELECT g.doc_id, g.ngram FROM __udtf_docs, LATERAL ngram_udtf(doc_id, text, {int(n)}) g"
     )
+
+
+def group_stats_arrow(
+    df: DataFrame, key_col: str, val_col: str, round_to: int = 2
+) -> DataFrame:
+    """Per-group stats via ``applyInArrow`` — the Arrow-NATIVE grouped
+    UDF surface (Spark 4): each group arrives as a ``pyarrow.Table``
+    and is reduced with pyarrow.compute kernels, skipping the
+    Arrow->pandas->Arrow conversion ``applyInPandas`` pays on both
+    edges. For numeric reductions that conversion is the dominant
+    cost, so this is the preferred shape for custom per-group numerics
+    that built-in aggs can't express. One shuffle on the group key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(key: tuple, table: "pa.Table") -> "pa.Table":
+        col = table.column(val_col)
+        return pa.table(
+            {
+                key_col: [key[0]],
+                "n": [table.num_rows],
+                "total": [round(pc.sum(col).as_py() or 0.0, round_to)],
+                "vmin": [pc.min(col).as_py()],
+                "vmax": [pc.max(col).as_py()],
+            }
+        )
+
+    key_type = dict(df.dtypes)[key_col]
+    return df.groupBy(key_col).applyInArrow(
+        stats, schema=f"{key_col} {key_type}, n long, total double, vmin double, vmax double"
+    )

@@ -654,6 +654,24 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow surface (§2i): per-priority order stats reduced
+    with pyarrow.compute kernels — no pandas conversion either side."""
+    from nypd_arrest_etl_spark.operators.grouped import group_stats_arrow
+
+    return group_stats_arrow(
+        t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+ORACLE_ARROW_GROUP_STATS = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       min(o_totalprice) AS vmin, max(o_totalprice) AS vmax
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nypd_arrest_etl_spark.operators.grouped import grouped_median
 
@@ -1952,6 +1970,7 @@ RELATIONAL: dict[str, tuple] = {
     "range_pairs_5min": (q_range_pairs, ORACLE_RANGE_PAIRS),
     "embedding_centroids": (q_embedding_centroids, ORACLE_CENTROIDS),
     "median_price": (q_median_price, ORACLE_MEDIAN_PRICE),
+    "arrow_group_stats": (q_arrow_group_stats, ORACLE_ARROW_GROUP_STATS),
     "pivot_status_by_year": (q_pivot_status_by_year, ORACLE_PIVOT_STATUS),
     "top_terms": (q_top_terms, ORACLE_TOP_TERMS),
     "percentile_prices": (q_percentile_prices, ORACLE_PERCENTILE_PRICES),
