@@ -118,3 +118,27 @@ def test_clean_output_always_satisfies_target_contract(spark, rows):
         assert r["law_cat_cd"] in set(LAW_CAT_VALID) | {"U"}
         assert r["perp_sex"] in {"M", "F", "U"}
         assert r["pd_cd"] is not None and r["arrest_precinct"] is not None
+
+@settings(**SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=300).map(lambda n: "ab cd!"[: n % 6 + 1] * n),
+    st.integers(min_value=2, max_value=50),
+    st.integers(min_value=0, max_value=40),
+)
+def test_chunking_reconstructs_any_document(spark, text, chunk, overlap):
+    """For ANY (text, chunk_chars, overlap < chunk_chars): dropping
+    each chunk's leading overlap and concatenating reconstructs the
+    document exactly — no gaps, no duplicated tail."""
+    from nypd_arrest_etl_spark.operators.text import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, chunk_chars=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_ix"],
+    )
+    assert [c["chunk_ix"] for c in chunks] == list(range(len(chunks)))
+    stitched = (chunks[0]["chunk_text"] if chunks else "") + "".join(
+        c["chunk_text"][overlap:] for c in chunks[1:]
+    )
+    assert stitched == text
