@@ -52,6 +52,27 @@ def main() -> None:
 
     spark.range(10_000).repartition(64).mapInPandas(_warm, "id long").count()
 
+    # JIT/codegen warmup on synthetic data: broadcast join, shuffle agg,
+    # and a ranking window — the operator kernels most queries share —
+    # so the first timed query doesn't absorb their compile cost.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    a = spark.range(100_000).select("id", (F.col("id") % 100).alias("k"))
+    b = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    (
+        a.join(F.broadcast(b), "k")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    w = Window.partitionBy("k").orderBy("id")
+    (
+        a.select(F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    )
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()

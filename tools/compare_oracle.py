@@ -56,9 +56,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         sql = oracles.get(name)
         if sql is None:
             n = fn(spark, sf_dir).count()
@@ -83,7 +85,7 @@ def main() -> int:
                     print(p)
         else:
             print(f"{name:28s} OK rows={len(s)}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    print(f"\n{ran - len(failures)}/{ran} OK (of {len(qs)} registered)")
     return 1 if failures else 0
 
 
