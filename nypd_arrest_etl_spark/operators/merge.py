@@ -81,14 +81,37 @@ def merge_into_parquet(
         except Exception:
             target = None
     fresh = merge_insert_if_absent(incoming, target, key)
-    fresh = fresh.persist()
-    try:
-        n = fresh.count()
-        if n:
-            writer = fresh.write.mode("append")
-            if partition_by:
-                writer = writer.partitionBy(partition_by)
-            writer.parquet(table_path)
-        return n
-    finally:
-        fresh.unpersist()
+    # Single-pass write: the inserted rowcount rides the write action
+    # as an Observation instead of a persist + count + write (which
+    # materializes the whole batch into cache memory and runs two
+    # actions — at 100 TB the cache either evicts or spills the batch
+    # twice). Tasks with zero rows emit no files, so idempotent
+    # re-runs stay clean on disk.
+    from pyspark.sql import Observation
+
+    obs = Observation("merge.inserted")
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    before = _file_set(table_path)
+    writer = fresh.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(table_path)
+    n = obs.get["n"]
+    if n == 0:
+        # Empty tasks still emit schema-only part files; drop the ones
+        # this run created so idempotent re-runs leave the table
+        # byte-identical (single-writer contract — the reference is a
+        # weekly cron, etl.yml:5-7).
+        for f in _file_set(table_path) - before:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    return n
+
+
+def _file_set(table_path: str) -> set[str]:
+    out = set()
+    for root, _dirs, files in os.walk(table_path):
+        out.update(os.path.join(root, f) for f in files if not f.startswith("_"))
+    return out
