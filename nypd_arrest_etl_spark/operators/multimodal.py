@@ -169,3 +169,32 @@ def resize_media(
             )
 
     return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def read_media_dir(
+    spark, path: str, glob: str = "*", media_type: str = "image"
+) -> DataFrame:
+    """Ingest raw media files through Spark's ``binaryFile`` source —
+    the production entry for image/audio/video corpora: each file
+    becomes one row (path, modificationTime, length, content) with
+    the bytes read ONCE, split-parallel, no driver involvement.
+    ``pathGlobFilter`` prunes non-media files at listing time.
+
+    The output is MEDIA_SCHEMA-shaped so every downstream kernel
+    (decode_media / extract_features / sample_frames / resize_media)
+    composes unchanged; media_id is the path hash (stable across
+    re-ingests of the same layout), original path kept in meta."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("bytes"), F.col("length").cast("string"),
+        ).alias("meta"),
+    )

@@ -67,3 +67,22 @@ def test_resize_media_fixed_output_size_and_determinism(spark):
     assert all((r.width, r.height) == (8, 8) for r in out)
     again = {r.media_id: bytes(r.payload) for r in resize_media(media, 8, 8).collect()}
     assert {r.media_id: bytes(r.payload) for r in out} == again
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    from nypd_arrest_etl_spark.operators.multimodal import (
+        decode_media,
+        read_media_dir,
+    )
+
+    (tmp_path / "a.img").write_bytes(b"\x89fakepng" * 10)
+    (tmp_path / "b.img").write_bytes(b"RIFFfake" * 5)
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_media_dir(spark, str(tmp_path), glob="*.img")
+    rows = df.collect()
+    assert len(rows) == 2  # glob pruned the .txt at listing time
+    assert {len(r["payload"]) for r in rows} == {80, 40}
+    assert all(r["meta"]["path"].endswith(".img") for r in rows)
+    # composes with the decode kernel unchanged
+    dec = decode_media(df).collect()
+    assert {d["n_bytes"] for d in dec} == {80, 40}
