@@ -135,3 +135,32 @@ def merge_via_jdbc_staging(
             conn.close()
 
     return _merge()
+
+
+_PG_TYPES = {
+    "string": "VARCHAR",
+    "date": "DATE",
+    "int": "INTEGER",
+    "double": "FLOAT",
+}
+
+
+def build_target_ddl(target_table: str = "nypd_arrests") -> str:
+    """DDL bootstrap twin of the reference's setup_db.py:31-65:
+    CREATE TABLE IF NOT EXISTS over the 18-column target schema,
+    derived from schema.py's TARGET_SCHEMA (single source of truth —
+    the reference redeclares its DDL by hand in two places,
+    setup_db.py:33-54 and load.py:53-75)."""
+    from nypd_arrest_etl_spark.schema import TARGET_SCHEMA
+
+    cols = []
+    for f in TARGET_SCHEMA.fields:
+        pg = _PG_TYPES[f.dataType.simpleString()]
+        line = f"    {f.name} {pg}"
+        if f.name == "arrest_key":
+            line += " PRIMARY KEY"
+        elif not f.nullable:
+            line += " NOT NULL"
+        cols.append(line)
+    body = ",\n".join(cols)
+    return f"CREATE TABLE IF NOT EXISTS {target_table} (\n{body}\n)"

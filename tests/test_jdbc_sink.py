@@ -43,3 +43,23 @@ def test_retry_recovers_then_raises():
 
     with pytest.raises(ConnectionError):
         always_down()
+
+
+def test_target_ddl_covers_all_18_columns():
+    from nypd_arrest_etl_spark.schema import TARGET_SCHEMA
+    from nypd_arrest_etl_spark.sinks.jdbc import build_target_ddl
+
+    ddl = build_target_ddl()
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS nypd_arrests")
+    for f in TARGET_SCHEMA.fields:
+        assert f.name in ddl
+    assert "arrest_key VARCHAR PRIMARY KEY" in ddl
+    assert "arrest_date DATE NOT NULL" in ddl
+    assert "arrest_precinct INTEGER" in ddl and "latitude FLOAT" in ddl
+    # DuckDB accepts the same ANSI DDL — executable guarantee
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(ddl)
+    cols = {r[0] for r in con.execute("DESCRIBE nypd_arrests").fetchall()}
+    assert cols == {f.name for f in TARGET_SCHEMA.fields}
