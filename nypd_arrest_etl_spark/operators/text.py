@@ -319,3 +319,68 @@ def chunk_documents(
         )
         .withColumn("chunk_chars", F.length("chunk_text"))
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family, Rae et al.
+    2021): fraction of tokens inside duplicated word-n-grams and the
+    top n-gram's share — high values mark boilerplate/spam documents
+    a pretraining curation pass should drop.
+
+    Pure array expressions per document (narrow, no shuffle): build
+    n-grams once, count distinct vs total, and take the modal gram's
+    frequency via a sorted-run scan. O(g log g) per doc in the sort.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = spread(df).select(F.col(id_col), toks.alias("toks"))
+    n_tok = F.size("toks")
+    # Guard short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]), it
+    # does not produce an empty array — unguarded, a doc with < n
+    # tokens would emit junk grams.
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), "toks", F.array_sort(grams).alias("grams"))
+    n_grams = F.size("grams")
+    n_uniq = F.size(F.array_distinct("grams"))
+    # longest equal run in the sorted gram array = modal gram count
+    run = F.aggregate(
+        F.col("grams"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["cur"] + 1)
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)).otherwise(
+                    acc["cur"] + 1
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return g.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        n_grams.alias("n_grams"),
+        F.when(n_grams > 0, F.round((n_grams - n_uniq) / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+        F.when(n_grams > 0, F.round(run / n_grams, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_frac"),
+    )

@@ -252,6 +252,45 @@ FROM documents,
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules repetition signals: duplicated-3-gram fraction and
+    modal-3-gram share per document."""
+    return TX.repetition_stats(t(spark, sf_dir, "documents"), n=3)
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         ELSE [] END AS grams
+  FROM base),
+cnt AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n_grams, count(*) AS n_uniq,
+         max(c) AS top_c
+  FROM cnt GROUP BY 1)
+SELECT g.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       coalesce(n_grams, 0) AS n_grams,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN round((n_grams - n_uniq) * 1.0 / n_grams, 6) ELSE 0.0 END
+         AS dup_gram_frac,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN round(top_c * 1.0 / n_grams, 6) ELSE 0.0 END
+         AS top_gram_frac
+FROM g LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.text_stats(t(spark, sf_dir, "documents"))
 
@@ -568,6 +607,7 @@ LLM_OPS: dict[str, tuple] = {
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
     "text_normalize": (q_text_normalize, ORACLE_TEXT_NORMALIZE),
     "text_chunks": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    "text_repetition": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),
     "text_fingerprints": (q_fingerprints, None),

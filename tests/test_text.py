@@ -158,3 +158,24 @@ def test_chunk_documents_covers_text_with_overlap(spark):
     # short docs -> one chunk; empty docs -> one empty chunk (coverage row)
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_chars"] == 0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from nypd_arrest_etl_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),        # one modal 3-gram
+        (2, "all words here are fully distinct ok"),  # no repeated grams
+        (3, "a b"),                                   # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    # doc 1: 4 grams, all "spam spam spam" -> dup frac 3/4, top frac 1
+    assert out[1]["n_grams"] == 4
+    assert out[1]["dup_gram_frac"] == 0.75
+    assert out[1]["top_gram_frac"] == 1.0
+    # doc 2: 5 distinct grams -> zero repetition
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[2]["top_gram_frac"] == round(1 / 5, 6)
+    # doc 3: too short for any 3-gram -> zeros, no junk grams
+    assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
