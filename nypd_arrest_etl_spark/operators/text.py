@@ -123,10 +123,17 @@ def fingerprint_winnow(
     # lambda references it: an inlined expression is re-evaluated per
     # element, which would make the window scan O(n^2) hashes per doc.
     s = F.lower(F.col(text_col))
-    n_grams = F.greatest(F.length("s") - k + 1, F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.col("s").substr(i, F.lit(k)))
-    )
+    n_grams = F.length("s") - k + 1
+    # Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty — unguarded, docs shorter than k chars would emit junk
+    # fingerprints that can false-match other tiny docs.
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.col("s").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("grams") - window, F.lit(0))),
         lambda i: F.array_min(F.slice("grams", i + 1, window)),
