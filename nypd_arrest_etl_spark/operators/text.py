@@ -138,11 +138,18 @@ def fingerprint_winnow(
         F.sequence(F.lit(0), F.greatest(F.size("grams") - window, F.lit(0))),
         lambda i: F.array_min(F.slice("grams", i + 1, window)),
     )
+    # filter(isNotNull): a gram-less doc's single window min is null —
+    # an empty fingerprint set, not a [null] one.
     return (
         spread(df)
         .select(F.col(id_col), s.alias("s"))
         .select(F.col(id_col), grams.alias("grams"))
-        .select(F.col(id_col), F.array_distinct(windows).alias("fingerprints"))
+        .select(
+            F.col(id_col),
+            F.filter(
+                F.array_distinct(windows), lambda h: h.isNotNull()
+            ).alias("fingerprints"),
+        )
     )
 
 
