@@ -99,3 +99,32 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(cols)}, {parts}) AS (column_name, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    portable: bool = False,
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Seeded global shuffle for training-order randomization: sort by
+    hash(key, seed) — the same seed reproduces the same order on any
+    cluster size (epoch N+1 = new seed, no state to carry).
+
+    At scale this plans as a range-partitioned sort (sampling pass +
+    one shuffle), and the hash order is uncorrelated with source order
+    or any natural key, which is exactly what SGD wants. The hash
+    tie-breaks on the key itself so the order is total even under hash
+    collisions. ``portable=True`` uses the Knuth hash the DuckDB
+    oracle replays bit-for-bit.
+    """
+    h = (
+        F.pmod((F.col(key_col).cast("long") + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MASK32))
+        if portable
+        else F.xxhash64(F.col(key_col), F.lit(seed))
+    )
+    out = df.withColumn(pos_col or "shuffle_pos", h).orderBy(
+        pos_col or "shuffle_pos", key_col
+    )
+    return out if pos_col else out.drop("shuffle_pos")

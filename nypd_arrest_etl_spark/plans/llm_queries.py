@@ -522,6 +522,26 @@ WHERE ((doc_id + 7) * 2654435761) % 4294967296 % 1000000 <
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded training-order shuffle: the permutation is exposed as
+    the shuffle_pos column (the driver's compare is order-insensitive,
+    so the position IS the verified artifact). Portable hash so DuckDB
+    replays the identical permutation."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    docs = t(spark, sf_dir, "documents")
+    out = S.shuffle_deterministic(
+        docs, key_col="doc_id", seed=11, portable=True, pos_col="shuffle_pos"
+    )
+    return out.select("doc_id", "shuffle_pos")
+
+
+ORACLE_CORPUS_SHUFFLE = """
+SELECT doc_id, ((doc_id + 11) * 2654435761) % 4294967296 AS shuffle_pos
+FROM documents
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass dataset profile of the documents table (row count,
     nulls, exact distincts per column) — the health check a curation
@@ -616,6 +636,7 @@ LLM_OPS: dict[str, tuple] = {
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
     "multimodal_features": (q_media_features, None),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),

@@ -69,3 +69,15 @@ def test_profile_is_single_scan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Relation [doc_id") == 1
+
+
+def test_shuffle_deterministic_is_seed_stable_and_total(spark):
+    from nypd_arrest_etl_spark.operators.sampling import shuffle_deterministic
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    o1 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=3).collect()]
+    o2 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=3).collect()]
+    o3 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=4).collect()]
+    assert o1 == o2, "same seed must reproduce the permutation"
+    assert o1 != o3, "different seed must change the permutation"
+    assert sorted(o1) == list(range(200)) and o1 != list(range(200))
