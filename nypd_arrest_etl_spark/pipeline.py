@@ -94,3 +94,41 @@ def run_etl(
         {"scanned": scanned, "cleaned": kept, "dropped_invalid": scanned - kept}
     )
     return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI parity with the reference's stage entry points (etl.py:59-67,
+    §3.2): ``python -m nypd_arrest_etl_spark.pipeline SRC TARGET``.
+    Env config mirrors the reference's dotenv switches: USE_CSV=true
+    selects the CSV scan (etl.py:24-36), PARTITIONED=true writes the
+    year-partitioned layout."""
+    import argparse
+    import os
+
+    from nypd_arrest_etl_spark.session import get_spark
+
+    p = argparse.ArgumentParser(prog="nypd_arrest_etl_spark.pipeline")
+    p.add_argument("source")
+    p.add_argument("target")
+    p.add_argument("--fmt", choices=["jsonl", "json", "csv"],
+                   default="csv" if os.environ.get("USE_CSV", "").lower() == "true" else "jsonl")
+    p.add_argument("--full", action="store_true", help="disable the incremental watermark")
+    p.add_argument("--partitioned", action="store_true",
+                   default=os.environ.get("PARTITIONED", "").lower() == "true")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="nypd-arrest-etl")
+    res = run_etl(
+        spark,
+        args.source,
+        args.target,
+        fmt=args.fmt,
+        incremental=not args.full,
+        partitioned=args.partitioned,
+    )
+    print({"inserted": res.inserted, **res.details})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
