@@ -1942,6 +1942,34 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
 """
 
 
+_NULL_SEMANTICS_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(value) AS n_nonnull,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(*) FILTER (WHERE value NOT IN
+           (SELECT value FROM events WHERE event_type = 'click' AND value IS NOT NULL))
+         AS n_not_in_clicks
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic showcase: COUNT(*) vs COUNT(col) under
+    nulls, explicit null buckets, and a probe-side-nullable NOT IN —
+    `NULL NOT IN (...)` is UNKNOWN, so null-valued rows never pass the
+    filter; both engines must agree on every branch. The subquery is
+    IS NOT NULL-filtered, so Catalyst plans a plain hash anti-join
+    rather than a null-aware BNLJ. Same SQL text runs on both engines
+    (spark.sql surface)."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
+ORACLE_NULL_SEMANTICS = _NULL_SEMANTICS_SQL
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2006,4 +2034,5 @@ RELATIONAL: dict[str, tuple] = {
         ORACLE_NATION_ACCOUNTS,
     ),
     "trailing_week_revenue": (q_trailing_week_revenue, ORACLE_TRAILING_WEEK_REVENUE),
+    "null_semantics": (q_null_semantics, ORACLE_NULL_SEMANTICS),
 }
