@@ -1947,7 +1947,7 @@ SELECT event_type,
        count(*) AS n_rows,
        count(value) AS n_nonnull,
        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-       count(*) FILTER (WHERE value NOT IN
+       count(value) - count(*) FILTER (WHERE value IN
            (SELECT value FROM events WHERE event_type = 'click' AND value IS NOT NULL))
          AS n_not_in_clicks
 FROM events
@@ -1957,12 +1957,14 @@ GROUP BY event_type
 
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-valued-logic showcase: COUNT(*) vs COUNT(col) under
-    nulls, explicit null buckets, and a probe-side-nullable NOT IN —
-    `NULL NOT IN (...)` is UNKNOWN, so null-valued rows never pass the
-    filter; both engines must agree on every branch. The subquery is
-    IS NOT NULL-filtered, so Catalyst plans a plain hash anti-join
-    rather than a null-aware BNLJ. Same SQL text runs on both engines
-    (spark.sql surface)."""
+    nulls, explicit null buckets, and NOT-IN-clicks computed the
+    scale-safe way. A literal probe-nullable ``NOT IN`` forces the
+    planner into a null-aware ExistenceJoin (a BroadcastNestedLoopJoin
+    — quadratic); with a non-empty null-free build side it is
+    EQUIVALENT to ``count(value) - count(value IN build)`` because a
+    NULL probe passes neither branch (UNKNOWN) — and plain IN needs no
+    null-aware condition, so Catalyst plans a hash ExistenceJoin.
+    Same SQL text runs on both engines (spark.sql surface)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_NULL_SEMANTICS_SQL)
 
