@@ -130,13 +130,17 @@ def group_stats_arrow(
             {
                 key_col: [key[0]],
                 "n": [table.num_rows],
-                "total": [round(pc.sum(col).as_py() or 0.0, round_to)],
+                "total": [pc.sum(col).as_py() or 0.0],
                 "vmin": [pc.min(col).as_py()],
                 "vmax": [pc.max(col).as_py()],
             }
         )
 
     key_type = dict(df.dtypes)[key_col]
-    return df.groupBy(key_col).applyInArrow(
+    out = df.groupBy(key_col).applyInArrow(
         stats, schema=f"{key_col} {key_type}, n long, total double, vmin double, vmax double"
     )
+    # Round JVM-side: Python's round() is banker's (half-to-even) while
+    # F.round and the DuckDB oracles round half away from zero — one
+    # convention everywhere, so the kernel emits the raw sum.
+    return out.withColumn("total", F.round("total", round_to))

@@ -85,33 +85,37 @@ def merge_into_parquet(
     # as an Observation instead of a persist + count + write (which
     # materializes the whole batch into cache memory and runs two
     # actions — at 100 TB the cache either evicts or spills the batch
-    # twice). Tasks with zero rows emit no files, so idempotent
-    # re-runs stay clean on disk.
+    # twice).
     from pyspark.sql import Observation
 
     obs = Observation("merge.inserted")
     fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
-    before = _file_set(table_path)
     writer = fresh.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(table_path)
     n = obs.get["n"]
     if n == 0:
-        # Empty tasks still emit schema-only part files; drop the ones
-        # this run created so idempotent re-runs leave the table
-        # byte-identical (single-writer contract — the reference is a
-        # weekly cron, etl.yml:5-7).
-        for f in _file_set(table_path) - before:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+        # Empty tasks still emit schema-only part files; drop every
+        # zero-row part file so idempotent re-runs leave the table
+        # byte-identical. Only this rare path pays the table listing —
+        # the hot n>0 path never walks the target (at cluster scale a
+        # driver-side walk of a year-partitioned table is not free).
+        # Prior successful merges never leave zero-row files, so
+        # row-count==0 exactly identifies this run's debris. Local-fs
+        # only (like the walk itself); on object stores the leftover
+        # empty files are harmless to readers. Single-writer contract —
+        # the reference is a weekly cron (etl.yml:5-7).
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(table_path):
+            for fname in files:
+                if fname.startswith("_") or not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fname)
+                try:
+                    if pq.ParquetFile(path).metadata.num_rows == 0:
+                        os.remove(path)
+                except OSError:
+                    pass
     return n
-
-
-def _file_set(table_path: str) -> set[str]:
-    out = set()
-    for root, _dirs, files in os.walk(table_path):
-        out.update(os.path.join(root, f) for f in files if not f.startswith("_"))
-    return out

@@ -27,17 +27,21 @@ _KNUTH = 2654435761
 _MASK32 = 4294967296
 
 
+def _portable_hash(key: Column, salt: int) -> Column:
+    """The Knuth multiplicative hash — the ONE definition both the
+    operators and their DuckDB oracles must agree on bit-for-bit."""
+    return F.pmod((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_MASK32))
+
+
 def keep_hash(key: Column, salt: int = 0, portable: bool = False) -> Column:
     """Uniform [0, _DENOM) bucket for a row key.
 
     Default is xxhash64 (JVM, fast, good diffusion). ``portable=True``
-    switches to a Knuth multiplicative hash over integer keys that any
-    SQL engine reproduces exactly — used by the oracle-checked query.
+    switches to the Knuth multiplicative hash over integer keys that
+    any SQL engine reproduces exactly — used by the oracle-checked
+    query.
     """
-    if portable:
-        h = F.pmod((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_MASK32))
-    else:
-        h = F.xxhash64(key, F.lit(salt))
+    h = _portable_hash(key, salt) if portable else F.xxhash64(key, F.lit(salt))
     return F.pmod(h, F.lit(_DENOM))
 
 
@@ -120,7 +124,7 @@ def shuffle_deterministic(
     oracle replays bit-for-bit.
     """
     h = (
-        F.pmod((F.col(key_col).cast("long") + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MASK32))
+        _portable_hash(F.col(key_col), seed)
         if portable
         else F.xxhash64(F.col(key_col), F.lit(seed))
     )

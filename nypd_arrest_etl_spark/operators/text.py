@@ -321,7 +321,15 @@ def chunk_documents(
     """
     assert 0 <= overlap < chunk_chars
     step = chunk_chars - overlap
-    starts = F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(step))
+    # Upper bound len - overlap (not len): a start inside the final
+    # overlap window would yield a chunk fully contained in its
+    # predecessor — zero new content, double-indexed downstream.
+    # Coverage to the end still holds: the last start is > len - chunk.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col) - overlap, F.lit(1)),
+        F.lit(step),
+    )
     return (
         df.select(F.col(id_col), F.col(text_col), F.explode(starts).alias("start"))
         .select(

@@ -248,7 +248,7 @@ SELECT doc_id,
        substring(text, CAST(start AS INT), 512) AS chunk_text,
        CAST(length(substring(text, CAST(start AS INT), 512)) AS INT) AS chunk_chars
 FROM documents,
-     LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1), 448)) AS start) s
+     LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 64, 1), 448)) AS start) s
 """
 
 

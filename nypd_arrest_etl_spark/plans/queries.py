@@ -1817,7 +1817,7 @@ _REVENUE_SPINE_SQL = """
 WITH RECURSIVE months(m) AS (
   SELECT DATE '1995-01-01'
   UNION ALL
-  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-07-01'
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
 ),
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,

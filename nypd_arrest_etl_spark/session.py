@@ -59,10 +59,6 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.idleTimeout", "30min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # read_jsonl case-folds JSON keys into a map; folded duplicates
-        # ("KEY" + "key") must resolve like JSON duplicate keys do
-        # (last wins), not fail the job (default EXCEPTION policy)
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

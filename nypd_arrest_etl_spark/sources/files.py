@@ -74,27 +74,32 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = Non
     parsed = lines.select(
         F.from_json("value", "map<string,variant>").alias("m")
     )
-    # Case-fold the keys in ONE pass, bound to a real column so the 18
-    # downstream references probe the SAME map (m2 is referenced many
-    # times, so CollapseProject cannot inline the rebuild). Each column
-    # is then a cheap element_at probe — measured 2.6x faster than 18
-    # per-column map_filter scans (each of which allocated a filtered
-    # map + values array per row). Keys that collide after folding
-    # resolve LAST_WIN (session conf), matching JSON-standard
-    # duplicate-key behavior.
-    # ...and cast variant->string HERE, once per present entry (~10),
-    # not once per probed column (18): variant casts dominate the bind
-    # cost — measured 3.2x faster this way.
+    # Case-fold keys and cast variant->string in ONE pass over the
+    # entries (casts per present entry ~10, not per probed column 18 —
+    # variant casts dominate bind cost), then drop all but the FIRST
+    # occurrence of each folded key before building the lookup map:
+    # first-wins matches the reference's precedence (the lowercase
+    # column is used when both casings appear, transform.py:68-76) and
+    # map_from_entries would otherwise throw on duplicates under the
+    # default mapKeyDedupPolicy — no session conf required. Each array
+    # is bound to a real column before the next lambda references it
+    # (an inlined expression re-evaluates per element).
+    ents = F.transform(
+        F.map_entries("m"),
+        lambda e: F.struct(
+            F.lower(e["key"]).alias("key"),
+            e["value"].try_cast("string").alias("value"),
+        ),
+    )
+    bound = parsed.select(ents.alias("ents")).select(
+        "ents", F.transform("ents", lambda e: e["key"]).alias("keys")
+    )
     m2 = F.map_from_entries(
-        F.transform(
-            F.map_entries("m"),
-            lambda e: F.struct(
-                F.lower(e["key"]).alias("key"),
-                e["value"].try_cast("string").alias("value"),
-            ),
+        F.filter(
+            "ents", lambda e, i: F.array_position(F.col("keys"), e["key"]) == i + 1
         )
     )
-    low = parsed.select(m2.alias("m2"))
+    low = bound.select(m2.alias("m2"))
     df = low.select(
         *[F.try_element_at("m2", F.lit(c)).alias(c) for c in RAW_SCHEMA.fieldNames()]
     )

@@ -67,10 +67,14 @@ class _DedupProcessor(StatefulProcessor):
         batch_n = 0
         batch_first = None
         for pdf in rows:
-            if len(pdf) and batch_first is None:
-                batch_first = int(pdf["row_id"].iloc[0])
+            if len(pdf):
+                m = int(pdf["row_id"].min())
+                batch_first = m if batch_first is None else min(batch_first, m)
             batch_n += len(pdf)
         if is_first:
+            # min row_id, not "first seen": the post-shuffle batch order
+            # within a group is arbitrary, so min is the only
+            # deterministic definition of the first writer.
             first_id = batch_first
             n_dups += batch_n - 1
         else:

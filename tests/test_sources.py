@@ -36,3 +36,22 @@ def test_orc_round_trip_preserves_schema_and_rows(spark, tmp_path):
     # predicate pushdown reaches the ORC scan
     plan = back.filter(F.col("arrest_key") == "K1")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "arrest_key" in plan
+
+
+def test_jsonl_case_folded_duplicate_keys_first_wins(spark, tmp_path):
+    """A row carrying BOTH casings of a key must not fail the job and
+    must bind the FIRST occurrence (JSON key order) — matching the
+    reference's lowercase-column precedence (transform.py:68-76).
+    Works on any SparkSession: no mapKeyDedupPolicy conf required."""
+    import json
+
+    from nypd_arrest_etl_spark.sources.files import read_jsonl
+
+    p = tmp_path / "dup.jsonl"
+    p.write_text(
+        json.dumps({"arrest_key": "low", "ARREST_KEY": "UP", "arrest_date": "2024-01-01"}) + "\n"
+        + json.dumps({"ARREST_KEY": "only-upper", "arrest_date": "2024-01-02"}) + "\n"
+    )
+    rows = {r["arrest_date"]: r["arrest_key"] for r in read_jsonl(spark, str(p)).collect()}
+    assert rows["2024-01-01"] == "low"
+    assert rows["2024-01-02"] == "only-upper"

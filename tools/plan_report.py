@@ -81,5 +81,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
-    sys.exit(0)
+    raise SystemExit(main())
