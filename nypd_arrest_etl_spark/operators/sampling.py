@@ -132,3 +132,30 @@ def shuffle_deterministic(
         pos_col or "shuffle_pos", key_col
     )
     return out if pos_col else out.drop("shuffle_pos")
+
+
+def check_constraints(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative data-quality audit: each rule is a BOOLEAN column
+    expression that should hold per row; the report is one row per
+    rule with violation counts and rates — the pre/post gate a
+    pipeline runs around every transformation (the engine-native form
+    of the reference's scattered validations, SURVEY S5/T3/T11).
+
+    All rules evaluate in ONE scan (conditional aggregation — no
+    per-rule jobs, no shuffle beyond the single global agg); null rule
+    results count as violations (three-valued logic made explicit).
+    """
+    aggs = []
+    for name, cond in rules.items():
+        viol = F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0))
+        aggs.append(viol.alias(name))
+    total = df.agg(F.count(F.lit(1)).alias("__n"), *aggs).first()
+    n = total["__n"]
+    spark = df.sparkSession
+    rows = [
+        (name, n, int(total[name]), round(int(total[name]) / n, 6) if n else 0.0)
+        for name in rules
+    ]
+    return spark.createDataFrame(
+        rows, "rule string, n_rows long, n_violations long, violation_rate double"
+    )

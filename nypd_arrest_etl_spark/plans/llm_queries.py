@@ -542,6 +542,53 @@ FROM documents
 """
 
 
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over events: all rules in one
+    conditional-aggregation scan; null rule results count as
+    violations (explicit 3VL)."""
+    from nypd_arrest_etl_spark.operators.sampling import check_constraints
+
+    e = t(spark, sf_dir, "events")
+    return check_constraints(
+        e,
+        {
+            "value_nonnegative": F.col("value") >= 0,
+            "event_type_in_domain": F.col("event_type").isin(
+                "click", "view", "purchase", "scroll"
+            ),
+            "user_id_present": F.col("user_id").isNotNull(),
+            "props_is_json": F.col("props").startswith("{"),
+        },
+    )
+
+
+ORACLE_QUALITY_CONSTRAINTS = """
+WITH t AS (SELECT count(*) AS n FROM events)
+SELECT 'value_nonnegative' AS rule, n AS n_rows,
+       (SELECT count(*) FROM events WHERE value >= 0 IS NOT TRUE) AS n_violations,
+       round((SELECT count(*) FROM events WHERE value >= 0 IS NOT TRUE) * 1.0 / n, 6)
+         AS violation_rate
+FROM t
+UNION ALL
+SELECT 'event_type_in_domain', n,
+       (SELECT count(*) FROM events
+        WHERE event_type IN ('click','view','purchase','scroll') IS NOT TRUE),
+       round((SELECT count(*) FROM events
+              WHERE event_type IN ('click','view','purchase','scroll') IS NOT TRUE) * 1.0 / n, 6)
+FROM t
+UNION ALL
+SELECT 'user_id_present', n,
+       (SELECT count(*) FROM events WHERE user_id IS NULL),
+       round((SELECT count(*) FROM events WHERE user_id IS NULL) * 1.0 / n, 6)
+FROM t
+UNION ALL
+SELECT 'props_is_json', n,
+       (SELECT count(*) FROM events WHERE props LIKE '{%' IS NOT TRUE),
+       round((SELECT count(*) FROM events WHERE props LIKE '{%' IS NOT TRUE) * 1.0 / n, 6)
+FROM t
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass dataset profile of the documents table (row count,
     nulls, exact distincts per column) — the health check a curation
@@ -638,6 +685,7 @@ LLM_OPS: dict[str, tuple] = {
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
+    "quality_constraints": (q_quality_constraints, ORACLE_QUALITY_CONSTRAINTS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "multimodal_frames": (q_media_frames, None),

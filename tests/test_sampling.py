@@ -81,3 +81,20 @@ def test_shuffle_deterministic_is_seed_stable_and_total(spark):
     assert o1 == o2, "same seed must reproduce the permutation"
     assert o1 != o3, "different seed must change the permutation"
     assert sorted(o1) == list(range(200)) and o1 != list(range(200))
+
+
+def test_check_constraints_single_scan_and_null_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.sampling import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {r["rule"]: r for r in check_constraints(
+        df, {"v_nonneg": F.col("v") >= 0, "id_low": F.col("id") <= 2}
+    ).collect()}
+    # NULL >= 0 is UNKNOWN -> violation (explicit 3VL)
+    assert out["v_nonneg"]["n_violations"] == 2
+    assert out["v_nonneg"]["violation_rate"] == round(2 / 3, 6)
+    assert out["id_low"]["n_violations"] == 1
