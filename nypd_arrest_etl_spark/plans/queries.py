@@ -483,6 +483,50 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in F.session_window in BATCH mode (the same operator the
+    streaming path uses) — 30-min-gap sessions per user. The oracle
+    replays the gap semantics with the lag/running-sum rewrite, so
+    this also PROVES the built-in and the manual sessionization
+    (q_sessionize) agree. One shuffle on user_id."""
+    e = events_with_ts(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_BATCH = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         coalesce(value, 0.0) AS v
+  FROM events
+), flagged AS (
+  SELECT user_id, sec, v,
+         CASE WHEN sec - lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+), sessions AS (
+  SELECT user_id, sec, v,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(sec) AS session_start,
+       count(*) AS n_events, round(sum(v), 2) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective filters on both fact sides pushed to
     the scans, customer broadcast, lineitem-orders join shuffles on
@@ -2037,4 +2081,5 @@ RELATIONAL: dict[str, tuple] = {
     ),
     "trailing_week_revenue": (q_trailing_week_revenue, ORACLE_TRAILING_WEEK_REVENUE),
     "null_semantics": (q_null_semantics, ORACLE_NULL_SEMANTICS),
+    "session_window_batch": (q_session_window_batch, ORACLE_SESSION_WINDOW_BATCH),
 }
