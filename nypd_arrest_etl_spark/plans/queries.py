@@ -37,13 +37,20 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``sec`` — floor-seconds epoch, matching DuckDB floor(epoch(ts))
     """
     e = t(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] in ("bigint", "long"):
+    dt = dict(e.dtypes)["ts"]
+    if dt in ("bigint", "long"):
         return e.withColumns(
             {
                 "sec": F.expr("ts div 1000000000"),
                 "ts": F.timestamp_micros(F.expr("ts div 1000")),
             }
         )
+    if dt == "timestamp_ntz":
+        # TIMESTAMP(MICROS) without UTC adjustment reads as NTZ; with the
+        # session tz pinned to UTC (session.py) the cast to TimestampType is
+        # wall-clock-identical, and downstream epoch math (cast to long,
+        # unix_timestamp) matches DuckDB's epoch(ts).
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e.withColumn("sec", F.unix_timestamp("ts"))
 
 
