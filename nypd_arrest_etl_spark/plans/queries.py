@@ -29,9 +29,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with usable time columns.
 
-    The parquet stores TIMESTAMP(NANOS); with nanosAsLong the scan
-    yields int64 nanoseconds. Integer division keeps conversions exact
-    (a double round-trip of an ns epoch loses ~hundreds of ns):
+    Two physical layouts of ``events.ts`` are handled, both seen from
+    the driver's generators:
+    - int64 TIMESTAMP(NANOS) read via ``nanosAsLong`` → bigint nanos;
+    - TIMESTAMP(MICROS) without UTC-adjustment metadata → timestamp_ntz.
+
+    Integer division keeps conversions exact (a double round-trip of an
+    ns epoch loses ~hundreds of ns):
     - ``ts``  — microsecond TimestampType (what Spark itself would
       produce for µs data; usable by F.window / watermarks)
     - ``sec`` — floor-seconds epoch, matching DuckDB floor(epoch(ts))
@@ -46,11 +50,19 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     if dt == "timestamp_ntz":
-        # TIMESTAMP(MICROS) without UTC adjustment reads as NTZ; with the
-        # session tz pinned to UTC (session.py) the cast to TimestampType is
-        # wall-clock-identical, and downstream epoch math (cast to long,
-        # unix_timestamp) matches DuckDB's epoch(ts).
-        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        # The NTZ wall-clock is the UTC instant. Pure NTZ arithmetic
+        # (timestampdiff against the NTZ epoch) yields epoch micros with
+        # no session-timezone dependence — a caller with an unpinned
+        # SparkSession gets the same epochs as the UTC-pinned factory in
+        # session.py (an NTZ->timestamp CAST would not: it reinterprets
+        # the wall-clock in the session zone).
+        us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        return e.withColumns(
+            {
+                "sec": F.expr(f"({us}) div 1000000"),
+                "ts": F.timestamp_micros(F.expr(us)),
+            }
+        )
     return e.withColumn("sec", F.unix_timestamp("ts"))
 
 
