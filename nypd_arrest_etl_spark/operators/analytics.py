@@ -1,0 +1,193 @@
+"""Event/entity analytics operators: funnel conversion, cohort
+retention, SCD2 history construction.
+
+The reference has no analytics surface at all (SURVEY.md §2d/§2f mark
+every aggregation/window category ABSENT); these are the standard
+product-analytics operators an engine with an events table is expected
+to serve, built to hold at 100 TB:
+
+- every operator shuffles AT MOST once per distinct partitioning key
+  (consecutive Window specs over the same partitionBy share one
+  exchange + sort; aggregations on the same key reuse it too);
+- no driver-side state, no collect, no iteration;
+- event-time columns stay TimestampType so the same plans run under
+  Structured Streaming with a watermark swapped in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion over an events table.
+
+    A user completes step k when an event of type ``steps[k]`` occurs
+    STRICTLY AFTER their completion of step k-1 (first-touch
+    semantics: the earliest qualifying event per step counts).
+    Returns one row per funnel step: (step, step_name, n_users,
+    conversion_rate) where conversion_rate is vs step 1's population.
+
+    Plan shape: all per-user step times are nested window minima over
+    ONE partitioning (user) — Catalyst plans consecutive Window
+    operators over the same partitionBy with a single exchange + sort,
+    so the whole funnel costs one shuffle of the filtered events plus
+    one tiny final aggregation. No joins, no per-step passes: adding a
+    step adds a column, not a scan. (The alternative agg-join-agg
+    chain re-shuffles per step; at 100 TB that is k shuffles of the
+    fact table instead of one.)
+    """
+    w = Window.partitionBy(user_col)
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        user_col, type_col, ts_col
+    )
+    # t_k = min ts of step-k events after t_{k-1}; chained selects keep
+    # each t_k a plain column the next window expression can reference.
+    prev = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        ev = ev.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"t{i}"
+    per_user = ev.groupBy(user_col).agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    # One-row result pivots to step rows driver-free via stack.
+    stack_args = ", ".join(
+        f"{i + 1}, '{steps[i]}', n{i}" for i in range(len(steps))
+    )
+    n0 = F.col("n0")
+    return (
+        counts.select(
+            F.expr(
+                f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+            ),
+            n0.alias("_n0"),
+        )
+        .select(
+            F.col("step").cast("int").alias("step"),
+            "step_name",
+            "n_users",
+            F.round(
+                F.when(F.col("_n0") > 0, F.col("n_users") / F.col("_n0")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("step")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    max_weeks: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Cohort = the Monday-truncated week of a user's FIRST event; a user
+    counts as retained in offset k if they have any event in cohort
+    week + k weeks. Returns (cohort_week DATE, week_offset INT,
+    n_active LONG, retention_rate) with retention vs the cohort's
+    offset-0 size.
+
+    Plan: first-event week via one window min over user (1 shuffle),
+    distinct (cohort, offset, user) map-side, then a single agg on
+    (cohort, offset) and a broadcast-sized join back for the cohort
+    denominators. The user-keyed shuffle dominates and happens once.
+    """
+    w = Window.partitionBy(user_col)
+    week = F.date_trunc("week", F.col(ts_col))
+    active = (
+        events.select(
+            F.col(user_col).alias("u"),
+            week.alias("wk"),
+            F.min(week).over(w).alias("cohort_wk"),
+        )
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .select("cohort_wk", "week_offset", "u")
+        .distinct()
+    )
+    counts = active.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        counts.join(F.broadcast(base), "cohort_wk")
+        .select(
+            F.to_date("cohort_wk").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    feed: collapse consecutive rows with the same attribute value into
+    validity intervals (valid_from, valid_to, is_current).
+
+    ``seq_col`` breaks timestamp ties deterministically (two changes at
+    the same instant resolve by sequence order — without it the lag
+    comparison is nondeterministic under shuffle).
+
+    Plan: two window passes over ONE (key, time, seq) sort — change
+    detection via lag, then interval close via lead on the filtered
+    change rows. Spark executes both over a single exchange; the
+    filter between them is narrow. This is the standard
+    warehouse-merge building block (the reference's ON CONFLICT merge,
+    SURVEY K4, is the degenerate keep-first case with no history).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
+    changes = (
+        df.select(key_col, attr_col, time_col, seq_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(time_col, seq_col)
+    return (
+        changes.withColumn("valid_to", F.lead(time_col).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(time_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

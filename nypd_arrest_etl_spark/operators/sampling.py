@@ -81,6 +81,44 @@ def stratified_hash_sample(
     return df.filter(keep_hash(F.col(key_col), salt, portable) < cut)
 
 
+def fixed_size_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    m: int,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """EXACTLY min(m, |group|) rows per group, deterministically.
+
+    Fraction sampling (``hash_sample``) cannot hit a fixed budget per
+    source; training mixes are usually specified as "N docs from each
+    source". Rank rows inside each group by hash(key, salt) — an
+    unbiased, reproducible order uncorrelated with any natural key —
+    and keep the first m. Tie-break on the key itself so the cut is
+    total even under hash collisions.
+
+    Plan: one shuffle on ``group_col`` + sort, and Catalyst rewrites
+    rank<=m into WindowGroupLimit (per-partition top-m pushed BEFORE
+    the shuffle), so the exchange moves at most m rows per group per
+    input partition, not the whole corpus. Skewed giant groups
+    therefore cost map-side heap maintenance, not a hot reducer.
+    """
+    h = (
+        _portable_hash(F.col(key_col), salt)
+        if portable
+        else F.xxhash64(F.col(key_col), F.lit(salt))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .drop("_rk")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass per-column profile: (column_name, n_rows, n_nulls,
     n_distinct).

@@ -34,15 +34,19 @@ FROM documents GROUP BY 1
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    """Word 4-gram shingles: on short synthetic docs (tiny vocab) the
+    standard 4-5 word shingle makes prefix filtering selective (bigram
+    shingles leave every posting hot: 264x more candidate pairs for the
+    same qualifying pair set)."""
+    return D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8, n=4)
 
 
 # Naive exact oracle (all-pairs via shingle join) — the Spark side uses
 # prefix filtering but must return the identical pair set.
 ORACLE_JACCARD_PAIRS = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS sh
-        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t),
 sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
           FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -55,11 +59,11 @@ WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.8, n=4)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3, n=4)
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,14 +107,14 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_rep) for every doc in a near-dup cluster.
     Iterative min-label propagation; oracle replays it with a
     recursive CTE."""
-    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = D.jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8, n=4)
     return D.connected_components(pairs)
 
 
 ORACLE_NEARDUP_CLUSTERS = """
 WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS sh
-        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t),
 sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
           FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -367,14 +371,21 @@ FROM s
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint containment pairs (hash-based; rows-only
-    check — exact-guarantee unit tests live in tests/test_text.py)."""
-    return TX.containment_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    check — exact-guarantee unit tests live in tests/test_text.py).
+
+    k=24/w=12 (guaranteed detection of shared substrings >= 35 chars):
+    on short small-vocab docs, k=8 char-grams are so non-selective that
+    the postings self-join upper bound is ~110M pairs; k=24 drops it to
+    ~16k with an identical result pair set."""
+    return TX.containment_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5, k=24, window=12
+    )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint cardinality per doc (hash values are
     xxhash64 — not SQL-expressible; rows-only check)."""
-    fp = TX.fingerprint_winnow(t(spark, sf_dir, "documents"))
+    fp = TX.fingerprint_winnow(t(spark, sf_dir, "documents"), k=24, window=12)
     return fp.select("doc_id", F.size("fingerprints").cast("long").alias("n_fingerprints"))
 
 

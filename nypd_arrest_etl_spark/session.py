@@ -59,6 +59,18 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.worker.idleTimeout", "30min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+        # explode(). For arrays COMPUTED by nested higher-order functions
+        # (shingles, winnowing fingerprints, minhash signatures — this
+        # engine's bread and butter) CollapseProject + predicate pushdown
+        # inline the whole lambda chain into that filter and push it below
+        # any Repartition: the corpus-wide array pipeline then re-executes
+        # single-partition AND per-element (O(n^2) per doc). The skip it
+        # buys (empty arrays) is one cheap branch in the Generate itself.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
