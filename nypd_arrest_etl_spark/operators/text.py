@@ -406,3 +406,55 @@ def repetition_stats(
         .otherwise(F.lit(0.0))
         .alias("top_gram_frac"),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram language-model score per document: the mean
+    log2 of the conditional bigram probability c(w1 w2)/c(w1 ·),
+    estimated from the corpus itself. A cheap KenLM-perplexity
+    stand-in: documents whose word transitions are rare relative to
+    the corpus (garbled text, wrong language, boilerplate soup) score
+    low and become curation-filter candidates.
+
+    Plan (two aggregations, both on uniformly-hashed string keys):
+    explode word bigrams -> count by bigram (map-side partial agg
+    collapses to the distinct-bigram table) -> derive the w1 marginal
+    from the bigram table itself (NOT from a second corpus pass: the
+    bigram table is orders of magnitude smaller than the postings) ->
+    join counts back to the postings and average per doc. The join is
+    bigram-table-sized on the build side; AQE broadcasts it when it
+    fits. Docs with < 2 tokens score null (no transitions observed).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n_tok = F.size("toks")
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = base.select("doc_id", F.explode(grams).alias("g"))
+
+    big = postings.groupBy("g").agg(F.count("*").alias("c2"))
+    # w1 marginal: sum bigram counts by first word — the bigram table
+    # is the input, so this re-aggregation is tiny.
+    w1 = F.substring_index(F.col("g"), " ", 1)
+    marg = big.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    probs = big.join(
+        marg, F.substring_index(big["g"], " ", 1) == marg["w1"]
+    ).select("g", (F.log2(F.col("c2") / F.col("c1"))).alias("lp"))
+
+    return (
+        postings.join(probs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_log2p"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Event/entity analytics query declarations (funnel, retention,
+SCD2) with DuckDB oracle twins.
+
+Same contract as plans.queries: every computed column aliased
+identically on both sides; rounding collapses cross-engine float
+noise. The events table goes through events_with_ts (plans.queries)
+so both physical ts layouts land on identical microsecond timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nypd_arrest_etl_spark.operators import analytics as A
+from nypd_arrest_etl_spark.plans.queries import events_with_ts, t
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase first-touch funnel. One user-keyed
+    shuffle total (chained window minima share the exchange)."""
+    ev = events_with_ts(spark, sf_dir)
+    return A.funnel(ev, ["view", "click", "purchase"])
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+u0 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+       FROM e GROUP BY user_id),
+u1 AS (SELECT u0.user_id, t0,
+              min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END) AS t1
+       FROM u0 LEFT JOIN e ON e.user_id = u0.user_id GROUP BY u0.user_id, t0),
+u2 AS (SELECT u1.user_id, t0, t1,
+              min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END) AS t2
+       FROM u1 LEFT JOIN e ON e.user_id = u1.user_id GROUP BY u1.user_id, t0, t1),
+c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM u2)
+SELECT CAST(s.step AS INT) AS step, s.step_name, s.n_users,
+       round(CASE WHEN n0 > 0 THEN s.n_users * 1.0 / n0 ELSE 0 END, 6)
+           AS conversion_rate
+FROM c, LATERAL (
+  SELECT 1 AS step, 'view' AS step_name, n0 AS n_users
+  UNION ALL SELECT 2, 'click', n1
+  UNION ALL SELECT 3, 'purchase', n2
+) s
+ORDER BY step
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events (8-week horizon)."""
+    ev = events_with_ts(spark, sf_dir)
+    return A.retention_cohorts(ev, max_weeks=8)
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH f AS (SELECT user_id, date_trunc('week', ts) AS wk,
+                  min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cwk
+           FROM events),
+a AS (SELECT DISTINCT cwk,
+             CAST(date_diff('day', cwk, wk) / 7 AS INT) AS week_offset, user_id
+      FROM f WHERE date_diff('day', cwk, wk) / 7 <= 8),
+c AS (SELECT cwk, week_offset, count(*) AS n_active FROM a GROUP BY 1, 2),
+b AS (SELECT cwk, n_active AS n_cohort FROM c WHERE week_offset = 0)
+SELECT CAST(c.cwk AS DATE) AS cohort_week, week_offset, n_active,
+       round(n_active * 1.0 / n_cohort, 6) AS retention_rate
+FROM c JOIN b USING (cwk)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_status_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each customer's order-status stream: collapse
+    consecutive equal statuses into validity intervals."""
+    orders = t(spark, sf_dir, "orders")
+    return A.scd2_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderstatus",
+        time_col="o_orderdate",
+        seq_col="o_orderkey",
+    )
+
+
+ORACLE_STATUS_HISTORY_SCD2 = """
+WITH s AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  lag(o_orderstatus) OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM s
+       WHERE prev IS NULL OR o_orderstatus <> prev)
+SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+           AS is_current
+FROM ch
+"""
+
+
+ANALYTICS: dict[str, tuple] = {
+    "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
+    "status_history_scd2": (q_status_history_scd2, ORACLE_STATUS_HISTORY_SCD2),
+}

@@ -670,6 +670,58 @@ FROM documents
 """
 
 
+def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per source by portable-hash rank — the
+    fixed-budget-per-source form of training-mix construction
+    (WindowGroupLimit pushes the top-m before the shuffle)."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    return S.fixed_size_per_group(
+        t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        group_col="source",
+        m=20,
+        salt=7,
+        portable=True,
+    ).select("doc_id", "source")
+
+
+# Knuth multiplicative hash replayed bit-for-bit (operators.sampling):
+# ((doc_id + salt) * 2654435761) mod 2^32, ranked ascending with doc_id
+# tie-break.
+ORACLE_SAMPLE_FIXED = """
+WITH h AS (SELECT doc_id, source,
+                  ((doc_id + 7) * 2654435761) % 4294967296 AS hh
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+      FROM h)
+SELECT doc_id, source FROM r WHERE rk <= 20
+"""
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM score per doc (KenLM-perplexity stand-in for
+    curation filtering)."""
+    return TX.ngram_lm_score(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_LM_SCORE = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(lower(trim(text)), ' '),
+                                 t -> t <> '') AS l
+              FROM documents),
+post AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+big AS (SELECT g, count(*) AS c2 FROM post GROUP BY g),
+marg AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1 FROM big GROUP BY 1),
+probs AS (SELECT g, log2(c2 * 1.0 / c1) AS lp
+          FROM big JOIN marg ON split_part(big.g, ' ', 1) = marg.w1)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_log2p
+FROM post JOIN probs USING (g) GROUP BY doc_id
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -699,6 +751,8 @@ LLM_OPS: dict[str, tuple] = {
     "quality_constraints": (q_quality_constraints, ORACLE_QUALITY_CONSTRAINTS),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "sample_fixed_per_source": (q_sample_fixed, ORACLE_SAMPLE_FIXED),
+    "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
     "multimodal_frames": (q_media_frames, None),
     "multimodal_resize": (q_media_resize, None),
 }

@@ -1,0 +1,146 @@
+"""Unit tests for funnel / retention / SCD2 / fixed-size sampling /
+n-gram LM operators (edge semantics the sf-data oracle can't isolate)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators import analytics as A
+from nypd_arrest_etl_spark.operators import sampling as S
+from nypd_arrest_etl_spark.operators import text as TX
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def events(spark):
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, ts("2024-01-01T10:00:00"), "view"),
+        (1, ts("2024-01-01T10:05:00"), "click"),
+        (1, ts("2024-01-01T10:10:00"), "purchase"),
+        # u2: purchase BEFORE any view -> only step 1 counts
+        (2, ts("2024-01-01T09:00:00"), "purchase"),
+        (2, ts("2024-01-01T11:00:00"), "view"),
+        # u3: view then click, no purchase
+        (3, ts("2024-01-02T08:00:00"), "view"),
+        (3, ts("2024-01-02T08:01:00"), "click"),
+        # u4: click only -> no funnel entry
+        (4, ts("2024-01-02T07:00:00"), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(events):
+    out = {
+        r["step_name"]: r
+        for r in A.funnel(events, ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"]["n_users"] == 3  # u1, u2, u3
+    assert out["click"]["n_users"] == 2  # u1, u3 (u4 never viewed)
+    assert out["purchase"]["n_users"] == 1  # u1 only (u2's purchase predates view)
+    assert out["purchase"]["conversion_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_funnel_single_shuffle_plan(events):
+    plan = A.funnel(events, ["view", "click", "purchase"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    # chained window minima over one partitioning -> exactly one
+    # user-keyed exchange (plus the 1-row final agg's exchange)
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_retention_cohorts(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:00")),  # cohort week Mon 2024-01-01
+        (1, ts("2024-01-09T00:00:00")),  # +1 week
+        (2, ts("2024-01-03T00:00:00")),  # same cohort
+        (2, ts("2024-01-25T00:00:00")),  # +3 weeks
+        (3, ts("2024-01-10T00:00:00")),  # cohort week Mon 2024-01-08
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_week"]), r["week_offset"]): r for r in
+           A.retention_cohorts(ev, max_weeks=8).collect()}
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 3)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention_rate"] == pytest.approx(0.5)
+    assert out[("2024-01-08", 0)]["n_active"] == 1
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    rows = [
+        (1, "O", ts("2024-01-01T00:00:00"), 1),
+        (1, "O", ts("2024-01-02T00:00:00"), 2),  # same status -> collapsed
+        (1, "F", ts("2024-01-05T00:00:00"), 3),
+        (1, "O", ts("2024-01-09T00:00:00"), 4),  # back to O -> NEW interval
+        (2, "F", ts("2024-01-01T00:00:00"), 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, t timestamp, seq long")
+    out = A.scd2_history(df, "k", "st", "t", "seq").orderBy("k", "valid_from").collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert [r["st"] for r in k1] == ["O", "F", "O"]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"]
+
+
+def test_scd2_tie_break_deterministic(spark):
+    # two changes at the SAME timestamp resolve by seq
+    rows = [
+        (1, "A", ts("2024-01-01T00:00:00"), 10),
+        (1, "B", ts("2024-01-01T00:00:00"), 20),
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, t timestamp, seq long")
+    out = A.scd2_history(df, "k", "st", "t", "seq").orderBy("valid_from", "st").collect()
+    cur = [r["st"] for r in out if r["is_current"]]
+    assert cur == ["B"]
+
+
+def test_fixed_size_per_group_exact_and_deterministic(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    a = S.fixed_size_per_group(df, "doc_id", "src", m=10, salt=1)
+    b = S.fixed_size_per_group(df.repartition(7), "doc_id", "src", m=10, salt=1)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert len(ra) == 30 and ra == rb  # exact size, partitioning-independent
+    c = S.fixed_size_per_group(df, "doc_id", "src", m=10, salt=2)
+    assert sorted(r["doc_id"] for r in c.collect()) != ra  # salt redraws
+    # small group: returns the whole group, no padding
+    tiny = S.fixed_size_per_group(df.filter("doc_id < 2"), "doc_id", "src", m=10)
+    assert tiny.count() == 2
+
+
+def test_fixed_size_plan_uses_window_group_limit(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    plan = S.fixed_size_per_group(df, "doc_id", "src", m=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_lm_score_matches_hand_computation(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.ngram_lm_score(docs).collect()}
+    # corpus bigrams: d1: (a b),(b a),(a b); d2: (a b),(b x)
+    # c2: ab=3, ba=1, bx=1 ; marginals over bigram starts: a·=3, b·=2
+    lp = {"ab": math.log2(3 / 3), "ba": math.log2(1 / 2), "bx": math.log2(1 / 2)}
+    exp1 = (lp["ab"] + lp["ba"] + lp["ab"]) / 3
+    exp2 = (lp["ab"] + lp["bx"]) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_log2p"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["avg_log2p"] == pytest.approx(exp2, abs=1e-6)
+    assert 3 not in out  # single-token doc has no transitions
