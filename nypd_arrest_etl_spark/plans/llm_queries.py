@@ -670,6 +670,24 @@ FROM documents
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 16-merge BPE vocabulary on the corpus (iterative
+    distributed pair counts, driver argmax per merge) and tokenize
+    every document with it. Iterative trainer output is not
+    SQL-expressible — rows-only check; exact-semantics unit tests in
+    tests/test_bpe.py."""
+    from nypd_arrest_etl_spark.operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, num_merges=16)
+    out = B.bpe_tokenize(docs, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_uniq_tokens"),
+    )
+
+
 def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per source by portable-hash rank — the
     fixed-budget-per-source form of training-mix construction
@@ -753,6 +771,7 @@ LLM_OPS: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "sample_fixed_per_source": (q_sample_fixed, ORACLE_SAMPLE_FIXED),
     "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
+    "text_bpe_tokens": (q_bpe_tokens, None),
     "multimodal_frames": (q_media_frames, None),
     "multimodal_resize": (q_media_resize, None),
 }
