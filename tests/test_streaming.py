@@ -376,3 +376,55 @@ def test_transform_with_state_dedup_stream(spark, tmp_path):
     # batch 2: A's state carried over -> cumulative 2 dups, first_id kept
     assert rows[("A", False)] == (1, 2)
     assert rows[("C", True)] == (5, 0)
+
+
+def test_funnel_stream_advances_across_batches(spark, tmp_path):
+    """Streaming funnel: stage machine persists per user across
+    microbatches; out-of-order events before the last completion do
+    not advance; idle users are GC'd by event-time timeout."""
+    from nypd_arrest_etl_spark.streaming.funnel import funnel_stream
+
+    src = tmp_path / "funnel"
+    src.mkdir()
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "b1.json",
+            [
+                # u1 view+click in one batch, delivered out of order
+                {"ts": "2024-03-01T10:01:00Z", "event_type": "click", "user_id": 1},
+                {"ts": "2024-03-01T10:00:00Z", "event_type": "view", "user_id": 1},
+                # u2: purchase BEFORE any view -> must not advance
+                {"ts": "2024-03-01T10:00:00Z", "event_type": "purchase", "user_id": 2},
+            ],
+        )
+        q.processAllAvailable()
+        _write_jsonl(
+            src / "b2.json",
+            [
+                {"ts": "2024-03-01T10:05:00Z", "event_type": "purchase", "user_id": 1},
+                {"ts": "2024-03-01T10:06:00Z", "event_type": "view", "user_id": 2},
+                # u1 late view BEFORE its click completion -> ignored
+                {"ts": "2024-03-01T10:00:30Z", "event_type": "view", "user_id": 1},
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_id"], r["step"]): r["step_name"]
+        for r in spark.sql("select * from t_funnel").collect()
+    }
+    assert rows == {
+        (1, 1): "view",
+        (1, 2): "click",
+        (1, 3): "purchase",
+        (2, 1): "view",
+    }
