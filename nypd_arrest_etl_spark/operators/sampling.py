@@ -197,3 +197,55 @@ def check_constraints(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
     return spark.createDataFrame(
         rows, "rule string, n_rows long, n_violations long, violation_rate double"
     )
+
+
+def histogram(
+    df: DataFrame, col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n_rows).
+
+    Two aggregations total, independent of bin count: a 1-row min/max
+    agg (broadcast back as a literal-free cross join — one row, zero
+    shuffle weight) and one groupBy on the computed bin index. Nulls
+    are excluded; the max value lands in the last bin (right edge
+    inclusive there, standard histogram convention). Bins with zero
+    rows are emitted (the report is the full bin spine, join-filled),
+    so downstream plotting/drift checks see a fixed-shape result.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    rng = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    # bin = floor((x - lo) / width), clamped so x == hi joins the last bin
+    binned = vals.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(bins - 1),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / bins)),
+            ).otherwise(F.lit(0)),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").alias("n_rows"))
+    spine = (
+        spark.range(bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / bins, 6).alias("lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / bins, 6).alias("hi"),
+        )
+    )
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin", "lo", "hi", F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows")
+        )
+        .orderBy("bin")
+    )

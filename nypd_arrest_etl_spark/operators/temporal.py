@@ -138,3 +138,92 @@ def range_pair_join(
             dt.alias("dt"),
         )
     )  # no dedup needed: each qualifying pair matches exactly one bucket key
+
+
+def resample_interpolate(
+    df: DataFrame,
+    every_seconds: int,
+    key_col: str = "user_id",
+    sec_col: str = "sec",
+    val_col: str = "value",
+    value_scale: int | None = None,
+) -> DataFrame:
+    """Per-key regular-grid resampling with linear interpolation —
+    (key, bucket_sec, value, is_observed) at every ``every_seconds``
+    step between the key's first and last observation.
+
+    Observed buckets carry the mean of their values; empty buckets
+    interpolate linearly between the nearest observed buckets
+    (endpoints extend flat). The time-series shape every metrics store
+    serves, built from three window passes over ONE (key, bucket)
+    sort:
+
+    scan -> bucket-mean groupBy (1 shuffle) -> per-key grid via
+    sequence()/explode (narrow: the grid generates inside the key's
+    partition, no grid table is shuffled) -> forward fill
+    (last ignorenulls) + backward fill (first ignorenulls over the
+    reversed frame) of both value and its bucket -> interpolate.
+    Consecutive Window specs share one exchange+sort; the plan
+    shuffles the BUCKET table (|keys| x |buckets|), never raw events,
+    and grid density is capped by each key's own observation span.
+    """
+    bucket = (F.floor(F.col(sec_col) / every_seconds) * every_seconds).cast("long")
+    # value_scale: when the metric is fixed-point with that many decimals
+    # (a price, a 2-decimal gauge), accumulate EXACT integers and divide
+    # once — the mean is then bit-identical regardless of summation order,
+    # which floating avg() is not (cross-engine/partitioning ulp wobble
+    # can straddle any later rounding boundary). None = plain avg.
+    src = df.select(
+        F.col(key_col).alias("k"), bucket.alias("b"), F.col(val_col).alias("v")
+    )
+    if value_scale is not None:
+        scale = 10 ** value_scale
+        means = src.groupBy("k", "b").agg(
+            (
+                F.sum(F.round(F.col("v") * scale).cast("long"))
+                / (F.lit(float(scale)) * F.count("v"))
+            ).alias("v")
+        )
+    else:
+        means = src.groupBy("k", "b").agg(F.avg("v").alias("v"))
+    span = means.groupBy("k").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = span.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.lit(int(every_seconds)))
+        ).alias("b"),
+    )
+    g = grid.join(means, ["k", "b"], "left")
+    wf = Window.partitionBy("k").orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.partitionBy("k").orderBy("b").rowsBetween(0, Window.unboundedFollowing)
+    obs_b = F.when(F.col("v").isNotNull(), F.col("b"))
+    filled = g.select(
+        "k",
+        "b",
+        "v",
+        F.last("v", ignorenulls=True).over(wf).alias("pv"),
+        F.last(obs_b, ignorenulls=True).over(wf).alias("pb"),
+        F.first("v", ignorenulls=True).over(wb).alias("nv"),
+        F.first(obs_b, ignorenulls=True).over(wb).alias("nb"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("b") - F.col("pb"))
+            / (F.col("nb") - F.col("pb"))
+        )
+    )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): interpolation on a
+    # regular grid produces EXACT decimal halves (midpoints of fixed-point
+    # means), where engines disagree on half-rounding direction; floor of
+    # the same double is deterministic everywhere.
+    return filled.select(
+        F.col("k").alias(key_col),
+        F.col("b").alias("bucket_sec"),
+        (F.floor(interp * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )

@@ -104,3 +104,49 @@ ANALYTICS: dict[str, tuple] = {
     "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
     "status_history_scd2": (q_status_history_scd2, ORACLE_STATUS_HISTORY_SCD2),
 }
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of event values with linear
+    interpolation of empty buckets (endpoints extend flat)."""
+    from nypd_arrest_etl_spark.operators.temporal import resample_interpolate
+
+    ev = events_with_ts(spark, sf_dir)
+    return resample_interpolate(ev, every_seconds=3600, value_scale=2)
+
+
+ORACLE_RESAMPLE_HOURLY = """
+WITH m AS (SELECT user_id AS k,
+                  CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS b,
+                  sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(value)) AS v
+           FROM events GROUP BY 1, 2),
+span AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM m GROUP BY k),
+grid AS (SELECT k, CAST(gs AS BIGINT) AS b
+         FROM span, LATERAL (SELECT unnest(generate_series(b0, b1, 3600)) AS gs) t),
+g AS (SELECT grid.k, grid.b, m.v
+      FROM grid LEFT JOIN m ON grid.k = m.k AND grid.b = m.b),
+f AS (SELECT k, b, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+          (PARTITION BY k ORDER BY b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM g)
+SELECT k AS user_id, b AS bucket_sec,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (b - pb) / (nb - pb) END) * 1000000 + 0.5)
+           / 1000000 AS value,
+       v IS NOT NULL AS is_observed
+FROM f
+"""
+
+ANALYTICS["resample_hourly"] = (q_resample_hourly, ORACLE_RESAMPLE_HOURLY)

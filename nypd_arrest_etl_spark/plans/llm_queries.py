@@ -670,6 +670,32 @@ FROM documents
 """
 
 
+def q_histogram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths (10 bins; full bin
+    spine emitted, zero bins included)."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    return S.histogram(t(spark, sf_dir, "documents"), "n_chars", bins=10)
+
+
+ORACLE_HISTOGRAM_CHARS = """
+WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+r AS (SELECT min(x) AS rlo, max(x) AS rhi FROM v),
+b AS (SELECT least(9, CAST(floor((x - rlo) / ((rhi - rlo) / 10)) AS INT)) AS bin
+      FROM v, r),
+c AS (SELECT bin, count(*) AS n_rows FROM b GROUP BY bin),
+spine AS (SELECT CAST(i AS INT) AS bin,
+                 round(rlo + i * (rhi - rlo) / 10, 6) AS lo,
+                 round(rlo + (i + 1) * (rhi - rlo) / 10, 6) AS hi
+          FROM r, (SELECT unnest(generate_series(0, 9)) AS i))
+SELECT spine.bin, lo, hi,
+       CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows
+FROM spine LEFT JOIN c ON spine.bin = c.bin
+ORDER BY spine.bin
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 16-merge BPE vocabulary on the corpus (iterative
     distributed pair counts, driver argmax per merge) and tokenize
@@ -772,6 +798,7 @@ LLM_OPS: dict[str, tuple] = {
     "sample_fixed_per_source": (q_sample_fixed, ORACLE_SAMPLE_FIXED),
     "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
     "text_bpe_tokens": (q_bpe_tokens, None),
+    "histogram_chars": (q_histogram_chars, ORACLE_HISTOGRAM_CHARS),
     "multimodal_frames": (q_media_frames, None),
     "multimodal_resize": (q_media_resize, None),
 }

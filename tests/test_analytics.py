@@ -144,3 +144,54 @@ def test_ngram_lm_score_matches_hand_computation(spark):
     assert out[1]["avg_log2p"] == pytest.approx(exp1, abs=1e-6)
     assert out[2]["avg_log2p"] == pytest.approx(exp2, abs=1e-6)
     assert 3 not in out  # single-token doc has no transitions
+
+
+def test_histogram_bins_and_spine(spark):
+    from nypd_arrest_etl_spark.operators.sampling import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 2, 3, 10]], "x double")
+    out = histogram(df, "x", bins=5).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3, 4]
+    # width 2: [0,2)=2 rows, [2,4)=2, [4,6)=0, [6,8)=0, [8,10]=1 (max inclusive)
+    assert [r["n_rows"] for r in out] == [2, 2, 0, 0, 1]
+    assert out[0]["lo"] == 0.0 and out[-1]["hi"] == 10.0
+    # degenerate: constant column -> all rows in bin 0, no div-by-zero
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    c = histogram(const, "x", bins=3).collect()
+    assert [r["n_rows"] for r in c] == [2, 0, 0]
+
+
+def test_resample_interpolate_linear_and_flat_ends(spark):
+    from nypd_arrest_etl_spark.operators.temporal import resample_interpolate
+
+    rows = [
+        (1, 0, 10.0),
+        (1, 300, 40.0),   # gap at 100/200 -> linear 20, 30
+        (2, 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {
+        (r["user_id"], r["bucket_sec"]): r
+        for r in resample_interpolate(df, every_seconds=100).collect()
+    }
+    assert out[(1, 0)]["value"] == 10.0 and out[(1, 0)]["is_observed"]
+    assert out[(1, 100)]["value"] == 20.0 and not out[(1, 100)]["is_observed"]
+    assert out[(1, 200)]["value"] == 30.0
+    assert out[(1, 300)]["value"] == 40.0
+    assert out[(2, 0)]["value"] == 5.0
+    assert len([k for k in out if k[0] == 1]) == 4  # full grid, no extras
+
+
+def test_resample_bucket_mean_and_fixed_point(spark):
+    from nypd_arrest_etl_spark.operators.temporal import resample_interpolate
+
+    rows = [(1, 10, 1.25), (1, 20, 1.75), (1, 130, 3.0)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double")
+    out = {
+        r["bucket_sec"]: r["value"]
+        for r in resample_interpolate(
+            df, every_seconds=100, value_scale=2
+        ).collect()
+    }
+    assert out[0] == 1.5  # mean of the two observations in bucket 0
+    assert out[100] == 3.0
