@@ -38,16 +38,17 @@ _GATE_PRIORITY = [
     # grouped aggs / windows / set ops / time
     "pricing_summary", "grouped_distinct", "revenue_by_nation",
     "top_orders_per_customer", "running_totals", "rollup_lineitem",
-    "cube_orders", "grouping_sets_sql", "set_ops_yearly", "semi_anti_join",
+    "grouping_sets_sql", "set_ops_yearly", "semi_anti_join",
     "top_customers", "events_clean", "tumbling_hourly", "sliding_daily",
-    "sessionize", "session_window_batch", "props_variant_stats",
+    "sessionize", "props_variant_stats",
     "asof_click_before_purchase", "range_pairs_5min", "median_price",
     "embedding_centroids", "arrow_group_stats", "pivot_status_by_year",
     "percentile_prices", "null_semantics", "monthly_revenue_spine",
     "trailing_week_revenue", "unpivot_measures", "vector_norms",
     "nation_accounts_reconciliation",
-    # event analytics
+    # event analytics / time series / profiling
     "events_funnel", "retention_cohorts", "status_history_scd2",
+    "resample_hourly", "histogram_chars",
     # scale ops
     "salted_revenue", "bloom_pruned_join", "sketch_stats",
     # LLM-pipeline extensions
