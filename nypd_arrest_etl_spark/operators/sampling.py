@@ -249,3 +249,42 @@ def histogram(
         )
         .orderBy("bin")
     )
+
+
+def oversample_mixture(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: int = 0,
+    portable: bool = False,
+) -> DataFrame:
+    """Epoch-style mixture weighting with weights ABOVE 1: each row is
+    emitted floor(w) times plus one more with probability frac(w),
+    decided by the same deterministic key hash as the down-sampling
+    ops (a weight of 2.5 emits every row twice and half the rows —
+    hash-chosen, reproducible — a third time). Weights below 1 degrade
+    to plain hash sampling. Output adds ``copy_idx`` (0-based) so
+    downstream shuffles can separate the copies.
+
+    This is how training mixes express "3 epochs of Wikipedia, 0.4 of
+    CommonCrawl" without materializing per-epoch unions: ONE narrow
+    pass, no join, no shuffle; the explode fan-out is bounded by the
+    weight table. At 100 TB the copies never co-locate (downstream
+    training-order shuffle scatters them), and determinism means a
+    backfill reproduces the exact mix.
+    """
+    w_expr = F.lit(float(default_weight))
+    for value, w in weights.items():
+        w_expr = F.when(F.col(stratum_col) == value, float(w)).otherwise(w_expr)
+    h = keep_hash(F.col(key_col), salt, portable)
+    n_copies = F.floor(w_expr).cast("int") + (
+        h < ((w_expr - F.floor(w_expr)) * _DENOM).cast("long")
+    ).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

@@ -714,6 +714,41 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture: 2.5x src0, 0.4x src1, 1x the rest —
+    deterministic fractional copies via the portable hash."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    out = S.oversample_mixture(
+        t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        stratum_col="source",
+        weights={"src0": 2.5, "src1": 0.4},
+        salt=11,
+        portable=True,
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
+# frac(w)*1e6 thresholds: src0 -> 500000, src1 -> 400000; the Knuth
+# hash below must match operators.sampling._portable_hash bit-for-bit.
+ORACLE_OVERSAMPLE = """
+WITH h AS (SELECT doc_id, source,
+                  ((doc_id + 11) * 2654435761) % 4294967296 % 1000000 AS hh,
+                  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                       ELSE 1.0 END AS w
+           FROM documents),
+n AS (SELECT doc_id, source,
+             CAST(floor(w) AS INT)
+               + CASE WHEN hh < CAST((w - floor(w)) * 1000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM h)
+SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+FROM n, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS i) t
+WHERE n_copies > 0
+"""
+
+
 def q_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per source by portable-hash rank — the
     fixed-budget-per-source form of training-mix construction
@@ -796,6 +831,7 @@ LLM_OPS: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "sample_fixed_per_source": (q_sample_fixed, ORACLE_SAMPLE_FIXED),
+    "sample_oversample_mixture": (q_oversample, ORACLE_OVERSAMPLE),
     "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
     "text_bpe_tokens": (q_bpe_tokens, None),
     "histogram_chars": (q_histogram_chars, ORACLE_HISTOGRAM_CHARS),

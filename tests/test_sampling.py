@@ -98,3 +98,29 @@ def test_check_constraints_single_scan_and_null_as_violation(spark):
     assert out["v_nonneg"]["n_violations"] == 2
     assert out["v_nonneg"]["violation_rate"] == round(2 / 3, 6)
     assert out["id_low"]["n_violations"] == 1
+
+
+def test_oversample_mixture_copies(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.sampling import oversample_mixture
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, "a").otherwise("b").alias("src"),
+    )
+    out = oversample_mixture(
+        df, "doc_id", "src", weights={"a": 2.5, "b": 0.4}, salt=3
+    )
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # a: every row 2x + ~half a third time; b: ~40% of rows once
+    assert 2 * 500 + 150 <= per["a"] <= 2 * 500 + 350
+    assert 120 <= per["b"] <= 280
+    # copy_idx dense from 0 per row; deterministic across partitionings
+    a = sorted(map(tuple, out.select("doc_id", "copy_idx").collect()))
+    b2 = sorted(map(tuple, oversample_mixture(
+        df.repartition(7), "doc_id", "src", weights={"a": 2.5, "b": 0.4}, salt=3
+    ).select("doc_id", "copy_idx").collect()))
+    assert a == b2
+    base = out.filter("src = 'a'").groupBy("doc_id").count().select("count").distinct()
+    assert {r["count"] for r in base.collect()} <= {2, 3}
