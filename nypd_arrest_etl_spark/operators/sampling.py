@@ -288,3 +288,47 @@ def oversample_mixture(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def drift_report(
+    ref: DataFrame, cur: DataFrame, col: str, eps: float = 1e-6
+) -> DataFrame:
+    """Categorical drift between two dataset snapshots: per-category
+    share in each snapshot plus the PSI contribution
+    ``(p_cur - p_ref) * ln(p_cur / p_ref)`` (population stability
+    index — the standard monitoring metric; sum the column for total
+    PSI; > 0.2 conventionally flags a shifted mixture).
+
+    Shape: one tiny aggregation per snapshot (category-cardinality
+    sized after map-side partial aggs), a full outer join so
+    categories appearing in only one snapshot still report, and
+    ``eps`` smoothing so those one-sided categories contribute a
+    finite penalty instead of log-of-zero. Two corpus scans total —
+    nothing about the corpus itself is shuffled.
+    """
+    def shares(df: DataFrame, side: str) -> DataFrame:
+        c = df.groupBy(F.col(col).alias("category")).agg(
+            F.count("*").alias(f"n_{side}")
+        )
+        tot = c.agg(F.sum(f"n_{side}").alias("t"))
+        return c.crossJoin(F.broadcast(tot)).select(
+            "category",
+            f"n_{side}",
+            (F.col(f"n_{side}") / F.col("t")).alias(f"p_{side}"),
+        )
+
+    r, c = shares(ref, "ref"), shares(cur, "cur")
+    p_ref = F.coalesce("p_ref", F.lit(0.0)) + eps
+    p_cur = F.coalesce("p_cur", F.lit(0.0)) + eps
+    return (
+        r.join(c, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            F.round(F.coalesce("p_ref", F.lit(0.0)), 6).alias("p_ref"),
+            F.round(F.coalesce("p_cur", F.lit(0.0)), 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi"),
+        )
+        .orderBy("category")
+    )

@@ -714,6 +714,38 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture drift between two snapshot halves of the corpus
+    (even vs odd doc_id): per-source shares + PSI contributions."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    docs = t(spark, sf_dir, "documents")
+    return S.drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "source",
+    )
+
+
+ORACLE_DRIFT = """
+WITH r AS (SELECT source AS category, count(*) AS n_ref FROM documents
+           WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (SELECT source AS category, count(*) AS n_cur FROM documents
+      WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(r.category, c.category) AS category,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+             coalesce(n_ref, 0) * 1.0 / (SELECT sum(n_ref) FROM r) AS p_ref,
+             coalesce(n_cur, 0) * 1.0 / (SELECT sum(n_cur) FROM c) AS p_cur
+      FROM r FULL OUTER JOIN c USING (category))
+SELECT category, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round((p_cur + 1e-6 - (p_ref + 1e-6))
+             * ln((p_cur + 1e-6) / (p_ref + 1e-6)), 6) AS psi
+FROM j
+ORDER BY category
+"""
+
+
 def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-weighted mixture: 2.5x src0, 0.4x src1, 1x the rest —
     deterministic fractional copies via the portable hash."""
@@ -832,6 +864,7 @@ LLM_OPS: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "sample_fixed_per_source": (q_sample_fixed, ORACLE_SAMPLE_FIXED),
     "sample_oversample_mixture": (q_oversample, ORACLE_OVERSAMPLE),
+    "drift_sources": (q_drift, ORACLE_DRIFT),
     "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
     "text_bpe_tokens": (q_bpe_tokens, None),
     "histogram_chars": (q_histogram_chars, ORACLE_HISTOGRAM_CHARS),

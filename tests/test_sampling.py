@@ -124,3 +124,25 @@ def test_oversample_mixture_copies(spark):
     assert a == b2
     base = out.filter("src = 'a'").groupBy("doc_id").count().select("count").distinct()
     assert {r["count"] for r in base.collect()} <= {2, 3}
+
+
+def test_drift_report_psi(spark):
+    import math
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.sampling import drift_report
+
+    ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "c string")
+    cur = spark.createDataFrame([("a",)] * 5 + [("b",)] * 4 + [("z",)], "c string")
+    out = {r["category"]: r for r in drift_report(ref, cur, "c").collect()}
+    assert out["a"]["p_ref"] == 0.8 and out["a"]["p_cur"] == 0.5
+    exp_a = (0.5 + 1e-6 - (0.8 + 1e-6)) * math.log((0.5 + 1e-6) / (0.8 + 1e-6))
+    assert out["a"]["psi"] == pytest.approx(exp_a, abs=1e-6)
+    # category present only in the current snapshot: finite penalty
+    assert out["z"]["n_ref"] == 0 and out["z"]["n_cur"] == 1
+    assert out["z"]["psi"] > 0.5
+    total_psi = sum(r["psi"] for r in out.values())
+    assert total_psi > 0.2  # the conventional drifted threshold
