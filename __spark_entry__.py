@@ -4,8 +4,9 @@
 ``queries()`` — every implemented operator from SURVEY.md §2 (plus the
 LLM-data-pipeline extensions), as (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins; omitted only for
-ops whose semantics aren't SQL-expressible (hash-based LSH sketches,
-streaming state) — those get the driver's rows-only check.
+ops whose semantics aren't SQL-expressible (engine-internal sketches,
+ANN, BPE, streaming state) — those get the driver's rows-only check.
+Every gate-window entry (first 50) carries a full oracle.
 """
 
 from __future__ import annotations

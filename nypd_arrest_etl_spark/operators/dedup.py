@@ -6,8 +6,8 @@ Five families, all pure DataFrame ops (no Python in the hot path):
 - ngram Jaccard: exact set-similarity self-join with PPJoin-style
                  prefix filtering (complete — no candidate is missed)
 - MinHash+LSH:  banded signature buckets -> candidates -> exact verify
-- SimHash:      64-bit signature, banded hamming join (complete for
-                 hamming <= 3 by pigeonhole over 4 bands)
+- SimHash:      60-bit portable signature, banded hamming join
+                 (complete for hamming <= 3 by pigeonhole over 4 bands)
 - embedding:    cosine-threshold pairs (brute force; LSH variant in
                  similarity.py for the 100 TB path)
 
@@ -24,6 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.functions import cosine_similarity, spread
+
+# Portable-hash constants shared bit-for-bit with the DuckDB oracles
+# (public constants: Knuth's multiplicative constant and xxHash prime2).
+_M32 = 1 << 32
+_M30 = 1 << 30
+_KNUTH = 2654435761
+_XXP2 = 2246822519
+
+
+def portable_str_hash60(col: F.Column) -> F.Column:
+    """60-bit portable string hash: the first 15 hex chars of md5,
+    parsed as an integer. md5 is bit-identical in every engine, so any
+    SQL oracle replays this exactly (DuckDB:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``). 15 hex chars keep the
+    value inside a signed 64-bit int on both sides."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coeffs(num_perm: int = 64) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_i odd, b_i) for
+    the MinHash family h_i(x) = (a_i * x + b_i) mod 2^32 over 30-bit
+    inputs: a_i < 2^32 and x < 2^30 keep every product under 2^62, so
+    the arithmetic never overflows signed 64-bit — in Spark OR in the
+    DuckDB oracle (which errors on overflow instead of wrapping)."""
+    return [
+        (((_KNUTH * (2 * i + 1)) % _M32) | 1, (_XXP2 * (i + 1)) % _M32)
+        for i in range(num_perm)
+    ]
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -232,14 +261,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc.
 
-    One xxhash64 per (shingle, seed) computed inside a JVM array
-    lambda — the doc row count never changes, so signature generation
+    Each shingle is hashed ONCE with the portable md5-based hash
+    (bound to its own ``xs`` column so Catalyst cannot inline the md5
+    into every permutation lambda), then the num_perm permutations are
+    pure integer affine maps over that base — cheap JVM arithmetic,
+    and exactly replayable by a SQL oracle (min((x*a_i+b_i) % 2^32)
+    per doc). The doc row count never changes, so signature generation
     is narrow (zero shuffle)."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, i))),
+    based = sh.select(
+        "doc_id",
+        "shingles",
+        F.size("shingles").alias("n_sh"),
+        F.transform(
+            "shingles", lambda s: F.pmod(portable_str_hash60(s), F.lit(_M30))
+        ).alias("xs"),
     )
-    return sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("xs", lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_M32)))
+            )
+            for a, b in minhash_coeffs(num_perm)
+        ]
+    )
+    return based.select("doc_id", "shingles", "n_sh", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -258,8 +303,8 @@ def minhash_lsh_pairs(
     has no false positives (it may rarely miss a true pair — that is
     the LSH contract; use jaccard_pairs for the exact variant).
 
-    Scale: the only shuffle keys are (band_idx, band_hash) — uniformly
-    distributed; bucket sizes stay tiny because identical band hashes
+    Scale: the only shuffle keys are (band_idx, band_sig) — uniformly
+    distributed; bucket sizes stay tiny because identical band slices
     imply near-identical docs.
     """
     rows_per_band = num_perm // bands
@@ -272,19 +317,25 @@ def minhash_lsh_pairs(
     # Doc-count-sized (|docs| x (num_perm + doc_len) longs).
     sigs = minhash_signatures(sh, num_perm).cache()
 
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+    # Band key = the signature slice itself (array<long> equi-join key,
+    # ~36 bytes) rather than a hash of it: no collision term in the
+    # semantics, and the SQL oracle compares the same slices with list
+    # equality — the shuffle key stays selective either way.
+    band_arr = F.array(
+        *[
+            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            for b in range(bands)
+        ]
     )
     buckets = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_sig")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
@@ -312,6 +363,46 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 15
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1  # 0x7FFF
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, sig) with a 60-bit portable SimHash per document.
+
+    Bit k of the signature is the majority vote of bit k over the
+    doc's shingle hashes (ties -> 0). The base hash is the portable
+    md5-derived 60-bit value, so a SQL oracle replays the signature
+    bit-for-bit (60 conditional sums + a bit-pack — plain integer SQL).
+
+    Plan shape: explode shingles -> one md5 per posting -> groupBy doc
+    with 60 conditional SUM aggregates -> pack. Everything stays in
+    whole-stage codegen (no interpreted higher-order-function lambdas
+    — the previous array-fold formulation evaluated ~60 interpreted
+    expressions per shingle and was the slowest dedup stage). The
+    partial aggregation collapses each doc map-side, so the single
+    shuffle moves |docs| rows of 60 longs, independent of doc length.
+    """
+    sh = with_shingles(df, id_col, text_col, n)
+    posts = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", portable_str_hash60(F.col("s")).alias("h")
+    )
+    votes = [
+        F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"c{k}")
+        for k in range(_SIMHASH_BITS)
+    ]
+    counts = posts.groupBy("doc_id").agg(*votes)
+    sig = None
+    for k in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"c{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return counts.select("doc_id", sig.cast("long").alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -319,51 +410,30 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 2,
 ) -> DataFrame:
-    """Pairs whose 64-bit SimHash differs by <= max_hamming bits.
+    """Pairs whose 60-bit SimHash differs by <= max_hamming bits.
 
-    COMPLETE for max_hamming <= 3: the signature splits into 4 16-bit
+    COMPLETE for max_hamming <= 3: the signature splits into 4 15-bit
     bands, and 3 differing bits cannot touch all 4 bands (pigeonhole),
     so every qualifying pair collides on at least one exact band.
     Candidates are verified with bit_count(xor) — no false positives.
     """
-    sh = with_shingles(df, id_col, text_col, n)
-    hashes = F.transform("shingles", lambda s: F.xxhash64(s))
-    # Single pass over the shingle hashes: fold into a 64-wide array of
-    # per-bit +-1 counts, then pack sign bits into one long. (A
-    # per-bit formulation — transform(0..63, k -> aggregate(hs, ...)) —
-    # re-evaluates the hash array once per bit after Catalyst inlines
-    # it through collapsed projections: measured 64x slower.)
-    sig_expr = """
-      aggregate(
-        hs,
-        array_repeat(0, 64),
-        (acc, h) -> zip_with(acc, sequence(0, 63),
-            (a, k) -> a + case when (shiftright(h, cast(k as int)) & 1) = 1
-                               then 1 else -1 end),
-        counts -> aggregate(
-            zip_with(counts, sequence(0, 63),
-                (c, k) -> case when c > 0 then shiftleft(1L, cast(k as int)) else 0L end),
-            0L, (s, v) -> s | v)
-      )
-    """
-    sigs = sh.withColumn("hs", hashes).select(
-        "doc_id", F.expr(sig_expr).alias("sig")
-    )
     # Cache barrier: the self-join + band explode reference `sig`
     # from several branches; materialize the |docs|-row signature
-    # table once instead of recomputing the fold per branch.
-    sigs = sigs.cache()
+    # table once instead of recomputing the aggregation per branch.
+    sigs = simhash_signatures(df, id_col, text_col, n).cache()
     band = F.array(
         *[
-            F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(65535))
-            for i in range(4)
+            F.shiftrightunsigned(F.col("sig"), i * _SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit(_SIMHASH_BAND_MASK)
+            )
+            for i in range(_SIMHASH_BANDS)
         ]
     )
     buckets = sigs.select(
         "doc_id", "sig", F.posexplode(band).alias("band_idx", "band_val")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("int")
     return (
         a.join(
             b,

@@ -194,6 +194,60 @@ def bloom_prune(
     )
 
 
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+    salt: int = 0,
+    est_col: str = "kmv_est",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al. 2002): hash every key uniformly into [0, 2^32), keep the K
+    smallest distinct hash values, estimate |distinct| as
+    (K-1) * 2^32 / h_(K). Groups with fewer than K distinct hashes
+    report the exact count (the sketch isn't full — standard KMV).
+
+    Why this next to HLL (``approx_count_distinct``): the sketch state
+    is just "K smallest values" — mergeable (union = keep K smallest
+    of the union), fixed-size, AND engine-portable. Built on the
+    portable Knuth hash, the estimate itself is bit-for-bit
+    reproducible in any SQL engine, so an external oracle can verify
+    it — HLL's register encoding is engine-internal and cannot be.
+
+    Plan: distinct on (group, hash) [1 shuffle, map-side partial
+    distinct], then rank-within-group; Catalyst rewrites the
+    ``row_number() <= K`` filter into WindowGroupLimit, so each map
+    task forwards at most K rows per group into the final per-group
+    top-K — the shuffle after distinct moves O(groups * K), not the
+    key stream. Estimator arithmetic is exact-integer + one double
+    division, identical across engines.
+    """
+    from pyspark.sql import Window
+
+    from nypd_arrest_etl_spark.operators.sampling import _portable_hash
+
+    h = _portable_hash(F.col(key_col), salt)
+    dh = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = dh.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max(F.when(F.col("__rk") == k, F.col("__h"))).alias("__kth"),
+        )
+        .select(
+            *group_cols,
+            F.when(F.col("__m") < k, F.col("__m").cast("double"))
+            .otherwise(
+                F.round(F.lit(float(k - 1) * 4294967296.0) / F.col("__kth"), 2)
+            )
+            .alias(est_col),
+        )
+    )
+
+
 def distribute_by(df: DataFrame, *cols: str | Column, n: int | None = None) -> DataFrame:
     """Explicit repartition-by-key (DISTRIBUTE BY): pay one shuffle now
     so several downstream ops on the same key (window + agg + join)
@@ -201,7 +255,7 @@ def distribute_by(df: DataFrame, *cols: str | Column, n: int | None = None) -> D
     return df.repartition(n, *cols) if n else df.repartition(*cols)
 
 
-__all__ = ["salted_join", "write_bucketed", "bloom_prune", "distribute_by"]
+__all__ = ["salted_join", "write_bucketed", "bloom_prune", "kmv_distinct", "distribute_by"]
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,12 @@
 """LLM-data-pipeline query inventory: dedup, similarity search, text
 analysis, multimodal plumbing — each over the driver's ``documents``
 and ``embeddings`` tables, with a DuckDB oracle wherever the semantics
-are SQL-expressible (hash-sketch ops — MinHash/SimHash/winnowing/LSH —
-get the driver's rows-only check; their correctness tests live in
-tests/test_dedup.py against the exact operators).
+are SQL-expressible. The MinHash/SimHash sketches are built on a
+portable md5-derived hash, so even their LSH recall behavior is
+replayed bit-for-bit by generated SQL oracles; only the remaining
+engine-internal ops (winnowing xxhash fingerprints, ANN variants,
+BPE) get the driver's rows-only check, with exactness unit tests in
+tests/test_dedup.py / test_text.py against the operators.
 """
 
 from __future__ import annotations
@@ -64,6 +67,84 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3, n=4)
+
+
+# Shared shingle CTEs for the sketch oracles: word 4-gram shingles,
+# distinct per doc — the same sets with_shingles(n=4) builds.
+_SHINGLE_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS s
+       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t)"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.8, num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of minhash_lsh_pairs: the portable md5-based base
+    hash and the SAME affine-permutation coefficients (generated from
+    one Python source of truth, dedup.minhash_coeffs) replay the
+    signatures bit-for-bit; banding compares the signature slices with
+    list equality; candidates verify with exact Jaccard — so the
+    oracle reproduces the LSH recall behavior exactly, not just the
+    idealized all-pairs answer."""
+    rows = num_perm // bands
+    mins = ",\n              ".join(
+        f"min((x * {a} + {b}) % 4294967296) AS s{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(num_perm))
+    )
+    band_lists = ", ".join(
+        "[" + ", ".join(f"s{b * rows + j}" for j in range(rows)) + "]"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 1073741824 AS x FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+bl AS (SELECT doc_id, [{band_lists}] AS bands FROM sig),
+bk AS (SELECT doc_id, i AS band_idx, bands[i] AS band
+       FROM bl, LATERAL (SELECT unnest(generate_series(1, {bands})) AS i) t),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bk a JOIN bk b
+           ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT id1, id2, count(*) AS i
+          FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2 AND x.s = y.s
+          GROUP BY 1, 2)
+SELECT id1 AS doc_id_1, id2 AS doc_id_2,
+       round(i * 1.0 / (nx.n + ny.n - i), 6) AS jaccard
+FROM inter JOIN sz nx ON nx.doc_id = id1 JOIN sz ny ON ny.doc_id = id2
+WHERE i * 1.0 / (nx.n + ny.n - i) >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_pairs: per-bit majority votes as 60
+    conditional sums over the portable base hash, packed into one
+    BIGINT, 4x15-bit band OR-join, bit_count(xor) verify."""
+    nbits = D._SIMHASH_BITS
+    bbits = D._SIMHASH_BAND_BITS
+    mask = D._SIMHASH_BAND_MASK
+    csums = ",\n              ".join(
+        f"sum(((h >> {k}) & 1) * 2 - 1) AS c{k}" for k in range(nbits)
+    )
+    pack = "\n         + ".join(
+        f"(CASE WHEN c{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(nbits)
+    )
+    bandcond = " OR ".join(
+        f"((a.sig >> {b * bbits}) & {mask}) = ((b.sig >> {b * bbits}) & {mask})"
+        for b in range(D._SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+hx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+cnt AS (SELECT doc_id, {csums} FROM hx GROUP BY doc_id),
+sig AS (SELECT doc_id, {pack} AS sig FROM cnt)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bandcond})
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+ORACLE_MINHASH_PAIRS = _minhash_oracle_sql()
+ORACLE_SIMHASH_PAIRS = _simhash_oracle_sql()
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,8 +917,8 @@ FROM post JOIN probs USING (g) GROUP BY doc_id
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
-    "dedup_minhash_pairs": (q_minhash_pairs, None),
-    "dedup_simhash_pairs": (q_simhash_pairs, None),
+    "dedup_minhash_pairs": (q_minhash_pairs, ORACLE_MINHASH_PAIRS),
+    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_embedding_pairs": (q_embedding_pairs, ORACLE_EMBEDDING_PAIRS),
     "dedup_contamination": (q_contamination, ORACLE_CONTAMINATION),
     "dedup_neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),

@@ -971,15 +971,105 @@ GROUP BY c_mktsegment
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based statistics — the 100 TB substitute for exact
-    distincts and exact percentiles. ``approx_count_distinct`` (HLL++)
-    and ``percentile_approx`` (KLL-style) are MERGEABLE partial
+    distincts, built on PORTABLE sketches so the estimates themselves
+    are oracle-verifiable:
+
+    - distinct counts: KMV (K-minimum-values, operators/scale.py
+      ``kmv_distinct``) — a mergeable fixed-size sketch whose
+      estimate (K-1)*2^32/h_(K) any SQL engine reproduces bit-for-bit
+      from the shared Knuth hash.
+    - percentiles: explicit order statistics (the ceil(q*n)-th value,
+      percentile_disc semantics) via integer rank arithmetic — no
+      interpolation, so the selected value is byte-identical across
+      engines. One sort shuffle per group-partitioned window; at
+      100 TB swap in the KLL/t-digest mergeable sketch
+      (``sketch_stats_native``) when a rank error of eps*n is
+      acceptable.
+
+    The native HLL++/percentile_approx variant — engine-internal
+    encodings, one map-side-combined pass, no cross-engine oracle —
+    is registered as ``sketch_stats_native``; error bounds for both
+    are asserted in tests/test_scale.py."""
+    from nypd_arrest_etl_spark.operators.scale import kmv_distinct
+
+    li = t(spark, sf_dir, "lineitem")
+    parts = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=256, est_col="nd_parts_kmv")
+    orders = kmv_distinct(li, "l_orderkey", ["l_returnflag"], k=256, est_col="nd_orders_kmv")
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wg = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+    )
+    idx50 = F.expr("(n + 1) div 2")  # ceil(0.5 * n), exact integer arithmetic
+    idx99 = F.expr("(99 * n + 99) div 100")  # ceil(0.99 * n)
+    quants = (
+        ranked.filter((F.col("rk") == idx50) | (F.col("rk") == idx99))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rk") == idx50, F.col("l_extendedprice"))).alias(
+                "p50_price"
+            ),
+            F.max(F.when(F.col("rk") == idx99, F.col("l_extendedprice"))).alias(
+                "p99_price"
+            ),
+        )
+    )
+    return parts.join(orders, "l_returnflag").join(quants, "l_returnflag")
+
+
+ORACLE_SKETCH_STATS = """
+WITH hp AS (SELECT DISTINCT l_returnflag, (l_partkey * 2654435761) % 4294967296 AS h
+            FROM lineitem),
+rp AS (SELECT l_returnflag, h,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+       FROM hp),
+kp AS (SELECT l_returnflag, count(*) AS m,
+              max(CASE WHEN rk = 256 THEN h END) AS kth
+       FROM rp WHERE rk <= 256 GROUP BY l_returnflag),
+ep AS (SELECT l_returnflag,
+              CASE WHEN m < 256 THEN m::DOUBLE
+                   ELSE round(1095216660480.0 / kth, 2) END AS nd_parts_kmv
+       FROM kp),
+ho AS (SELECT DISTINCT l_returnflag, (l_orderkey * 2654435761) % 4294967296 AS h
+       FROM lineitem),
+ro AS (SELECT l_returnflag, h,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+       FROM ho),
+ko AS (SELECT l_returnflag, count(*) AS m,
+              max(CASE WHEN rk = 256 THEN h END) AS kth
+       FROM ro WHERE rk <= 256 GROUP BY l_returnflag),
+eo AS (SELECT l_returnflag,
+              CASE WHEN m < 256 THEN m::DOUBLE
+                   ELSE round(1095216660480.0 / kth, 2) END AS nd_orders_kmv
+       FROM ko),
+q AS (SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+qq AS (SELECT l_returnflag,
+              max(CASE WHEN rk = (n + 1) // 2 THEN l_extendedprice END) AS p50_price,
+              max(CASE WHEN rk = (99 * n + 99) // 100 THEN l_extendedprice END) AS p99_price
+       FROM q GROUP BY l_returnflag)
+SELECT ep.l_returnflag, nd_parts_kmv, nd_orders_kmv, p50_price, p99_price
+FROM ep JOIN eo ON ep.l_returnflag = eo.l_returnflag
+        JOIN qq ON ep.l_returnflag = qq.l_returnflag
+"""
+
+
+def q_sketch_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native sketches: ``approx_count_distinct`` (HLL++) and
+    ``percentile_approx`` (KLL-style) are MERGEABLE partial
     aggregates: each partition builds a fixed-size sketch, the shuffle
     moves one sketch per group per partition (not the key stream), and
     merge is associative — so the plan is one map-side-combined pass
     regardless of key cardinality, where exact countDistinct must
-    expand to a two-phase distinct shuffle. Sketch encodings are
-    engine-specific, so this is a rows-only entry; error bounds vs the
-    exact answers are asserted in tests/test_scale.py."""
+    expand to a two-phase distinct shuffle. Sketch register encodings
+    are engine-specific, so this is a rows-only entry; error bounds vs
+    the exact answers are asserted in tests/test_scale.py. The
+    oracle-checkable portable variant is ``sketch_stats``."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
@@ -2071,7 +2161,8 @@ RELATIONAL: dict[str, tuple] = {
     "small_order_revenue": (q_small_order_revenue, ORACLE_SMALL_ORDER_REVENUE),
     "late_order_priority": (q_late_order_priority, ORACLE_LATE_ORDER_PRIORITY),
     "idle_rich_customers": (q_idle_rich_customers, ORACLE_IDLE_RICH_CUSTOMERS),
-    "sketch_stats": (q_sketch_stats, None),
+    "sketch_stats": (q_sketch_stats, ORACLE_SKETCH_STATS),
+    "sketch_stats_native": (q_sketch_stats_native, None),
     "salted_revenue": (q_salted_revenue, ORACLE_SALTED_REVENUE),
     "bloom_pruned_join": (q_bloom_pruned_join, ORACLE_BLOOM_PRUNED),
     "volume_shipping": (q_volume_shipping, ORACLE_VOLUME_SHIPPING),

@@ -99,9 +99,9 @@ def test_sketch_stats_within_error_bounds(spark, sf_dir):
     range for the group (sanity, not a distributional guarantee)."""
     from pyspark.sql import functions as F
 
-    from nypd_arrest_etl_spark.plans.queries import q_sketch_stats, t
+    from nypd_arrest_etl_spark.plans.queries import q_sketch_stats_native, t
 
-    got = {r["l_returnflag"]: r for r in q_sketch_stats(spark, sf_dir).collect()}
+    got = {r["l_returnflag"]: r for r in q_sketch_stats_native(spark, sf_dir).collect()}
     li = t(spark, sf_dir, "lineitem")
     exact = {
         r["l_returnflag"]: r
@@ -120,6 +120,47 @@ def test_sketch_stats_within_error_bounds(spark, sf_dir):
         assert abs(g["nd_parts_approx"] - e["nd_parts"]) <= 0.06 * e["nd_parts"] + 1
         assert abs(g["nd_orders_approx"] - e["nd_orders"]) <= 0.06 * e["nd_orders"] + 1
         assert e["lo"] <= g["p50_price_approx"] <= g["p99_price_approx"] <= e["hi"]
+
+
+def test_kmv_sketch_stats_accuracy(spark, sf_dir):
+    """The portable KMV estimate lands within ~3 standard errors
+    (rsd ~ 1/sqrt(K-2) ~ 6.3% at K=256) of the exact distinct counts,
+    and the discrete percentiles are exact order statistics inside the
+    group's value range."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.plans.queries import q_sketch_stats, t
+
+    got = {r["l_returnflag"]: r for r in q_sketch_stats(spark, sf_dir).collect()}
+    li = t(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g["nd_parts_kmv"] - e["nd_parts"]) <= 0.2 * e["nd_parts"] + 1
+        assert abs(g["nd_orders_kmv"] - e["nd_orders"]) <= 0.2 * e["nd_orders"] + 1
+        assert e["lo"] <= g["p50_price"] <= g["p99_price"] <= e["hi"]
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than K distinct keys report the exact count."""
+    from nypd_arrest_etl_spark.operators.scale import kmv_distinct
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 30).alias("k")
+    )
+    got = {r["g"]: r["kmv_est"] for r in kmv_distinct(df, "k", ["g"], k=256).collect()}
+    assert got == {0: 15.0, 1: 15.0}
 
 
 def test_zorder_layout_tightens_per_file_stats(spark, sf_dir, tmp_path):
