@@ -68,18 +68,22 @@ def funnel(
             for i in range(len(steps))
         ]
     )
-    # One-row result pivots to step rows driver-free via stack.
-    stack_args = ", ".join(
-        f"{i + 1}, '{steps[i]}', n{i}" for i in range(len(steps))
+    # One-row result pivots to step rows driver-free. Step names enter
+    # as TYPED LITERALS (struct array + inline), never interpolated
+    # into SQL text — a name containing quotes or SQL metacharacters is
+    # plain data, not expression syntax.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
     )
-    n0 = F.col("n0")
     return (
-        counts.select(
-            F.expr(
-                f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
-            ),
-            n0.alias("_n0"),
-        )
+        counts.select(F.inline(entries), F.col("n0").alias("_n0"))
         .select(
             F.col("step").cast("int").alias("step"),
             "step_name",
@@ -165,6 +169,13 @@ def scd2_history(
     the same instant resolve by sequence order — without it the lag
     comparison is nondeterministic under shuffle).
 
+    NULL attribute values are first-class: change detection is
+    null-safe (``eqNullSafe`` — SQL's IS DISTINCT FROM), so a
+    transition from a value to NULL opens a new interval and a run of
+    NULLs collapses into one. The first row per key is detected by
+    rank, not by ``lag IS NULL``, which would misread a genuinely-NULL
+    previous attribute as a boundary.
+
     Plan: two window passes over ONE (key, time, seq) sort — change
     detection via lag, then interval close via lead on the filtered
     change rows. Spark executes both over a single exchange; the
@@ -175,9 +186,10 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(time_col, seq_col)
     changes = (
         df.select(key_col, attr_col, time_col, seq_col)
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_prev", F.lag(attr_col).over(w))
         .filter(
-            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+            (F.col("_rn") == 1) | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
     )
     w2 = Window.partitionBy(key_col).orderBy(time_col, seq_col)

@@ -274,14 +274,28 @@ def oversample_mixture(
     weight table. At 100 TB the copies never co-locate (downstream
     training-order shuffle scatters them), and determinism means a
     backfill reproduces the exact mix.
+
+    The per-stratum floor and fractional-copy threshold are computed
+    in PYTHON as integers and injected as literals: float expressions
+    like ``(w - floor(w)) * 1e6`` truncate/round differently across
+    engines (0.7 -> 699999.999..., one hash bucket apart), so both
+    this operator and any SQL oracle must share the single
+    ``int(round(frac * _DENOM))`` value.
     """
-    w_expr = F.lit(float(default_weight))
+    import math
+
+    def _parts(w: float) -> tuple[int, int]:
+        fl = math.floor(float(w))
+        return int(fl), int(round((float(w) - fl) * _DENOM))
+
+    d_fl, d_th = _parts(default_weight)
+    floor_expr, thr_expr = F.lit(d_fl), F.lit(d_th)
     for value, w in weights.items():
-        w_expr = F.when(F.col(stratum_col) == value, float(w)).otherwise(w_expr)
+        fl, th = _parts(w)
+        floor_expr = F.when(F.col(stratum_col) == value, fl).otherwise(floor_expr)
+        thr_expr = F.when(F.col(stratum_col) == value, th).otherwise(thr_expr)
     h = keep_hash(F.col(key_col), salt, portable)
-    n_copies = F.floor(w_expr).cast("int") + (
-        h < ((w_expr - F.floor(w_expr)) * _DENOM).cast("long")
-    ).cast("int")
+    n_copies = floor_expr.cast("int") + (h < thr_expr.cast("long")).cast("int")
     return (
         df.withColumn("_n", n_copies)
         .filter(F.col("_n") > 0)

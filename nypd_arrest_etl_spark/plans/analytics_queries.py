@@ -83,12 +83,15 @@ def q_status_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STATUS_HISTORY_SCD2 = """
 WITH s AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                  row_number() OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn,
                   lag(o_orderstatus) OVER
                       (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS prev
            FROM orders),
 ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM s
-       WHERE prev IS NULL OR o_orderstatus <> prev)
+       WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev)
 SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
        lead(o_orderdate) OVER
            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,

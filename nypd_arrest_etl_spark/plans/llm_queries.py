@@ -843,18 +843,21 @@ def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "copy_idx")
 
 
-# frac(w)*1e6 thresholds: src0 -> 500000, src1 -> 400000; the Knuth
-# hash below must match operators.sampling._portable_hash bit-for-bit.
+# Per-stratum (floor, threshold) pairs are INTEGER literals shared
+# with operators.sampling.oversample_mixture's int(round(frac*1e6))
+# computation — float expressions like (w - floor(w)) * 1e6 round
+# differently across engines. 2.5 -> (2, 500000); 0.4 -> (0, 400000).
+# The Knuth hash matches operators.sampling._portable_hash bit-for-bit.
 ORACLE_OVERSAMPLE = """
 WITH h AS (SELECT doc_id, source,
                   ((doc_id + 11) * 2654435761) % 4294967296 % 1000000 AS hh,
-                  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
-                       ELSE 1.0 END AS w
+                  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                       ELSE 1 END AS fl,
+                  CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 400000
+                       ELSE 0 END AS th
            FROM documents),
 n AS (SELECT doc_id, source,
-             CAST(floor(w) AS INT)
-               + CASE WHEN hh < CAST((w - floor(w)) * 1000000 AS BIGINT)
-                      THEN 1 ELSE 0 END AS n_copies
+             fl + CASE WHEN hh < th THEN 1 ELSE 0 END AS n_copies
       FROM h)
 SELECT doc_id, source, CAST(i AS INT) AS copy_idx
 FROM n, LATERAL (SELECT unnest(generate_series(0, n_copies - 1)) AS i) t

@@ -90,6 +90,40 @@ def test_scd2_collapses_runs_and_marks_current(spark):
     assert len(k2) == 1 and k2[0]["is_current"]
 
 
+def test_scd2_null_attribute_transitions(spark):
+    """NULL attribute values are real states: value->NULL opens a new
+    interval, a NULL run collapses to one row, NULL->value is a change."""
+    rows = [
+        (1, "A", ts("2024-01-01T00:00:00"), 1),
+        (1, None, ts("2024-01-02T00:00:00"), 2),  # A -> NULL: a change
+        (1, None, ts("2024-01-03T00:00:00"), 3),  # NULL run: collapsed
+        (1, "B", ts("2024-01-04T00:00:00"), 4),  # NULL -> B: a change
+        (2, None, ts("2024-01-01T00:00:00"), 5),  # first row IS the history
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, t timestamp, seq long")
+    out = A.scd2_history(df, "k", "st", "t", "seq").orderBy("k", "valid_from").collect()
+    k1 = [r for r in out if r["k"] == 1]
+    assert [r["st"] for r in k1] == ["A", None, "B"]
+    assert k1[0]["valid_to"] == k1[1]["valid_from"]
+    assert k1[1]["valid_to"] == k1[2]["valid_from"]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["st"] is None and k2[0]["is_current"]
+
+
+def test_funnel_step_names_are_data_not_sql(spark):
+    """Step names with quotes/SQL metachars flow through as typed
+    literals — no expression-text interpolation to break or inject."""
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), "sign'up -- x"),
+        (1, ts("2024-01-01T10:05:00"), 'pay"; drop'),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step_name"]: r["n_users"] for r in A.funnel(
+        ev, ["sign'up -- x", 'pay"; drop']).collect()}
+    assert out == {"sign'up -- x": 1, 'pay"; drop': 1}
+
+
 def test_scd2_tie_break_deterministic(spark):
     # two changes at the SAME timestamp resolve by seq
     rows = [
@@ -100,6 +134,17 @@ def test_scd2_tie_break_deterministic(spark):
     out = A.scd2_history(df, "k", "st", "t", "seq").orderBy("valid_from", "st").collect()
     cur = [r["st"] for r in out if r["is_current"]]
     assert cur == ["B"]
+
+
+def test_oversample_fractional_threshold_exact(spark):
+    """The fractional-copy cut is the Python-side int(round(frac*1e6))
+    — weight 0.7 keeps exactly the keys hashing under 700000 (the
+    float expression (0.7 - floor(0.7)) * 1e6 = 699999.999... would
+    drop the boundary bucket)."""
+    df = spark.range(1000).select(F.col("id").alias("k"), F.lit("s").alias("src"))
+    out = S.oversample_mixture(df, "k", "src", {"s": 0.7}, salt=3, portable=True)
+    expected = df.filter(S.keep_hash(F.col("k"), 3, portable=True) < 700000).count()
+    assert out.count() == expected
 
 
 def test_fixed_size_per_group_exact_and_deterministic(spark):

@@ -1,0 +1,59 @@
+"""Registry/gate-contract tests (no SparkSession needed).
+
+The external driver's correctness gate samples only the FIRST 50
+``queries()`` entries; ``_GATE_PRIORITY`` orders the registry so that
+window spans every operator family. These tests keep that coupling
+honest: coverage of the queries OUTSIDE the gate window must come from
+the committed full-registry compare artifact (CORRECTNESS_FULL.md,
+regenerated via ``python tools/compare_oracle.py``) — if a query is
+added without refreshing the artifact, the suite fails rather than
+silently shrinking verified coverage.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_registry_entry_in_full_compare_artifact():
+    path = os.path.join(REPO, "CORRECTNESS_FULL.md")
+    txt = open(path).read()
+    missing = [n for n in entry_mod.queries() if n not in txt]
+    assert not missing, (
+        f"queries missing from CORRECTNESS_FULL.md: {missing} — "
+        "regenerate with `python tools/compare_oracle.py` and commit"
+    )
+
+
+def test_full_compare_artifact_reports_all_ok():
+    txt = open(os.path.join(REPO, "CORRECTNESS_FULL.md")).read()
+    m = re.search(r"(\d+)/(\d+) OK", txt)
+    assert m, "CORRECTNESS_FULL.md lacks the n/n OK summary line"
+    assert m.group(1) == m.group(2), f"full compare not clean: {m.group(0)}"
+
+
+def test_gate_window_fully_oracled():
+    """Every entry inside the driver's 50-query gate window must carry
+    a DuckDB oracle — a rows-only entry there wastes a gate slot."""
+    names = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert not missing, f"gate-window entries without oracle: {missing}"
+
+
+def test_gate_priority_names_resolve():
+    """_GATE_PRIORITY must only name real registry entries (a typo
+    would silently shrink the prioritized window)."""
+    names = set(entry_mod.queries())
+    unknown = [n for n in entry_mod._GATE_PRIORITY if n not in names]
+    assert not unknown, f"_GATE_PRIORITY names unknown queries: {unknown}"
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {oracles - qs}"
