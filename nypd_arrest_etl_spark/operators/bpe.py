@@ -6,14 +6,29 @@ for a 100 TB corpus:
 
 - **train** follows the classic Sennrich et al. 2016 recipe: BPE
   statistics are a function of the WORD-FREQUENCY table, not the raw
-  corpus, so the corpus collapses to ``(word, n)`` with ONE shuffle
-  and every merge iteration runs on that (vocabulary-sized, cached)
-  table. Each iteration is: distributed adjacent-pair count -> driver
-  argmax (a 1-row collect — the only driver decision, same shape as
-  any iterative-refinement algorithm on Spark) -> JVM-side array
-  rewrite of the symbol sequences. Lineage is cut every few rounds by
-  re-materializing the symbol table, so 100+ merges don't build a
-  100-deep plan.
+  corpus, so the corpus collapses to ``(word, n)`` with ONE shuffle.
+  Two merge-loop backends, selected by the MATERIALIZED vocabulary
+  size (the same two-level shape as dedup.connected_components):
+
+  * vocab <= ``driver_vocab_threshold``: collect the (word, n) table
+    and run the exact in-memory merge loop — zero Spark jobs per
+    merge. This is how production tokenizer trainers work
+    (SentencePiece / Sennrich's reference script train in memory
+    AFTER the distributed word count); even a 100 TB corpus has a
+    bounded distinct-word vocabulary, so this is the expected path.
+  * above the threshold: per-iteration distributed pair count ->
+    driver argmax (1-row collect) -> JVM-side array rewrite, lineage
+    cut every few rounds via localCheckpoint. ~50 tiny sequential
+    jobs — correct but scheduler-bound; only needed when the vocab
+    itself cannot fit one machine.
+
+  Both paths implement CANONICAL sequential BPE (argmax, re-count,
+  argmax) with the same lexicographic tie-break, so they learn
+  byte-identical merge lists (asserted in tests/test_bpe.py).
+  Batching k disjoint merges per round was considered and rejected:
+  a symbol minted by merge j can out-rank the batch's j+1-th pick
+  (e.g. (lo, w</w>) after (l, o)), so batching silently changes the
+  learned tokenizer.
 - **apply** broadcasts the learned merge ranks and tokenizes with an
   Arrow-batched pandas UDF (the per-word merge loop is data-dependent
   control flow — exactly the "genuinely can't express in built-ins"
@@ -44,23 +59,73 @@ def _words(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _train_inmem(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Exact in-memory Sennrich merge loop over a collected (word, n)
+    table. Semantics are identical to the distributed path: argmax by
+    count with (a, b) lexicographic tie-break, stop below count 2,
+    greedy leftmost-first rewrite."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(w[:-1]) + [w[-1] + EOW], n) for w, n in word_freqs if w
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # max count, then lexicographically smallest (a, b) — the same
+        # order as the distributed orderBy(desc(cnt), p.a, p.b)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for wi, (syms, n) in enumerate(vocab):
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[wi] = (out, n)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     num_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    driver_vocab_threshold: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges; returns them in rank order.
 
-    Plan per iteration (all on the cached word-frequency table):
-    symbols explode -> (pair, sum n) partial-agg groupBy -> driver
-    argmax with lexicographic tie-break (deterministic across runs and
-    partitionings) -> array rewrite via one aggregate() fold. The
-    rewrite is lazy; every ``checkpoint_every`` rounds the table is
-    localCheckpoint()-ed so plan depth and re-execution stay bounded.
+    The corpus collapses to the (word, n) frequency table with one
+    distributed shuffle; if the DISTINCT vocabulary fits under
+    ``driver_vocab_threshold`` the merge loop runs exactly in memory
+    (no per-merge Spark jobs — the production tokenizer-trainer
+    shape). Otherwise, per iteration (all on the cached
+    word-frequency table): symbols explode -> (pair, sum n)
+    partial-agg groupBy -> driver argmax with lexicographic tie-break
+    (deterministic across runs and partitionings) -> array rewrite via
+    one aggregate() fold. The rewrite is lazy; every
+    ``checkpoint_every`` rounds the table is localCheckpoint()-ed so
+    plan depth and re-execution stay bounded. Both paths learn the
+    same merge list.
     """
     spark = df.sparkSession
     words = _words(df, text_col)
+    if words.count() <= driver_vocab_threshold:
+        rows = words.collect()
+        return _train_inmem([(r["word"], r["n"]) for r in rows], num_merges)
     # initial symbols: chars, with EOW glued to the last one
     chars = F.split(F.col("word"), "")
     n_ch = F.size(chars)

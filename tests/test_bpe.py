@@ -29,6 +29,14 @@ def test_train_partitioning_invariant(docs):
     assert a == b
 
 
+def test_train_driver_and_distributed_paths_agree(docs):
+    """The in-memory and per-iteration-distributed merge loops learn
+    byte-identical merge lists (canonical sequential BPE both ways)."""
+    fast = B.bpe_train(docs, num_merges=6)  # vocab under threshold
+    slow = B.bpe_train(docs, num_merges=6, driver_vocab_threshold=0)
+    assert fast == slow
+
+
 def test_tokenize_roundtrip_and_counts(docs):
     merges = B.bpe_train(docs, num_merges=6)
     out = {r["doc_id"]: r for r in B.bpe_tokenize(docs, merges).collect()}
