@@ -15,6 +15,20 @@ AQE turns it into a broadcast anti-join. Without a transactional table
 format (Delta/Iceberg jars are not in this image) the append itself is
 directory-append Parquet; the merge stays idempotent because re-running
 the same batch anti-joins to zero rows.
+
+Two physical merge strategies:
+
+- ``merge_into_parquet`` — directory-append; the anti-join's target
+  side scans the WHOLE table (partition footers only when
+  partitioned). Simplest, but appended batches accumulate small files.
+- ``merge_overwrite_partitions`` — dynamic partition overwrite; the
+  anti-join's target side is PRUNED to the partitions the batch
+  actually touches, and only those partitions are rewritten (read
+  amplification = touched partitions, not the table). This is the
+  100 TB incremental shape; on a real deployment the same logic is one
+  Delta ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` (SURVEY §2b
+  K4), which adds concurrent-writer atomicity via the transaction log
+  — swap the writer, keep the dedup/anti-join plan.
 """
 
 from __future__ import annotations
@@ -119,3 +133,76 @@ def merge_into_parquet(
                 except OSError:
                     pass
     return n
+
+
+def merge_overwrite_partitions(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_path: str,
+    key: str = "arrest_key",
+    partition_by: str = YEAR_COL,
+    partition_source: str = "arrest_date",
+) -> int:
+    """Insert-if-absent upsert that REWRITES only the partitions the
+    batch touches (dynamic partition overwrite) instead of appending.
+
+    Why this exists next to ``merge_into_parquet``: the append variant
+    anti-joins against the FULL target and accumulates one small file
+    set per batch. Here the target side is filtered to the batch's own
+    partition values first — Catalyst turns that into partition
+    PRUNING at the scan (a weekly arrest batch touches 1-2 year
+    partitions of decades of history), the anti-join's right side
+    shrinks to those partitions, and the rewrite compacts each touched
+    partition into fresh files as a side effect. Untouched partitions
+    are never read or written (``partitionOverwriteMode=dynamic``
+    replaces only partitions present in the written frame).
+
+    The merged frame is materialized via ``localCheckpoint`` before
+    the write: Spark (correctly) refuses to overwrite a path that is
+    also a live input of the same plan, and the checkpoint both lifts
+    that and makes the read-then-replace safe. That bounds this
+    variant by executor storage for the TOUCHED partitions only. On a
+    production deployment the same dedup + pruned-anti-join plan feeds
+    Delta ``MERGE INTO`` (or an Iceberg ``overwritePartitions``),
+    whose transaction log gives concurrent-writer atomicity and
+    snapshot isolation that bare Parquet directories cannot.
+
+    Returns the inserted rowcount, like ``merge_into_parquet``.
+    """
+    if partition_by == YEAR_COL and YEAR_COL not in incoming.columns:
+        incoming = incoming.withColumn(YEAR_COL, F.year(partition_source))
+    fresh = dedup_first_writer_wins(incoming, key)
+    target_touched = None
+    if os.path.exists(table_path):
+        try:
+            target = spark.read.parquet(table_path)
+        except Exception:
+            target = None
+        if target is not None:
+            # One tiny collect: the batch's distinct partition values
+            # (bounded by the partition domain — years, not rows).
+            touched = [
+                r[0]
+                for r in fresh.select(partition_by).distinct().collect()
+                if r[0] is not None
+            ]
+            target_touched = target.filter(F.col(partition_by).isin(touched))
+            fresh = fresh.join(target_touched.select(key), on=key, how="left_anti")
+
+    from pyspark.sql import Observation
+
+    obs = Observation("merge.inserted")
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    out = (
+        target_touched.unionByName(fresh) if target_touched is not None else fresh
+    )
+    out = out.localCheckpoint(eager=True)
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_by).parquet(table_path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    return obs.get["n"]

@@ -111,6 +111,74 @@ def test_partitioned_target_layout(spark, tmp_path):
     assert "arrest_year=2025" in set(os.listdir(target))
 
 
+def test_merge_overwrite_partitions_semantics(spark, tmp_path):
+    """Dynamic partition-overwrite merge: first-wins + insert-if-absent
+    + run-twice idempotency, and untouched partitions are never
+    rewritten (their files stay byte-identical on disk)."""
+    import os
+
+    from nypd_arrest_etl_spark.operators.merge import merge_overwrite_partitions
+
+    target = str(tmp_path / "tgt")
+    base = _df(
+        spark,
+        [("A", "2023-06-01", "a"), ("B", "2024-01-15", "b")],
+    )
+    assert merge_overwrite_partitions(spark, base, target) == 2
+
+    def files_of(year):
+        d = os.path.join(target, f"arrest_year={year}")
+        return {
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_2023 = files_of(2023)
+
+    # batch touches ONLY 2024: dup key within batch (first wins),
+    # existing key (target wins), one genuinely new key
+    batch = _df(
+        spark,
+        [
+            ("C", "2024-02-01", "c1"),
+            ("C", "2024-02-02", "c2"),
+            ("B", "2024-03-01", "clobber"),
+        ],
+    )
+    assert merge_overwrite_partitions(spark, batch, target) == 1
+    # idempotent re-run
+    assert merge_overwrite_partitions(spark, batch, target) == 0
+
+    rows = {r["arrest_key"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"A": "a", "B": "b", "C": "c1"}
+    # 2023 partition never read-for-rewrite nor rewritten
+    assert files_of(2023) == before_2023
+
+
+def test_merge_overwrite_prunes_target_scan(spark, tmp_path):
+    """The anti-join's target side is partition-pruned to the batch's
+    years: the parquet scan plan carries a partition filter and reads
+    only the touched partition's files."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "tgt")
+    base = _df(
+        spark,
+        [("A", "2023-06-01", "a"), ("B", "2024-01-15", "b")],
+    )
+    from nypd_arrest_etl_spark.operators.merge import merge_overwrite_partitions
+
+    merge_overwrite_partitions(spark, base, target)
+    t = spark.read.parquet(target)
+    pruned = t.filter(F.col("arrest_year").isin([2024]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "arrest_year" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert pruned.count() == 1
+
+
 def test_observe_metrics_report_scanned_and_dropped(spark, tmp_path):
     """Observation metrics ride the write action (no extra job) and
     reproduce the reference's stage counters + dropped-row log
