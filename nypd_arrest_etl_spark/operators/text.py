@@ -160,6 +160,7 @@ def containment_pairs(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Plagiarism-style containment: pairs whose winnowing-fingerprint
     overlap covers >= ``threshold`` of the SMALLER document's
@@ -172,13 +173,28 @@ def containment_pairs(
     containment against per-doc set sizes (AQE broadcasts the
     |docs|-row sizes table when it fits; forcing the hint pessimizes
     the small case and is wrong when the corpus outgrows executor
-    memory, so strategy choice is left to the runtime). Boilerplate
-    shared across a whole corpus makes hot fingerprints; at scale,
-    drop fingerprints whose document frequency exceeds a cap first
-    (they carry no discriminative signal).
+    memory, so strategy choice is left to the runtime).
+
+    Candidate volume is sum over hashes of |bucket|^2: corpus-wide
+    boilerplate makes hot fingerprint buckets, and the 100x soak shows
+    this query growing ~linearly with data (the bucket joins dominate).
+    ``max_df`` is the scale knob: drop fingerprints whose DOCUMENT
+    frequency exceeds the cap before the self-join (one extra
+    partial-agg groupBy + semi-join). An explicit approximation —
+    boilerplate hashes carry no discriminative signal, but pairs whose
+    overlap consisted only of capped hashes are lost; default off, so
+    results stay exact.
     """
     fp = fingerprint_winnow(df, id_col, text_col, k, window).cache()
     postings = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprints").alias("h"))
+    if max_df is not None:
+        rare = (
+            postings.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        postings = postings.join(rare, "h")
     sizes = fp.select(F.col(id_col).alias("doc"), F.size("fingerprints").alias("n"))
 
     a, b = postings.alias("a"), postings.alias("b")

@@ -30,6 +30,21 @@ def test_quote_inside_long_article_is_contained(spark):
     assert len(got) == 1 and got[0]["doc_id_1"] == 1 and got[0]["containment"] >= 0.8
 
 
+def test_containment_max_df_drops_boilerplate_only(spark):
+    """The df-frequency cap removes corpus-wide boilerplate hashes from
+    the candidate join but keeps pairs whose overlap is rare: the two
+    identical docs still match (their shared hashes have df=2), while a
+    df=1 cap kills every bucket and yields no pairs."""
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    df = _docs(spark, [(1, text), (2, text), (3, "entirely different words here okay")])
+    capped = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in containment_pairs(df, 0.5, max_df=2).collect()
+    }
+    assert capped == {(1, 2)}
+    assert containment_pairs(df, 0.5, max_df=1).count() == 0
+
+
 def test_winnow_fingerprints_subset_of_gram_hashes(spark):
     """Every fingerprint is the min of a window of k-gram hashes, so
     fingerprints(doc) is a subset of all k-gram hashes of the doc."""

@@ -29,8 +29,13 @@ FACTS = {
     "orders": ["o_orderkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
-DIMS = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+# Bump when the generated layout changes (forces regeneration of a
+# soak dir produced by an older version of this script).
+DATA_VERSION = "v2"
 
 QUERIES = [
     "pricing_summary",          # scan -> partial agg (Q1 shape)
@@ -40,6 +45,13 @@ QUERIES = [
     "tumbling_hourly",          # event-time windows
     "dedup_exact_docs",         # corpus hash-groupBy
     "text_quality_score",       # narrow per-doc expressions
+    # candidate-generation joins — where super-linear behavior would
+    # hide (bucket fan-in, prefix-filter selectivity, verify joins)
+    "dedup_jaccard_pairs",      # PPJoin prefix-filtered self-join
+    "dedup_minhash_pairs",      # banded MinHash LSH
+    "dedup_simhash_pairs",      # 4-band SimHash hamming join
+    "text_containment_pairs",   # winnowing-fingerprint overlap join
+    "similarity_ann_lsh",       # random-hyperplane bucketed ANN
 ]
 
 
@@ -53,7 +65,8 @@ def main() -> None:
     spark = get_spark(app_name="soak")
     soak_dir = os.path.join(REPO, "spark-warehouse", f"soak_x{rep}")
     marker = os.path.join(soak_dir, "_done")
-    if not os.path.exists(marker):
+    done = os.path.exists(marker) and open(marker).read().strip() == DATA_VERSION
+    if not done:
         for name, keys in FACTS.items():
             df = spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
             r = df.crossJoin(
@@ -61,9 +74,26 @@ def main() -> None:
             )
             for k in keys:
                 r = r.withColumn(k, F.col(k) * rep + F.col("_rep"))
-            if name == "events":  # spread replicas over time so event-time
-                # windows grow in rows-per-window, not window count
-                r = r
+            if name == "documents":
+                # Replica-prefix every word: each replica becomes a
+                # DISTINCT shard with the same shingle-frequency shape.
+                # Plain replication would make every doc 100 exact
+                # copies, so every near-dup query's OUTPUT would grow
+                # quadratically by construction — the ratio would
+                # measure result size, not plan scaling. (Embeddings
+                # stay exact replicas on purpose: ANN output is top-k
+                # per query, so x100 bucket density stresses the
+                # candidate join without inflating the result.)
+                pref = F.concat(F.col("_rep").cast("string"), F.lit("_"))
+                r = r.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "), lambda w: F.concat(pref, w)
+                        ),
+                        " ",
+                    ),
+                )
             (
                 r.drop("_rep")
                 .repartition(32)
@@ -76,7 +106,7 @@ def main() -> None:
                 spark.read.parquet(src).write.mode("overwrite").parquet(
                     os.path.join(soak_dir, f"{name}.parquet")
                 )
-        open(marker, "w").write("ok")
+        open(marker, "w").write(DATA_VERSION)
 
     qs = entrymod.queries()
     results = []
@@ -108,7 +138,29 @@ def main() -> None:
     ]
     for name, b, s, r in results:
         lines.append(f"| {name} | {b} | {s} | {r}x |")
-    lines += ["", "Generated by `tools/soak_scale.py`."]
+    lines += [
+        "",
+        "Methodology notes:",
+        "",
+        "- Replicated documents get a replica-prefix on every word: each replica",
+        "  is a distinct shard with the same shingle-frequency SHAPE. Plain",
+        "  replication would make every doc N exact copies, growing every",
+        "  near-dup query's OUTPUT quadratically by construction — the ratio",
+        "  would measure result size, not plan scaling.",
+        "- Embeddings replicate exactly (ANN output is top-k per fixed query",
+        "  set, so x" + str(rep) + " bucket density stresses the candidate join without",
+        "  inflating the result).",
+        "- The candidate-generation joins (jaccard/minhash/simhash/containment)",
+        "  are the family where super-linear blowup would hide; their candidate",
+        "  volume is sum-of-bucket^2, so staying at or under the data ratio",
+        "  means bucket keys stayed selective. `containment_pairs` grows",
+        "  ~linearly (hot boilerplate fingerprint buckets dominate); its",
+        "  `max_df` cap is the explicit scale knob beyond this.",
+        "- A sub-1x ratio (ANN) means AQE picked a better physical plan at the",
+        "  larger size than at the base size.",
+        "",
+        "Generated by `tools/soak_scale.py`.",
+    ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"rep": rep, "results": results}))
