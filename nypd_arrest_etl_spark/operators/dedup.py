@@ -267,7 +267,15 @@ def minhash_signatures(
     pure integer affine maps over that base — cheap JVM arithmetic,
     and exactly replayable by a SQL oracle (min((x*a_i+b_i) % 2^32)
     per doc). The doc row count never changes, so signature generation
-    is narrow (zero shuffle)."""
+    is narrow (zero shuffle).
+
+    An explode -> groupBy(doc) with num_perm codegen'd MIN aggregates
+    was measured as the alternative (the formulation that fixed the
+    SimHash fold): steady-state is a wash — the band join + verify
+    stages dominate this query, not signature generation — while the
+    64-aggregate janino compile more than doubles the query's cold
+    time (3.1s -> 7.2s) and the extra doc-keyed shuffle+join would
+    move every shingle array at corpus scale. Narrow wins here."""
     based = sh.select(
         "doc_id",
         "shingles",
