@@ -180,13 +180,15 @@ def merge_overwrite_partitions(
             target = None
         if target is not None:
             # One tiny collect: the batch's distinct partition values
-            # (bounded by the partition domain — years, not rows).
-            touched = [
-                r[0]
-                for r in fresh.select(partition_by).distinct().collect()
-                if r[0] is not None
-            ]
-            target_touched = target.filter(F.col(partition_by).isin(touched))
+            # (bounded by the partition domain — years, not rows). A
+            # NULL partition value (unparseable arrest_date) is itself
+            # a touched partition: dropping it here would let null-year
+            # keys bypass the anti-join and duplicate across batches.
+            vals = [r[0] for r in fresh.select(partition_by).distinct().collect()]
+            cond = F.col(partition_by).isin([v for v in vals if v is not None])
+            if any(v is None for v in vals):
+                cond = cond | F.col(partition_by).isNull()
+            target_touched = target.filter(cond)
             fresh = fresh.join(target_touched.select(key), on=key, how="left_anti")
 
     from pyspark.sql import Observation

@@ -156,6 +156,26 @@ def test_merge_overwrite_partitions_semantics(spark, tmp_path):
     assert files_of(2023) == before_2023
 
 
+def test_merge_overwrite_null_partition_keys_stay_deduped(spark, tmp_path):
+    """A NULL partition value (unparseable date) is a touched partition
+    too: re-sending a null-year key must anti-join against the target's
+    null partition, not insert a duplicate."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.merge import merge_overwrite_partitions
+
+    target = str(tmp_path / "tgt")
+    batch = spark.createDataFrame(
+        [("N1", None, "x"), ("A", "2024-01-01", "a")],
+        "arrest_key string, arrest_date string, v string",
+    )
+    assert merge_overwrite_partitions(spark, batch, target) == 2
+    assert merge_overwrite_partitions(spark, batch, target) == 0
+    final = spark.read.parquet(target)
+    assert final.count() == 2
+    assert final.filter(F.col("arrest_key") == "N1").count() == 1
+
+
 def test_merge_overwrite_prunes_target_scan(spark, tmp_path):
     """The anti-join's target side is partition-pruned to the batch's
     years: the parquet scan plan carries a partition filter and reads
