@@ -14,8 +14,9 @@ for a 100 TB corpus:
     and run the exact in-memory merge loop — zero Spark jobs per
     merge. This is how production tokenizer trainers work
     (SentencePiece / Sennrich's reference script train in memory
-    AFTER the distributed word count); even a 100 TB corpus has a
-    bounded distinct-word vocabulary, so this is the expected path.
+    AFTER the distributed word count). The default threshold is
+    conservative because the loop is interpreted CPython, not a
+    compiled trainer.
   * above the threshold: per-iteration distributed pair count ->
     driver argmax (1-row collect) -> JVM-side array rewrite, lineage
     cut every few rounds via localCheckpoint. ~50 tiny sequential
@@ -104,7 +105,7 @@ def bpe_train(
     num_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
-    driver_vocab_threshold: int = 2_000_000,
+    driver_vocab_threshold: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges; returns them in rank order.
 
@@ -112,7 +113,11 @@ def bpe_train(
     distributed shuffle; if the DISTINCT vocabulary fits under
     ``driver_vocab_threshold`` the merge loop runs exactly in memory
     (no per-merge Spark jobs — the production tokenizer-trainer
-    shape). Otherwise, per iteration (all on the cached
+    shape). The in-memory loop is interpreted CPython at
+    O(vocab x avg_word_len) per merge — roughly tens of seconds at
+    the 200k default with 50 merges, and the collect is ~tens of MB;
+    raise the threshold only on a driver sized for it (a compiled
+    trainer a la SentencePiece handles millions — CPython does not). Otherwise, per iteration (all on the cached
     word-frequency table): symbols explode -> (pair, sum n)
     partial-agg groupBy -> driver argmax with lexicographic tie-break
     (deterministic across runs and partitionings) -> array rewrite via

@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.functions import cosine_similarity, spread
 
-# Portable-hash constants shared bit-for-bit with the DuckDB oracles
-# (public constants: Knuth's multiplicative constant and xxHash prime2).
-_M32 = 1 << 32
+# Portable-hash constants shared bit-for-bit with the DuckDB oracles.
+# _KNUTH and the 2^32 modulus come from operators.sampling — the ONE
+# definition every portable operator and oracle must agree on; only
+# the dedup-specific constants live here (xxHash prime2 for the
+# MinHash b_i coefficients, the 30-bit input reduction).
+from nypd_arrest_etl_spark.operators.sampling import _KNUTH, _MASK32 as _M32
+
 _M30 = 1 << 30
-_KNUTH = 2654435761
 _XXP2 = 2246822519
 
 
@@ -90,6 +93,12 @@ def with_shingles(
     the row count stays |docs| until a candidate generator needs
     postings.
 
+    A document with fewer than ``n`` tokens has NO n-gram shingles
+    (empty array) — it can never pair. This is also what the generated
+    SQL oracles compute (generate_series over len-n+1 positions), so
+    the engine and the oracle agree on short docs instead of the
+    engine inventing a truncated partial shingle.
+
     The token array is materialized as its OWN projection first: an
     expression inlined into a higher-order-function lambda is
     re-evaluated per element, so referencing ``split(text)`` inside the
@@ -100,14 +109,18 @@ def with_shingles(
     toksed = spread(df).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return toksed.select("doc_id", grams.alias("shingles"))
 
 
@@ -120,18 +133,23 @@ def hashed_shingle_postings(
     concatenated shingle strings are never built, and everything
     downstream (distinct, joins, broadcasts) moves 8-byte longs
     instead of strings. The per-doc distinct happens on the hash
-    array before the explode, so the posting list is exact."""
+    array before the explode, so the posting list is exact. Docs
+    shorter than ``n`` tokens emit no postings (same contract as
+    with_shingles and the SQL oracles)."""
     toksed = spread(df).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("toks")
     )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-            lambda i: F.xxhash64(
-                *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
+    grams = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.xxhash64(
+                    *[F.element_at("toks", (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return toksed.select("doc_id", F.explode(grams).alias("sh"))
 
 
@@ -316,7 +334,11 @@ def minhash_lsh_pairs(
     imply near-identical docs.
     """
     rows_per_band = num_perm // bands
-    sh = with_shingles(df, id_col, text_col, n)
+    # Shingle-less docs (< n tokens) are excluded BEFORE signatures:
+    # their empty signature would be [null x num_perm], and Spark's
+    # array equality is elementwise null-safe, so every pair of empty
+    # docs would collide in every band and then hit a 0/0 Jaccard.
+    sh = with_shingles(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     # Cache barrier: banding references `sig` per band and the
     # verify joins reference the shingle arrays — four plan branches
     # with different column pruning, so without materialization the

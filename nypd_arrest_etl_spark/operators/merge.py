@@ -142,20 +142,27 @@ def merge_overwrite_partitions(
     key: str = "arrest_key",
     partition_by: str = YEAR_COL,
     partition_source: str = "arrest_date",
+    key_local_to_partition: bool = False,
 ) -> int:
     """Insert-if-absent upsert that REWRITES only the partitions the
     batch touches (dynamic partition overwrite) instead of appending.
 
     Why this exists next to ``merge_into_parquet``: the append variant
-    anti-joins against the FULL target and accumulates one small file
-    set per batch. Here the target side is filtered to the batch's own
-    partition values first — Catalyst turns that into partition
-    PRUNING at the scan (a weekly arrest batch touches 1-2 year
-    partitions of decades of history), the anti-join's right side
-    shrinks to those partitions, and the rewrite compacts each touched
-    partition into fresh files as a side effect. Untouched partitions
-    are never read or written (``partitionOverwriteMode=dynamic``
-    replaces only partitions present in the written frame).
+    accumulates one small file set per batch. Here only the batch's own
+    partitions are REWRITTEN — compacting them as a side effect — and
+    untouched partitions are never written
+    (``partitionOverwriteMode=dynamic`` replaces only partitions
+    present in the written frame).
+
+    The K4 guarantee ("keys already ANYWHERE in the target are
+    discarded") is kept by default: the anti-join's right side is the
+    full target's KEY COLUMN (column-pruned scan — footers + one
+    column, not the table), so a key re-sent with a corrected date
+    that maps to a different partition is still rejected.
+    ``key_local_to_partition=True`` opts into the cheaper pruned
+    anti-join (right side = touched partitions only) for deployments
+    where the key->partition mapping is immutable — with a mutable
+    mapping it would re-insert such keys into their new partition.
 
     The merged frame is materialized via ``localCheckpoint`` before
     the write: Spark (correctly) refuses to overwrite a path that is
@@ -189,7 +196,12 @@ def merge_overwrite_partitions(
             if any(v is None for v in vals):
                 cond = cond | F.col(partition_by).isNull()
             target_touched = target.filter(cond)
-            fresh = fresh.join(target_touched.select(key), on=key, how="left_anti")
+            anti_side = (
+                target_touched.select(key)
+                if key_local_to_partition
+                else target.select(key)
+            )
+            fresh = fresh.join(anti_side, on=key, how="left_anti")
 
     from pyspark.sql import Observation
 

@@ -180,10 +180,13 @@ def containment_pairs(
     this query growing ~linearly with data (the bucket joins dominate).
     ``max_df`` is the scale knob: drop fingerprints whose DOCUMENT
     frequency exceeds the cap before the self-join (one extra
-    partial-agg groupBy + semi-join). An explicit approximation —
-    boilerplate hashes carry no discriminative signal, but pairs whose
-    overlap consisted only of capped hashes are lost; default off, so
-    results stay exact.
+    partial-agg groupBy + semi-join). The capped run computes
+    containment ON THE CAPPED UNIVERSE — per-doc set sizes are
+    recounted from the surviving postings, so shared counts and
+    denominators stay consistent (capping both numerator and
+    denominator; otherwise a pair mostly overlapping on rare hashes
+    would be diluted by boilerplate-only denominator mass). Still an
+    approximation of the uncapped answer — default off, results exact.
     """
     fp = fingerprint_winnow(df, id_col, text_col, k, window).cache()
     postings = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprints").alias("h"))
@@ -194,8 +197,10 @@ def containment_pairs(
             .filter(F.col("_df") <= max_df)
             .select("h")
         )
-        postings = postings.join(rare, "h")
-    sizes = fp.select(F.col(id_col).alias("doc"), F.size("fingerprints").alias("n"))
+        postings = postings.join(rare, "h").cache()
+        sizes = postings.groupBy("doc").agg(F.count("*").alias("n"))
+    else:
+        sizes = fp.select(F.col(id_col).alias("doc"), F.size("fingerprints").alias("n"))
 
     a, b = postings.alias("a"), postings.alias("b")
     shared = (

@@ -64,6 +64,21 @@ def test_jaccard_prefix_filter_is_complete(spark, sf_dir):
     assert fast == naive
 
 
+def test_short_docs_emit_no_shingles_and_never_pair(spark):
+    """A doc with fewer than n tokens has no n-gram shingles (matching
+    the SQL oracles' generate_series semantics) — identical short docs
+    must NOT pair via an invented truncated shingle."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: list(r["shingles"]) for r in D.with_shingles(df, n=4).collect()}
+    assert sh[1] == [] and sh[2] == [] and len(sh[3]) == 2
+    assert D.jaccard_pairs(df, 0.8, n=4).count() == 0
+    assert D.minhash_lsh_pairs(df, 0.8, n=4).count() == 0
+    assert D.simhash_pairs(df, 3, n=4).count() == 0
+
+
 def test_minhash_no_false_positives_and_high_recall(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {(r.doc_id_1, r.doc_id_2) for r in D.jaccard_pairs(docs, 0.8).collect()}

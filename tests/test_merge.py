@@ -156,6 +156,25 @@ def test_merge_overwrite_partitions_semantics(spark, tmp_path):
     assert files_of(2023) == before_2023
 
 
+def test_merge_overwrite_rejects_key_that_moved_partitions(spark, tmp_path):
+    """K4 holds across partitions by default: a key re-sent with a
+    corrected date (different year) is still discarded, because the
+    anti-join checks the full target's key column, not just the
+    batch's own partitions."""
+    from nypd_arrest_etl_spark.operators.merge import merge_overwrite_partitions
+
+    target = str(tmp_path / "tgt")
+    assert merge_overwrite_partitions(
+        spark, _df(spark, [("K1", "2023-06-01", "orig")]), target
+    ) == 1
+    # same key, corrected date -> other partition: must be rejected
+    assert merge_overwrite_partitions(
+        spark, _df(spark, [("K1", "2024-02-01", "corrected")]), target
+    ) == 0
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "orig"
+
+
 def test_merge_overwrite_null_partition_keys_stay_deduped(spark, tmp_path):
     """A NULL partition value (unparseable date) is a touched partition
     too: re-sending a null-year key must anti-join against the target's

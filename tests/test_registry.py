@@ -23,7 +23,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_every_registry_entry_in_full_compare_artifact():
     path = os.path.join(REPO, "CORRECTNESS_FULL.md")
     txt = open(path).read()
-    missing = [n for n in entry_mod.queries() if n not in txt]
+    # Anchored per-line match: substring membership would let a new
+    # query named as a prefix of an existing entry (e.g. "sketch_stats"
+    # inside "sketch_stats_native") pass without its own result row.
+    missing = [
+        n
+        for n in entry_mod.queries()
+        if not re.search(rf"^{re.escape(n)}\s", txt, re.M)
+    ]
     assert not missing, (
         f"queries missing from CORRECTNESS_FULL.md: {missing} — "
         "regenerate with `python tools/compare_oracle.py` and commit"
