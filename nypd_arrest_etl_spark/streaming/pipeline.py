@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from nypd_arrest_etl_spark.operators.clean import clean
-from nypd_arrest_etl_spark.operators.merge import merge_into_parquet
+from nypd_arrest_etl_spark.operators.merge import (
+    merge_into_parquet,
+    merge_overwrite_partitions,
+)
 from nypd_arrest_etl_spark.schema import RAW_SCHEMA
 
 
@@ -39,6 +42,7 @@ def stream_etl(
     fmt: str = "json",
     available_now: bool = True,
     dedup_watermark: str = "30 days",
+    merge_strategy: str = "append",
 ) -> StreamingQuery:
     """Incremental ETL as a stream: new files under ``source_dir`` are
     cleaned and merged insert-if-absent into the Parquet target.
@@ -53,7 +57,16 @@ def stream_etl(
     not be caught here — but the foreachBatch merge anti-joins the
     target, so it still cannot land twice. The watermark only bounds
     memory, never correctness.
+
+    ``merge_strategy`` picks the physical merge inside foreachBatch:
+    ``"append"`` (merge_into_parquet — simplest, accumulates files) or
+    ``"overwrite_partitions"`` (merge_overwrite_partitions — each
+    microbatch rewrites/compacts only the year partitions it touches;
+    the long-running incremental shape). Both are idempotent per
+    microbatch, so a replayed batch after a crash inserts zero rows.
     """
+    if merge_strategy not in ("append", "overwrite_partitions"):
+        raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
     raw = (
         spark.readStream.schema(RAW_SCHEMA).format(fmt).load(source_dir)
         if fmt != "csv"
@@ -68,7 +81,12 @@ def stream_etl(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_into_parquet(batch_df.sparkSession, batch_df, target_path)
+        if merge_strategy == "overwrite_partitions":
+            merge_overwrite_partitions(
+                batch_df.sparkSession, batch_df, target_path, partition_by="arrest_year"
+            )
+        else:
+            merge_into_parquet(batch_df.sparkSession, batch_df, target_path)
 
     writer = (
         cleaned.writeStream.outputMode("append")

@@ -56,6 +56,47 @@ def test_stream_etl_incremental_and_idempotent(spark, tmp_path):
     assert final.count() == 3
 
 
+def test_stream_etl_overwrite_partitions_strategy(spark, tmp_path):
+    """foreachBatch + merge_overwrite_partitions: each microbatch
+    rewrites only its touched year partitions; replay inserts nothing
+    and cross-year keys stay deduped across microbatches."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"arrest_key": "P1", "arrest_date": "2023-03-05", "law_cat_cd": "F"},
+            {"arrest_key": "P2", "arrest_date": "2024-01-06", "law_cat_cd": "M"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt, merge_strategy="overwrite_partitions")
+    q.awaitTermination(120)
+    assert {d for d in os.listdir(target) if d.startswith("arrest_year=")} == {
+        "arrest_year=2023",
+        "arrest_year=2024",
+    }
+
+    _write_jsonl(
+        src / "b2.json",
+        [
+            # re-sent key with a DIFFERENT year: full-key anti-join rejects
+            {"arrest_key": "P1", "arrest_date": "2024-06-01", "law_cat_cd": "F"},
+            {"arrest_key": "P3", "arrest_date": "2024-02-01", "law_cat_cd": "I"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt, merge_strategy="overwrite_partitions")
+    q.awaitTermination(120)
+    final = spark.read.parquet(target)
+    assert {r["arrest_key"] for r in final.collect()} == {"P1", "P2", "P3"}
+    assert final.count() == 3
+    assert final.filter("arrest_key = 'P1' AND arrest_year = 2024").count() == 0
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("ts", T.TimestampType()),
