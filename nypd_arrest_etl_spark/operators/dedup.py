@@ -334,11 +334,7 @@ def minhash_lsh_pairs(
     imply near-identical docs.
     """
     rows_per_band = num_perm // bands
-    # Shingle-less docs (< n tokens) are excluded BEFORE signatures:
-    # their empty signature would be [null x num_perm], and Spark's
-    # array equality is elementwise null-safe, so every pair of empty
-    # docs would collide in every band and then hit a 0/0 Jaccard.
-    sh = with_shingles(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    sh = with_shingles(df, id_col, text_col, n)
     # Cache barrier: banding references `sig` per band and the
     # verify joins reference the shingle arrays — four plan branches
     # with different column pruning, so without materialization the
@@ -346,6 +342,16 @@ def minhash_lsh_pairs(
     # (and Catalyst would inline it 16x into the band lambdas).
     # Doc-count-sized (|docs| x (num_perm + doc_len) longs).
     sigs = minhash_signatures(sh, num_perm).cache()
+    # Shingle-less docs (< n tokens) are excluded AFTER the cache: their
+    # empty signature would be [null x num_perm], and Spark's array
+    # equality is elementwise null-safe, so every pair of empty docs
+    # would band-collide and hit a 0/0 Jaccard. The filter sits on the
+    # cached relation ON PURPOSE — predicate pushdown cannot cross an
+    # InMemoryRelation, whereas filtering `sh` directly lets the
+    # optimizer push size(shingles) > 0 below the projection, inlining
+    # the whole md5-shingle expression into the filter and computing it
+    # twice per row (measured 4x on this query).
+    sigs = sigs.filter(F.col("n_sh") > 0)
 
     # Band key = the signature slice itself (array<long> equi-join key,
     # ~36 bytes) rather than a hash of it: no collision term in the
