@@ -2,11 +2,15 @@
 analysis, multimodal plumbing — each over the driver's ``documents``
 and ``embeddings`` tables, with a DuckDB oracle wherever the semantics
 are SQL-expressible. The MinHash/SimHash sketches are built on a
-portable md5-derived hash, so even their LSH recall behavior is
-replayed bit-for-bit by generated SQL oracles; only the remaining
-engine-internal ops (winnowing xxhash fingerprints, ANN variants,
-BPE) get the driver's rows-only check, with exactness unit tests in
-tests/test_dedup.py / test_text.py against the operators.
+portable md5-derived hash and the LSH ANN's hyperplanes come from an
+explicit LCG embedded as literals, so even their candidate-recall
+behavior is replayed bit-for-bit by generated SQL oracles; the
+multimodal fake kernels reduce to byte arithmetic the oracle recomputes
+from the ASCII corpus. Only genuinely engine-internal ops remain
+rows-only — IVF (driver k-means), BPE (iterative), winnowing
+fingerprints/containment (xxhash64 kept deliberately: the char-gram
+hash is the hot path and md5 would double it) — with exactness unit
+tests in tests/test_dedup.py / test_text.py against the operators.
 """
 
 from __future__ import annotations
@@ -244,6 +248,55 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return SIM.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def _ann_lsh_oracle_sql(
+    k: int = 5, n_planes: int = 8, rotations: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of ann_lsh_topk: the hyperplanes come from the SAME
+    explicit-LCG generator (similarity._hyperplanes — every coefficient
+    is a dyadic rational, exactly representable), embedded as double
+    literals; bucket bits are dot-product signs, candidates share a
+    bucket in any rotation, exact cosine (rounded like the engine, so
+    the rank order keys match) ranks with neighbor-id tie-break. The
+    oracle therefore replays the LSH recall behavior, not an idealized
+    exact top-k."""
+    from nypd_arrest_etl_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(r: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed=42 + r)
+        terms = []
+        for p, row in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    rot_buckets = ",\n       ".join(
+        f"({bucket_expr(r)}) AS b{r}" for r in range(rotations)
+    )
+    share = " OR ".join(f"q.b{r} = c.b{r}" for r in range(rotations))
+    return f"""
+WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v,
+       {rot_buckets}
+       FROM vv),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+         FROM bk q JOIN bk c
+           ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND ({share})),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_ANN_LSH = _ann_lsh_oracle_sql()
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,32 +612,70 @@ FROM documents
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas-UDF feature extraction (byte-histogram fake encoder);
-    summarized to a stable projection (rows-only check)."""
+    """Pandas-UDF feature extraction (byte-histogram fake encoder),
+    summarized to an INTEGER-EXACT projection so the whole Arrow
+    round-trip is oracle-checkable: the dominant histogram bin (argmax
+    with first-index tie-break) depends only on byte counts, which the
+    oracle recomputes from codepoints (the corpus is ASCII, so
+    byte>>4 == unicode(c)//16)."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     feats = M.extract_features(media, fake=True)
     return feats.select(
         "media_id",
         F.size("features").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("l1"),
+        F.array_position("features", F.array_max("features"))
+        .cast("int")
+        .alias("dominant_bin"),
     )
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+h AS (SELECT doc_id, unicode(c) // 16 AS bin, count(*) AS n FROM ch GROUP BY 1, 2),
+r AS (SELECT doc_id, bin,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bin ASC) AS rk
+      FROM h)
+SELECT doc_id AS media_id, 16 AS dim, CAST(bin + 1 AS INT) AS dominant_bin
+FROM r WHERE rk = 1
+"""
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling fan-out (4 frames/payload), summarized as frame
-    hashes (deterministic; binary kernels are not SQL-expressible —
-    rows-only check)."""
+    hashes. Deterministic byte arithmetic over an ASCII corpus, so the
+    oracle replays the chunk offsets (floor() where Spark's int cast
+    truncates — DuckDB's cast rounds) and hashes the same bytes."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     frames = M.sample_frames(media, n_frames=4)
     return frames.select("media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5"))
 
 
+ORACLE_MEDIA_FRAMES = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       md5(substr(text, CAST(floor(i * (length(text) / 4.0)) AS INT) + 1, 1024)) AS frame_md5
+FROM documents, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t
+"""
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-resample resize through the Arrow batch path; payload
-    summarized as md5 (rows-only check)."""
+    summarized as md5. The numpy gather (arange(256)*len//256 % len)
+    is pure integer arithmetic the oracle replays per pixel."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     resized = M.resize_media(media, width=16, height=16)
     return resized.select("media_id", "width", "height", F.md5("payload").alias("payload_md5"))
+
+
+ORACLE_MEDIA_RESIZE = """
+WITH g AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i FROM documents),
+px AS (SELECT doc_id, i,
+              substr(text, CAST(((i * length(text)) // 256) % length(text) AS INT) + 1, 1) AS ch
+       FROM g),
+s AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS resized FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       md5(resized) AS payload_md5
+FROM s
+"""
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,7 +1017,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_contamination": (q_contamination, ORACLE_CONTAMINATION),
     "dedup_neardup_clusters": (q_neardup_clusters, ORACLE_NEARDUP_CLUSTERS),
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
-    "similarity_ann_lsh": (q_ann_lsh, None),
+    "similarity_ann_lsh": (q_ann_lsh, ORACLE_ANN_LSH),
     "similarity_ann_ivf": (q_ann_ivf, None),
     "similarity_quantized": (q_similarity_quantized, ORACLE_SIMILARITY_QUANTIZED),
     "text_stats_docs": (q_text_stats, ORACLE_TEXT_STATS),
@@ -939,7 +1030,7 @@ LLM_OPS: dict[str, tuple] = {
     "text_containment_pairs": (q_containment, None),
     "curate_corpus": (q_curation, ORACLE_CURATION),
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
-    "multimodal_features": (q_media_features, None),
+    "multimodal_features": (q_media_features, ORACLE_MEDIA_FEATURES),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "profile_documents": (q_profile_documents, ORACLE_PROFILE_DOCUMENTS),
@@ -952,6 +1043,6 @@ LLM_OPS: dict[str, tuple] = {
     "text_lm_score": (q_text_lm_score, ORACLE_TEXT_LM_SCORE),
     "text_bpe_tokens": (q_bpe_tokens, None),
     "histogram_chars": (q_histogram_chars, ORACLE_HISTOGRAM_CHARS),
-    "multimodal_frames": (q_media_frames, None),
-    "multimodal_resize": (q_media_resize, None),
+    "multimodal_frames": (q_media_frames, ORACLE_MEDIA_FRAMES),
+    "multimodal_resize": (q_media_resize, ORACLE_MEDIA_RESIZE),
 }
