@@ -6,11 +6,11 @@ portable md5-derived hash and the LSH ANN's hyperplanes come from an
 explicit LCG embedded as literals, so even their candidate-recall
 behavior is replayed bit-for-bit by generated SQL oracles; the
 multimodal fake kernels reduce to byte arithmetic the oracle recomputes
-from the ASCII corpus. Only genuinely engine-internal ops remain
-rows-only — IVF (driver k-means), BPE (iterative), winnowing
-fingerprints/containment (xxhash64 kept deliberately: the char-gram
-hash is the hot path and md5 would double it) — with exactness unit
-tests in tests/test_dedup.py / test_text.py against the operators.
+from the ASCII corpus; winnowing fingerprints use the portable gram
+hash, so the sliding-window minima replay exactly. Only genuinely
+engine-internal ops remain rows-only — IVF (driver k-means), BPE
+(iterative), native HLL/KLL sketches — with exactness unit tests in
+tests/test_dedup.py / test_text.py against the operators.
 """
 
 from __future__ import annotations
@@ -504,8 +504,9 @@ FROM s
 
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint containment pairs (hash-based; rows-only
-    check — exact-guarantee unit tests live in tests/test_text.py).
+    """Winnowing-fingerprint containment pairs, oracle-verified: the
+    portable gram hash lets the SQL twin replay the winnowed
+    fingerprint sets (sliding-window minima included) exactly.
 
     k=24/w=12 (guaranteed detection of shared substrings >= 35 chars):
     on short small-vocab docs, k=8 char-grams are so non-selective that
@@ -517,10 +518,49 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint cardinality per doc (hash values are
-    xxhash64 — not SQL-expressible; rows-only check)."""
+    """Winnowing fingerprint cardinality per doc (portable md5-derived
+    gram hash — oracle-verified)."""
     fp = TX.fingerprint_winnow(t(spark, sf_dir, "documents"), k=24, window=12)
     return fp.select("doc_id", F.size("fingerprints").cast("long").alias("n_fingerprints"))
+
+
+# Winnowing replay (Schleimer et al. 2003) in SQL: hash every k-char
+# gram of lower(text) with the portable hash, take the min over each
+# sliding window of 12 grams (frame [i, i+11]; positions past n-11 are
+# excluded to mirror the engine's window count — except the single
+# truncated window a sub-12-gram doc keeps), distinct the kept mins.
+_WINNOW_CTES = """g AS (SELECT doc_id, lower(text) AS s FROM documents),
+hx AS (SELECT doc_id, i,
+              ('0x' || substr(md5(substr(s, CAST(i AS INT), 24)), 1, 15))::BIGINT AS h,
+              length(s) - 23 AS n
+       FROM g, LATERAL (SELECT unnest(generate_series(1, length(s) - 23)) AS i) t),
+w AS (SELECT doc_id, i, n,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS fp
+      FROM hx),
+kept AS (SELECT DISTINCT doc_id, fp FROM w
+         WHERE i <= CASE WHEN n >= 12 THEN n - 11 ELSE 1 END)"""
+
+
+ORACLE_FINGERPRINTS = f"""
+WITH {_WINNOW_CTES},
+cnt AS (SELECT doc_id, count(*) AS n_fingerprints FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(cnt.n_fingerprints, 0) AS n_fingerprints
+FROM (SELECT doc_id FROM documents) d LEFT JOIN cnt USING (doc_id)
+"""
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH {_WINNOW_CTES},
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id1 AS doc_id_1, id2 AS doc_id_2, shared,
+       round(shared * 1.0 / least(x.n, y.n), 6) AS containment
+FROM sh JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+WHERE shared * 1.0 / least(x.n, y.n) >= 0.5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1026,8 +1066,8 @@ LLM_OPS: dict[str, tuple] = {
     "text_repetition": (q_repetition_stats, ORACLE_REPETITION_STATS),
     "text_language_id": (q_language_id, ORACLE_LANGUAGE_ID),
     "text_quality_score": (q_quality, ORACLE_QUALITY),
-    "text_fingerprints": (q_fingerprints, None),
-    "text_containment_pairs": (q_containment, None),
+    "text_fingerprints": (q_fingerprints, ORACLE_FINGERPRINTS),
+    "text_containment_pairs": (q_containment, ORACLE_CONTAINMENT_PAIRS),
     "curate_corpus": (q_curation, ORACLE_CURATION),
     "multimodal_manifest": (q_multimodal_manifest, ORACLE_MULTIMODAL_MANIFEST),
     "multimodal_features": (q_media_features, ORACLE_MEDIA_FEATURES),

@@ -47,20 +47,18 @@ def test_containment_max_df_drops_boilerplate_only(spark):
 
 def test_winnow_fingerprints_subset_of_gram_hashes(spark):
     """Every fingerprint is the min of a window of k-gram hashes, so
-    fingerprints(doc) is a subset of all k-gram hashes of the doc."""
+    fingerprints(doc) is a subset of all k-gram hashes of the doc —
+    computed here independently with the same portable hash (plain
+    Python md5, no Spark expression reuse)."""
+    import hashlib
+
     text = "abcdefghijklmnopqrstuvwxyz0123456789"
     df = _docs(spark, [(1, text)])
     fps = set(fingerprint_winnow(df, k=8, window=4).collect()[0]["fingerprints"])
-    all_hashes = set(
-        df.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(F.lower("text")) - 7),
-                    lambda i: F.xxhash64(F.lower("text").substr(i, F.lit(8))),
-                )
-            ).alias("h")
-        ).toPandas()["h"]
-    )
+    all_hashes = {
+        int(hashlib.md5(text[i : i + 8].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - 7)
+    }
     assert fps and fps.issubset(all_hashes)
 
 
