@@ -88,9 +88,9 @@ def main() -> None:
     # tiny-SF prepass can pre-compile them) and a steady-state pass on
     # a freshly built plan with all operator-internal caches dropped in
     # between, so the second pass re-executes the full pipeline but
-    # compiles nothing. The headline metric sums the better run per
-    # query — what a resident engine process delivers — with cold
-    # times recorded alongside in BENCH_DETAIL.json.
+    # compiles nothing. The headline metric sums the STEADY passes
+    # (no run selection); cold totals and the min(cold, steady)
+    # total_best2 series are recorded alongside in BENCH_DETAIL.json.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     best2: dict[str, float] = {}

@@ -127,7 +127,13 @@ def bpe_train(
     same merge list.
     """
     spark = df.sparkSession
-    words = _words(df, text_col)
+    # Materialize the corpus shuffle ONCE: the threshold count, the
+    # in-memory collect, and the distributed path's symbol table all
+    # read these checkpoint blocks instead of re-running the full
+    # explode+groupBy (Spark does not reuse shuffle output across
+    # separate actions on re-planned frames). The table is
+    # vocabulary-sized (distinct words), not corpus-sized.
+    words = _words(df, text_col).localCheckpoint(eager=True)
     if words.count() <= driver_vocab_threshold:
         rows = words.collect()
         return _train_inmem([(r["word"], r["n"]) for r in rows], num_merges)

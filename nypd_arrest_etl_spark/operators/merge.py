@@ -69,6 +69,14 @@ def merge_insert_if_absent(incoming: DataFrame, target: DataFrame | None, key: s
 YEAR_COL = "arrest_year"
 
 
+def _with_partition_col(incoming: DataFrame, partition_by: str | None, partition_source: str) -> DataFrame:
+    """Derive the year directory-partition column when absent (shared by
+    both physical merge strategies so their semantics cannot drift)."""
+    if partition_by == YEAR_COL and YEAR_COL not in incoming.columns:
+        return incoming.withColumn(YEAR_COL, F.year(partition_source))
+    return incoming
+
+
 def merge_into_parquet(
     spark: SparkSession,
     incoming: DataFrame,
@@ -86,13 +94,15 @@ def merge_into_parquet(
     newest partitions instead of scanning history, and the anti-join's
     target side reads only partition footers for recent years.
     """
-    if partition_by == YEAR_COL and YEAR_COL not in incoming.columns:
-        incoming = incoming.withColumn(YEAR_COL, F.year(partition_source))
+    incoming = _with_partition_col(incoming, partition_by, partition_source)
     target = None
     if os.path.exists(table_path):
         try:
             target = spark.read.parquet(table_path)
         except Exception:
+            # Append-only path: an unreadable target degrades to a plain
+            # append (duplicates possible, no data loss). The overwrite
+            # variant below must NOT do this — there it would destroy rows.
             target = None
     fresh = merge_insert_if_absent(incoming, target, key)
     # Single-pass write: the inserted rowcount rides the write action
@@ -176,16 +186,21 @@ def merge_overwrite_partitions(
 
     Returns the inserted rowcount, like ``merge_into_parquet``.
     """
-    if partition_by == YEAR_COL and YEAR_COL not in incoming.columns:
-        incoming = incoming.withColumn(YEAR_COL, F.year(partition_source))
-    fresh = dedup_first_writer_wins(incoming, key)
+    incoming = _with_partition_col(incoming, partition_by, partition_source)
+    # The dedup shuffle feeds TWO actions (the distinct-partition collect
+    # and the checkpointed write) — persist it once instead of recomputing.
+    deduped = dedup_first_writer_wins(incoming, key).persist()
+    fresh = deduped
     target_touched = None
-    if os.path.exists(table_path):
-        try:
+    try:
+        if os.path.exists(table_path):
+            # No read-failure fallback here, deliberately: this writer
+            # REPLACES partitions. If the target exists but cannot be
+            # read (corrupt footer from a crashed prior overwrite,
+            # transient FS error), silently treating it as absent would
+            # overwrite touched partitions with batch-only rows — losing
+            # every pre-existing row in them. Fail loudly instead.
             target = spark.read.parquet(table_path)
-        except Exception:
-            target = None
-        if target is not None:
             # One tiny collect: the batch's distinct partition values
             # (bounded by the partition domain — years, not rows). A
             # NULL partition value (unparseable arrest_date) is itself
@@ -203,14 +218,16 @@ def merge_overwrite_partitions(
             )
             fresh = fresh.join(anti_side, on=key, how="left_anti")
 
-    from pyspark.sql import Observation
+        from pyspark.sql import Observation
 
-    obs = Observation("merge.inserted")
-    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
-    out = (
-        target_touched.unionByName(fresh) if target_touched is not None else fresh
-    )
-    out = out.localCheckpoint(eager=True)
+        obs = Observation("merge.inserted")
+        fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+        out = (
+            target_touched.unionByName(fresh) if target_touched is not None else fresh
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        deduped.unpersist()
 
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")

@@ -227,8 +227,16 @@ def kmv_distinct(
 
     from nypd_arrest_etl_spark.operators.sampling import _portable_hash
 
+    # NULL keys are ignored, matching countDistinct semantics. Without
+    # this filter the NULL hash (itself NULL) would sort NULLS-FIRST into
+    # rank 1, shifting every real hash down one rank and biasing the
+    # estimate — and SQL engines that rank NULLS LAST would disagree.
     h = _portable_hash(F.col(key_col), salt)
-    dh = df.select(*group_cols, h.alias("__h")).distinct()
+    dh = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("__h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     ranked = dh.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     return (

@@ -51,7 +51,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Naive exact oracle (all-pairs via shingle join) — the Spark side uses
 # prefix filtering but must return the identical pair set.
 ORACLE_JACCARD_PAIRS = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l FROM documents),
 big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS sh
         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t),
 sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
@@ -61,7 +61,7 @@ inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
 SELECT id1 AS doc_id_1, id2 AS doc_id_2,
        round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
 FROM inter JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8
 """
 
 
@@ -75,7 +75,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared shingle CTEs for the sketch oracles: word 4-gram shingles,
 # distinct per doc — the same sets with_shingles(n=4) builds.
-_SHINGLE_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+_SHINGLE_CTES = """toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS s
        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t)"""
 
@@ -114,7 +114,7 @@ inter AS (SELECT id1, id2, count(*) AS i
 SELECT id1 AS doc_id_1, id2 AS doc_id_2,
        round(i * 1.0 / (nx.n + ny.n - i), 6) AS jaccard
 FROM inter JOIN sz nx ON nx.doc_id = id1 JOIN sz ny ON ny.doc_id = id2
-WHERE i * 1.0 / (nx.n + ny.n - i) >= {threshold}
+WHERE round(i * 1.0 / (nx.n + ny.n - i), 6) >= {threshold}
 """
 
 
@@ -173,7 +173,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTAMINATION = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l FROM documents),
 grams AS (
   SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) t
@@ -197,7 +197,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NEARDUP_CLUSTERS = """
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS l FROM documents),
 big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS sh
         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t),
 sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
@@ -207,7 +207,7 @@ inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
 pairs AS (
   SELECT id1, id2 FROM inter
   JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-  WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+  WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8
 ),
 edges AS (SELECT id1 AS a, id2 AS b FROM pairs
           UNION ALL SELECT id2, id1 FROM pairs),
@@ -559,7 +559,7 @@ sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
 SELECT id1 AS doc_id_1, id2 AS doc_id_2, shared,
        round(shared * 1.0 / least(x.n, y.n), 6) AS containment
 FROM sh JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-WHERE shared * 1.0 / least(x.n, y.n) >= 0.5
+WHERE round(shared * 1.0 / least(x.n, y.n), 6) >= 0.5
 """
 
 

@@ -1022,7 +1022,7 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SKETCH_STATS = """
 WITH hp AS (SELECT DISTINCT l_returnflag, (l_partkey * 2654435761) % 4294967296 AS h
-            FROM lineitem),
+            FROM lineitem WHERE l_partkey IS NOT NULL),
 rp AS (SELECT l_returnflag, h,
               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
        FROM hp),
@@ -1034,7 +1034,7 @@ ep AS (SELECT l_returnflag,
                    ELSE round(1095216660480.0 / kth, 2) END AS nd_parts_kmv
        FROM kp),
 ho AS (SELECT DISTINCT l_returnflag, (l_orderkey * 2654435761) % 4294967296 AS h
-       FROM lineitem),
+       FROM lineitem WHERE l_orderkey IS NOT NULL),
 ro AS (SELECT l_returnflag, h,
               row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
        FROM ho),

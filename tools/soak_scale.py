@@ -35,7 +35,7 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 # Bump when the generated layout changes (forces regeneration of a
 # soak dir produced by an older version of this script).
-DATA_VERSION = "v2"
+DATA_VERSION = "v3"
 
 QUERIES = [
     "pricing_summary",          # scan -> partial agg (Q1 shape)
@@ -73,7 +73,13 @@ def main() -> None:
                 spark.range(rep).select(F.col("id").alias("_rep"))
             )
             for k in keys:
-                r = r.withColumn(k, F.col(k) * rep + F.col("_rep"))
+                # Shift by a stride ABOVE the original id range so that
+                # replica 0 keeps the original ids: queries that select
+                # a fixed id set (e.g. the ANN soak's vec_id < 10 query
+                # vectors) must see the SAME workload at both scales,
+                # not rep clones of id 0 (which k*rep+_rep would give).
+                stride = df.agg(F.max(k)).collect()[0][0] + 1
+                r = r.withColumn(k, F.col(k) + F.lit(stride) * F.col("_rep"))
             if name == "documents":
                 # Replica-prefix every word: each replica becomes a
                 # DISTINCT shard with the same shingle-frequency shape.
