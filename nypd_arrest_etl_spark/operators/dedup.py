@@ -721,3 +721,117 @@ def embedding_neardup_pairs(
     return pairs.select(
         "vec_id_1", "vec_id_2", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Span-level duplication (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" — scalable approximation: fixed-stride
+# word windows instead of suffix-array exact substrings)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """Per-document span-duplication profile: how much of each doc is
+    made of word spans that also appear in OTHER documents.
+
+    Docs are cut into tumbling ``span_words``-word windows (stride ==
+    width: linear blow-up, not the quadratic sliding-window one), each
+    span md5-hashed; a span is duplicated when its hash occurs in >= 2
+    distinct docs. Output: (doc_id, n_spans, n_dup_spans, dup_fraction)
+    — the signal used to drop or trim boilerplate-heavy documents.
+
+    Scale (100 TB): explode factor is n_words/span_words (~1/8 of the
+    token count), ONE shuffle on the span hash for the document
+    frequency, one join back on the hash. Both sides of that join are
+    span-grain, so skew only appears for pathological boilerplate spans
+    — exactly the rows this operator exists to surface; AQE skew-join
+    handles them. md5 keeps the hash portable (DuckDB replays it).
+    """
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).withColumn(
+        "n_spans",
+        F.greatest(F.lit(1), F.ceil(F.size("w") / F.lit(span_words))).cast("long"),
+    )
+    spans = base.select(
+        "doc_id",
+        "n_spans",
+        "w",
+        F.explode(F.expr("sequence(0, int(n_spans) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("w"), F.col("i") * span_words + 1, span_words), " "
+            )
+        ).alias("h"),
+    )
+    # Re-select w via join-free plan: recompute words inside spans frame
+    # is avoided by carrying w through the explode above.
+    df_per_span = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("docs_with_span")
+    )
+    return (
+        spans.join(df_per_span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.sum((F.col("docs_with_span") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 9).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/holdout split
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_permille: int = 100,
+) -> DataFrame:
+    """Deterministic train/holdout assignment that can never split a
+    duplicate group across the boundary: the split hash is computed on
+    the canonical content fingerprint, not the row id, so every copy of
+    the same (normalized) text lands on the same side — the eval-set
+    contamination guard a training pipeline needs BEFORE dedup runs.
+
+    Output: (doc_id, fingerprint, split) with split in
+    {'train','holdout'}; ``holdout_permille``/1000 of fingerprint mass
+    goes to holdout. Pure column arithmetic on a portable hash (md5 ->
+    60-bit int -> Knuth mix mod 1000), so the DuckDB oracle replays the
+    exact assignment. Scale: shuffle-free — a projection."""
+    fp = canonical_fingerprint(text_col)
+    # Reduce to 30 bits BEFORE the Knuth multiply: 2^30 * 2^32 stays
+    # under signed-64 overflow in Spark AND in the DuckDB oracle
+    # (which errors on overflow instead of wrapping).
+    bucket = F.pmod(
+        F.pmod(
+            F.pmod(portable_str_hash60(fp), F.lit(_M30)) * F.lit(_KNUTH),
+            F.lit(_M32),
+        ),
+        F.lit(1000),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.when(bucket < holdout_permille, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

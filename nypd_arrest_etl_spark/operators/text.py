@@ -496,3 +496,60 @@ def ngram_lm_score(
             F.round(F.avg("lp"), 6).alias("avg_log2p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary (tokenizer prep / frequency analysis)
+# ---------------------------------------------------------------------------
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Global token statistics: term frequency, document frequency and
+    corpus share for the ``top_k`` most frequent whitespace tokens —
+    the vocabulary profile a tokenizer-training or mixture-weighting
+    step starts from.
+
+    Deterministic: ties at the top-k boundary break on the token text,
+    so (tf DESC, token ASC) is a total order.
+
+    Scale (100 TB): explode + ONE shuffle on the token with full
+    map-side partial aggregation (counts + a per-doc-pre-distinct df),
+    then a global top-k (TakeOrderedAndProject — no full sort). Token
+    frequency is Zipfian, so partial aggregation is what keeps the hot
+    tokens from becoming a shuffle hot-spot: each map task emits one
+    row per distinct token, not one per occurrence.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower(F.col("tok")).alias("token"))
+    )
+    # Pre-distinct per (doc, token) so df is a cheap count, folded into
+    # the same shuffle: aggregate once on token with count(*) over the
+    # per-doc-distinct frame plus a sum of per-doc occurrence counts.
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf_doc")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf_doc").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    total = df.select(
+        F.sum(F.size(F.filter(tokens(text_col), lambda x: x != ""))).alias("_t")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("_t"), 9).alias("corpus_share"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -1048,6 +1048,88 @@ FROM post JOIN probs USING (g) GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus vocabulary / span-level dedup / leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.corpus_vocabulary(t(spark, sf_dir, "documents"), top_k=50)
+
+
+# DuckDB replays the token pipeline: lowercase whitespace split, per-doc
+# distinct for df, global tf, top-50 on the (tf DESC, token ASC) total order.
+ORACLE_CORPUS_VOCABULARY = r"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), vocab AS (
+  SELECT token,
+         count(*)::BIGINT AS tf,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY token
+), total AS (SELECT count(*)::DOUBLE AS t FROM toks)
+SELECT token, tf, df, round(tf / t, 9) AS corpus_share
+FROM vocab, total
+ORDER BY tf DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dedup_stats(t(spark, sf_dir, "documents"), span_words=8)
+
+
+# Tumbling 8-word windows, md5 span hash, cross-doc document frequency.
+ORACLE_SPAN_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil(len(words) / 8.0) AS BIGINT)) AS n_spans
+  FROM w
+), spans AS (
+  SELECT doc_id, n_spans,
+         md5(array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS h
+  FROM base, unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS u(i)
+), freq AS (
+  SELECT h, count(DISTINCT doc_id) AS docs_with_span FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       any_value(s.n_spans) AS n_spans,
+       sum(CASE WHEN f.docs_with_span >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       round(sum(CASE WHEN f.docs_with_span >= 2 THEN 1 ELSE 0 END)
+             / any_value(s.n_spans), 9) AS dup_fraction
+FROM spans s JOIN freq f USING (h)
+GROUP BY s.doc_id
+"""
+
+
+def q_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.leakage_safe_split(t(spark, sf_dir, "documents"), holdout_permille=100)
+
+
+# The split hash is the portable md5->60-bit->Knuth chain, replayed here
+# bit-for-bit; 30-bit pre-reduction keeps the multiply inside signed-64
+# (DuckDB errors on overflow instead of wrapping).
+ORACLE_SPLIT_TRAIN_HOLDOUT = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       CASE WHEN ((CAST(('0x' || substr(md5(fingerprint), 1, 15)) AS BIGINT)
+                   % 1073741824) * 2654435761) % 4294967296 % 1000 < 100
+            THEN 'holdout' ELSE 'train' END AS split
+FROM fp
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1085,4 +1167,7 @@ LLM_OPS: dict[str, tuple] = {
     "histogram_chars": (q_histogram_chars, ORACLE_HISTOGRAM_CHARS),
     "multimodal_frames": (q_media_frames, ORACLE_MEDIA_FRAMES),
     "multimodal_resize": (q_media_resize, ORACLE_MEDIA_RESIZE),
+    "corpus_vocabulary": (q_corpus_vocabulary, ORACLE_CORPUS_VOCABULARY),
+    "dedup_span_stats": (q_span_dedup, ORACLE_SPAN_DEDUP),
+    "split_train_holdout": (q_split_train_holdout, ORACLE_SPLIT_TRAIN_HOLDOUT),
 }

@@ -2130,6 +2130,172 @@ ORACLE_NULL_SEMANTICS = _NULL_SEMANTICS_SQL
 # ---------------------------------------------------------------------------
 
 # name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+# Incremental maintenance: CDC snapshot diff + partial-agg merge
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I/U/D changelog between two deterministic snapshots of orders.
+
+    base  = orders minus every 101st key, with o_totalprice floored for
+            every 7th key (the "stale" value);
+    current = orders minus every 97th key.
+    So keys %101==0 (and not %97==0) surface as I, %97==0 as D, and
+    %7==0 keys whose price has a fractional part as U. Exercises the
+    full-outer co-partitioned diff: one SMJ, no data-dependent branches.
+    """
+    from nypd_arrest_etl_spark.operators.incremental import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.floor("o_totalprice").cast("double")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    current = o.filter(F.col("o_orderkey") % 97 != 0)
+    diff = snapshot_diff(
+        base,
+        current,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "op",
+        F.col("n_changed").cast("long").alias("n_changed"),
+        "changed_cols",
+    )
+
+
+ORACLE_CDC_ORDERS_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN CAST(floor(o_totalprice) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+), cur AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+), j AS (
+  SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         b.o_orderkey IS NOT NULL AS in_base,
+         c.o_orderkey IS NOT NULL AS in_cur,
+         (b.o_orderstatus   IS DISTINCT FROM c.o_orderstatus)   AS d_status,
+         (b.o_totalprice    IS DISTINCT FROM c.o_totalprice)    AS d_price,
+         (b.o_orderpriority IS DISTINCT FROM c.o_orderpriority) AS d_prio
+  FROM base b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_base THEN 'I' WHEN NOT in_cur THEN 'D' ELSE 'U' END AS op,
+       CASE WHEN in_base AND in_cur
+            THEN CAST(d_status AS INT) + CAST(d_price AS INT) + CAST(d_prio AS INT)
+            ELSE 0 END::BIGINT AS n_changed,
+       CASE WHEN in_base AND in_cur
+            THEN concat_ws(',',
+                 CASE WHEN d_prio THEN 'o_orderpriority' END,
+                 CASE WHEN d_status THEN 'o_orderstatus' END,
+                 CASE WHEN d_price THEN 'o_totalprice' END)
+            ELSE '' END AS changed_cols
+FROM j
+WHERE NOT in_base OR NOT in_cur
+   OR (d_status OR d_price OR d_prio)
+"""
+
+
+def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh without base rescan: per-status order
+    stats maintained as (base partials before 1997) + (delta partials
+    from 1997 on), merged in O(groups). The merged result must equal
+    the full-scan aggregate — which is exactly what the oracle runs,
+    so the gate proves the mergeability identity, not just plumbing."""
+    from nypd_arrest_etl_spark.operators.incremental import merge_agg_partials
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.to_date(F.lit("1997-01-01"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate").cast("date") < cut))
+    delta = partial(o.filter(F.col("o_orderdate").cast("date") >= cut))
+    merged = merge_agg_partials(
+        [base, delta],
+        group_cols=["o_orderstatus"],
+        count_col="n_orders",
+        sum_cols=["revenue"],
+        max_cols=["max_price"],
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+ORACLE_INCREMENTAL_REVENUE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customers fuzzily matched to suppliers on the
+    9-digit name suffix at edit distance <= 1, via positional-mask
+    blocking (operators/linkage.py) — no cross join anywhere in the
+    plan. The oracle intentionally IS the naive exhaustive
+    levenshtein cross join: because every key has the same length, the
+    pigeonhole blocking is provably complete for distance 1, and the
+    gate verifies that completeness on real data, not just plumbing."""
+    from nypd_arrest_etl_spark.operators.linkage import blocked_fuzzy_join
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.substring_index("c_name", "#", -1).alias("c_suffix")
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.substring_index("s_name", "#", -1).alias("s_suffix")
+    )
+    return blocked_fuzzy_join(
+        cust,
+        supp,
+        left_key="c_suffix",
+        right_key="s_suffix",
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        max_distance=1,
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        "left_key",
+        "right_key",
+        F.col("edit_distance").cast("long").alias("edit_distance"),
+    )
+
+
+ORACLE_FUZZY_NAME_MATCHES = """
+WITH lc AS (
+  SELECT c_custkey, split_part(c_name, '#', 2) AS ck FROM customer
+), rs AS (
+  SELECT s_suppkey, split_part(s_name, '#', 2) AS sk FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       ck AS left_key, sk AS right_key,
+       CAST(levenshtein(ck, sk) AS BIGINT) AS edit_distance
+FROM lc CROSS JOIN rs
+WHERE levenshtein(ck, sk) <= 1
+"""
+
+
 RELATIONAL: dict[str, tuple] = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "grouped_distinct": (q_grouped_distinct, ORACLE_GROUPED_DISTINCT),
@@ -2192,4 +2358,7 @@ RELATIONAL: dict[str, tuple] = {
     "trailing_week_revenue": (q_trailing_week_revenue, ORACLE_TRAILING_WEEK_REVENUE),
     "null_semantics": (q_null_semantics, ORACLE_NULL_SEMANTICS),
     "session_window_batch": (q_session_window_batch, ORACLE_SESSION_WINDOW_BATCH),
+    "cdc_orders_diff": (q_cdc_orders_diff, ORACLE_CDC_ORDERS_DIFF),
+    "incremental_revenue": (q_incremental_revenue, ORACLE_INCREMENTAL_REVENUE),
+    "fuzzy_name_matches": (q_fuzzy_name_matches, ORACLE_FUZZY_NAME_MATCHES),
 }

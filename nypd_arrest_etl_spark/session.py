@@ -52,7 +52,12 @@ def get_spark(
         # reader rejects; read as long (ns since epoch) and convert with
         # exact integer arithmetic (see plans.queries.events_with_ts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 32 executor threads + driver share ONE JVM in local mode: at
+        # 24g a long query session (bench = 104 queries x 2 passes,
+        # each broadcasting/caching) sits at the GC cliff — measured
+        # 167-250s for the same bench that runs in 65s at 48g. Keep
+        # headroom; the host has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # keep the Python UDF worker pool alive between queries —
         # re-forking 32 workers (+ numpy import) costs ~12 s

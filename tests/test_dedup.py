@@ -113,3 +113,58 @@ def test_connected_components_driver_and_distributed_paths_agree(spark):
     expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
     assert {tuple(r) for r in fast.collect()} == expect
     assert {tuple(r) for r in slow.collect()} == expect
+
+
+def test_span_dedup_counts_cross_doc_spans_only(spark):
+    # 8-word spans; doc1/doc2 share their first window verbatim, doc3
+    # repeats ITS OWN span twice (self-repeat is NOT cross-doc dup)
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, shared + " tail1 a b c d e f g"),
+        (2, shared + " tail2 h i j k l m n"),
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 " + "x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.span_dedup_stats(df, span_words=8).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[1]["dup_fraction"] == 0.5
+    # doc3: both spans hash equal but live in ONE doc -> not duplicated
+    assert out[3]["n_spans"] == 2 and out[3]["n_dup_spans"] == 0
+
+
+def test_span_dedup_case_and_whitespace_insensitive(spark):
+    rows = [
+        (1, "A  B C d e f g h"),
+        (2, "a b   c D E F G H"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.span_dedup_stats(df, span_words=8).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+
+
+def test_leakage_safe_split_never_splits_duplicate_group(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = D.leakage_safe_split(docs)
+    straddlers = (
+        out.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert straddlers.count() == 0
+    # both sides non-empty and assignment exhaustive at this permille
+    sides = {r["split"]: r["n"] for r in
+             out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sides) == {"train", "holdout"}
+    assert sum(sides.values()) == docs.count()
+
+
+def test_leakage_safe_split_respects_permille_bounds(spark):
+    # 2000 distinct docs: holdout share should be near 10% (hash uniformity)
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id")).alias("text"),
+    )
+    out = D.leakage_safe_split(df, holdout_permille=100)
+    n_hold = out.filter(F.col("split") == "holdout").count()
+    assert 120 <= n_hold <= 280  # 10% +- wide tolerance on 2000 draws

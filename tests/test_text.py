@@ -192,3 +192,30 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[2]["top_gram_frac"] == round(1 / 5, 6)
     # doc 3: too short for any 3-gram -> zeros, no junk grams
     assert out[3]["n_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_corpus_vocabulary_tf_df_and_share(spark):
+    from nypd_arrest_etl_spark.operators.text import corpus_vocabulary
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "CAT  cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["token"]: r for r in corpus_vocabulary(df, top_k=10).collect()}
+    assert out["the"]["tf"] == 3 and out["the"]["df"] == 2
+    # case-folded and multi-space tolerant
+    assert out["cat"]["tf"] == 3 and out["cat"]["df"] == 2
+    total = 6 + 2 + 2
+    assert out["dog"]["corpus_share"] == round(1 / total, 9)
+
+
+def test_corpus_vocabulary_topk_boundary_deterministic(spark):
+    from nypd_arrest_etl_spark.operators.text import corpus_vocabulary
+
+    # four tokens all tf=1: token ASC breaks the tie at the k boundary
+    df = spark.createDataFrame([(1, "delta alpha charlie bravo")],
+                               "doc_id long, text string")
+    out = [r["token"] for r in corpus_vocabulary(df, top_k=2).collect()]
+    assert out == ["alpha", "bravo"]

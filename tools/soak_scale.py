@@ -52,6 +52,11 @@ QUERIES = [
     "dedup_simhash_pairs",      # 4-band SimHash hamming join
     "text_containment_pairs",   # winnowing-fingerprint overlap join
     "similarity_ann_lsh",       # random-hyperplane bucketed ANN
+    "dedup_span_stats",         # tumbling-span explode + span-hash join
+    "cdc_orders_diff",          # full-outer snapshot diff on the fact key
+    # (fuzzy_name_matches joins dim tables only — dims don't grow in
+    # this soak, so it would be a vacuous row; its scale argument is
+    # structural: constant explode factor + one equi-join)
 ]
 
 
