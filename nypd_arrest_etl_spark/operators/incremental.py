@@ -38,6 +38,7 @@ def snapshot_diff(
     current: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
+    payload_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """I/U/D changelog between two snapshots of the same table.
 
@@ -49,8 +50,15 @@ def snapshot_diff(
     transition in a compare column counts as a change (eqNullSafe), and
     NULL key components join positionally like values do in the
     changelog contract (full-outer join with null-safe key equality).
+
+    ``payload_cols`` (optional) appends those columns taken from the
+    CURRENT side — the new values for I/U rows, NULL for D rows — which
+    makes the changelog self-contained: ``apply_changes(base, diff)``
+    reconstructs ``current`` exactly (round-tripped in tests).
     """
     keys = list(key_cols)
+    payload = list(payload_cols or ())
+    cur_extra = [c for c in payload if c not in compare_cols]
     b = base.select(
         *[F.col(k).alias(f"_bk_{k}") for k in keys],
         *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
@@ -59,6 +67,7 @@ def snapshot_diff(
     c = current.select(
         *[F.col(k).alias(f"_ck_{k}") for k in keys],
         *[F.col(c).alias(f"_c_{c}") for c in compare_cols],
+        *[F.col(c).alias(f"_cx_{c}") for c in cur_extra],
         F.lit(1).alias("_in_cur"),
     )
     # Null-safe key equality: a NULL key value matches itself, so a row
@@ -94,6 +103,10 @@ def snapshot_diff(
     out_keys = [
         F.coalesce(F.col(f"_ck_{k}"), F.col(f"_bk_{k}")).alias(k) for k in keys
     ]
+    payload_out = [
+        (F.col(f"_c_{c}") if c in compare_cols else F.col(f"_cx_{c}")).alias(c)
+        for c in payload
+    ]
     return (
         j.select(
             *out_keys,
@@ -102,6 +115,7 @@ def snapshot_diff(
             F.when(op == "U", changed_cols).otherwise(F.lit("")).alias(
                 "changed_cols"
             ),
+            *payload_out,
         )
         .filter(F.col("op").isNotNull())
     )
@@ -132,3 +146,38 @@ def merge_agg_partials(
     aggs += [F.min(c).alias(c) for c in min_cols]
     aggs += [F.max(c).alias(c) for c in max_cols]
     return unioned.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Apply an I/U/D changelog (the ``snapshot_diff`` output with
+    ``payload_cols``) to a target snapshot, returning the new snapshot.
+
+    Semantics: every changed key's old row is dropped (ONE anti-join on
+    null-safe key equality), then the I/U payload rows are unioned in —
+    so an update whose key moved partitions, a delete, and an insert
+    are all the same plan. Idempotent: re-applying the same changelog
+    is a no-op (the anti-join removes the row the previous apply wrote,
+    and the union writes it back identically).
+
+    Scale (100 TB): one shuffle-join of target x changelog on the key
+    (AQE broadcasts the changelog side in the incremental case where
+    deltas are small) + a union. Pair with dynamic partition overwrite
+    (operators/merge.py:merge_overwrite_partitions shows the writer
+    shape) to rewrite only partitions holding changed keys.
+    """
+    keys = list(key_cols)
+    chg_keys = changes.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys]
+    ).dropDuplicates()
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+        cond = eq if cond is None else cond & eq
+    kept = target.join(chg_keys, cond, "left_anti")
+    upserts = changes.filter(F.col("op") != "D").select(*keys, *payload_cols)
+    return kept.select(*keys, *payload_cols).unionByName(upserts)

@@ -553,3 +553,106 @@ def corpus_vocabulary(
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (inverted-index shape)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a small set of queries.
+
+    The plan is the distributed inverted-index shape, not a per-query
+    scan: ONE explode -> (doc, term, tf) postings aggregation, a
+    term-grain document-frequency aggregation joined back on the term,
+    then a BROADCAST join with the query-term list that immediately
+    prunes the postings to matching terms only; per-(query, doc) score
+    sum and a per-query top-k window finish it. Corpus stats (N, avg
+    doc length) ride along as a 1-row broadcast.
+
+    Scale (100 TB): postings shard by term (Zipf-hot terms are exactly
+    what AQE skew-split handles); the query list is tiny by contract
+    (broadcast); nothing is per-query-scanned, so q queries cost one
+    corpus pass + q-proportional join output. Ranking ties break on
+    (rounded score DESC, doc_id ASC) so results are reproducible and
+    engine-portable (ulp-level log/div noise is collapsed by the
+    6-digit round BEFORE ranking).
+
+    idf follows the Lucene/Robertson formulation
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always positive, so a term
+    in >half the corpus cannot produce negative contributions.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower(F.col("tok")).alias("term"))
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, qtext in queries
+            for term in dict.fromkeys(qtext.lower().split())
+        ],
+        "query_id long, term string",
+    )
+
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                    )
+                    * (F.col("tf") * (F.lit(k1) + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0)
+                            - F.lit(b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    )

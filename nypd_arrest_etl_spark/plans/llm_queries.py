@@ -1130,6 +1130,62 @@ FROM fp
 """
 
 
+_BM25_QUERIES = [
+    (1, "spark table join"),
+    (2, "fast scan filter"),
+    (3, "window agg group"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bm25_topk(t(spark, sf_dir, "documents"), _BM25_QUERIES, top_k=10)
+
+
+# The float expressions mirror the Spark column arithmetic TERM FOR
+# TERM (e.g. (1.2 + 1.0), not 2.2 — those are different doubles), and
+# ranking happens on the 6-digit-rounded score, so ulp-level ln/div
+# noise between JVM and DuckDB libm cannot reorder the top-k.
+ORACLE_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), qt(query_id, term) AS (
+  VALUES (1, 'spark'), (1, 'table'), (1, 'join'),
+         (2, 'fast'), (2, 'scan'), (2, 'filter'),
+         (3, 'window'), (3, 'agg'), (3, 'group')
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM postings p
+  JOIN qt q USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  )::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1170,4 +1226,5 @@ LLM_OPS: dict[str, tuple] = {
     "corpus_vocabulary": (q_corpus_vocabulary, ORACLE_CORPUS_VOCABULARY),
     "dedup_span_stats": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "split_train_holdout": (q_split_train_holdout, ORACLE_SPLIT_TRAIN_HOLDOUT),
+    "text_bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
 }

@@ -106,3 +106,41 @@ def test_snapshot_diff_single_join_no_extra_shuffle(spark):
     cur = spark.range(50).select(F.col("id").alias("k"), F.lit("b").alias("s"))
     plan = snapshot_diff(base, cur, ["k"], ["s"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") == 1
+
+
+def test_apply_changes_roundtrip_reconstructs_current(spark):
+    """apply_changes(base, snapshot_diff(base, current, payload)) == current."""
+    from nypd_arrest_etl_spark.operators.incremental import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 4 NULL->value update, 5 inserted
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    diff = snapshot_diff(base, cur, ["k"], ["s", "v"], payload_cols=["s", "v"])
+    rebuilt = apply_changes(base, diff, ["k"], ["s", "v"])
+    assert _rows(rebuilt.select("k", "s", "v")) == _rows(cur)
+
+
+def test_apply_changes_idempotent(spark):
+    from nypd_arrest_etl_spark.operators.incremental import apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    cur = spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string")
+    diff = snapshot_diff(base, cur, ["k"], ["s"], payload_cols=["s"])
+    once = apply_changes(base, diff, ["k"], ["s"])
+    twice = apply_changes(once, diff, ["k"], ["s"])
+    assert _rows(twice) == _rows(cur) == _rows(once)
+
+
+def test_snapshot_diff_payload_carries_current_values_null_for_deletes(spark):
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string")
+    cur = spark.createDataFrame([(1, "X")], "k int, s string")
+    diff = {r["k"]: r for r in snapshot_diff(
+        base, cur, ["k"], ["s"], payload_cols=["s"]).collect()}
+    assert diff[1]["op"] == "U" and diff[1]["s"] == "X"
+    assert diff[2]["op"] == "D" and diff[2]["s"] is None

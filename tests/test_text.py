@@ -219,3 +219,42 @@ def test_corpus_vocabulary_topk_boundary_deterministic(spark):
                                "doc_id long, text string")
     out = [r["token"] for r in corpus_vocabulary(df, top_k=2).collect()]
     assert out == ["alpha", "bravo"]
+
+
+def test_bm25_topk_ranking_invariants(spark):
+    from nypd_arrest_etl_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),          # apple twice, short
+        (2, "apple x y z w v u t s r q p"), # apple once, long
+        (3, "banana cherry"),
+        (4, "cherry cherry cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, [(1, "apple"), (2, "apple banana")], top_k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # only docs containing >=1 query term are retrieved
+    assert {r["doc_id"] for r in by_q[1]} == {1, 2}
+    assert {r["doc_id"] for r in by_q[2]} == {1, 2, 3}
+    # tf saturation + length norm: doc1 (2x apple, short) beats doc2
+    q1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q1] == [1, 2]
+    assert q1[0]["score"] > q1[1]["score"] > 0
+    # multi-term: doc1 matches both terms -> rank 1 for query 2
+    q2 = sorted(by_q[2], key=lambda r: r["rank"])
+    assert q2[0]["doc_id"] == 1
+    # ranks are 1..n dense per query
+    assert [r["rank"] for r in q2] == [1, 2, 3]
+
+
+def test_bm25_topk_respects_k_and_determinism(spark):
+    from nypd_arrest_etl_spark.operators.text import bm25_topk
+
+    # ten identical docs -> identical scores; ties break on doc_id ASC
+    df = spark.createDataFrame(
+        [(i, "token common") for i in range(10)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, [(7, "common")], top_k=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2]
