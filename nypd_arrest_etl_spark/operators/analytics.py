@@ -154,6 +154,96 @@ def retention_cohorts(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via median absolute deviation.
+
+    A value is an outlier when |v - median| > k * MAD (raw MAD, no
+    1.4826 normal-consistency scaling — callers wanting sigma units
+    fold the constant into ``k``). Median/MAD resist the heavy-tailed
+    contamination that wrecks mean/stddev z-scores, which is why
+    they're the standard guardrail stat for training-data numeric
+    columns. Returns one row per group: (group, n, med, mad,
+    n_outliers, outlier_rate).
+
+    Plan shape: two grouped exact-percentile aggregations over the SAME
+    group key (the second over |v - med| after a broadcast join of the
+    O(groups) median table), then one final count agg — three passes
+    over the fact table but only ONE fact-table shuffle key, and the
+    med/mad tables that join back are broadcast-sized. At 100 TB with
+    huge groups, swap F.percentile for approx_percentile (t-digest,
+    mergeable partials) — same query shape, bounded memory.
+    """
+    g = F.col(group_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.percentile("_absdev", F.lit(0.5)).alias("mad"))
+    flagged = dev.join(F.broadcast(mad), group_col)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(value_col).cast("long").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("_absdev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate", F.round(F.col("n_outliers") / F.col("n"), 6)
+        )
+        .orderBy(g)
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each ordered adjacent pair within a user's timeline,
+    count (prev_type -> next_type) and the row-normalized transition
+    probability. ``seq_col`` breaks same-timestamp ties so the chain
+    is total-ordered and results are engine-independent.
+
+    Plan: ONE user-keyed window sort produces the lag column, then a
+    single tiny agg on (prev, next) — O(types²) rows — with the
+    per-prev denominator as a window sum over that already-tiny
+    result (no second fact shuffle). The user shuffle dominates and
+    happens once; state per user is one row, so the same shape runs
+    under transformWithState for streaming.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, seq_col)
+    pairs = (
+        events.select(user_col, type_col, ts_col, seq_col)
+        .withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col(type_col).alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,

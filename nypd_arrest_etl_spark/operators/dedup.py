@@ -835,3 +835,62 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise dataset-overlap matrix on canonical content
+    fingerprints: for every ordered source pair (a < b), the count of
+    distinct fingerprints each side holds, the intersection size, and
+    the Jaccard of the two fingerprint sets. This is the mixing
+    diagnostic a corpus curator runs before weighting sources — two
+    crawls with jaccard 0.9 are one dataset, not two.
+
+    Plan: distinct (source, fingerprint) — ONE shuffle on the uniform
+    md5 key — then a fingerprint-equality self-join whose output is
+    bounded by sum over fingerprints of (sources_sharing_it choose 2),
+    i.e. O(sources²) per duplicated fingerprint, never O(corpus²).
+    Per-source sizes are an O(sources) aggregate cross-joined back
+    (broadcast, sources² rows total), so zero-overlap pairs appear
+    with n_common = 0 rather than vanishing.
+    """
+    fps = df.select(
+        F.col(source_col).alias("src"),
+        canonical_fingerprint(text_col).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = fps.select(F.col("src").alias("source_a"), "fp")
+    b = fps.select(F.col("src").alias("source_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -10,7 +10,7 @@ scale linearly with input splits.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.functions import spread
@@ -58,11 +58,18 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Composite [0,1] quality score (Gopher/C4-style heuristics):
     penalize too-short/too-long docs, low alpha ratio, low token
     diversity. Built from UNROUNDED components so the combination is
-    bit-identical across engines (rounding only the final value)."""
+    bit-identical across engines (rounding only the final value).
+    ``passthrough`` columns ride along so callers never need a join
+    back to the source table (single-scan projection)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -74,6 +81,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     diversity = F.least(n_uniq / n_tok * 2, F.lit(1.0))
     return spread(df).select(
         id_col,
+        *passthrough,
         F.round(0.4 * len_ok + 0.3 * alpha + 0.3 * diversity, 6).alias("quality"),
     )
 
@@ -655,4 +663,56 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def quality_top_frac(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adaptive per-source quality filter: keep each source's top
+    ``keep_frac`` of documents by composite quality score. A single
+    global threshold systematically starves whole sources whose score
+    distribution sits lower (code vs prose, OCR vs born-digital); the
+    per-source cut keeps the mixture while dropping each source's own
+    worst tail — the standard curation shape (C4/Gopher filter, but
+    calibrated per source).
+
+    Keeps exactly ceil(n_source * keep_frac) rows per source by
+    (quality DESC, doc_id ASC) — an integer rank rule with a total
+    order, so the kept set is deterministic and engine-independent
+    (no float-threshold boundary to disagree on). Output: (doc_id,
+    source, quality, src_rank).
+
+    Plan: quality is a single-scan projection (source rides through —
+    no join back); the rank is ONE window sort partitioned by source
+    (parallel across sources) joined to an O(sources) count via
+    broadcast. At 100 TB with few giant sources, swap the per-source
+    sort for an approx_percentile threshold + filter (no sort, two
+    scans) — same contract minus exact-count determinism at the
+    threshold boundary.
+    """
+    docs = quality_score(
+        df.select(id_col, source_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        passthrough=(source_col,),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w))
+        .join(F.broadcast(counts), source_col)
+        .filter(F.col("src_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
+        .select(
+            id_col,
+            source_col,
+            "quality",
+            F.col("src_rank").cast("long").alias("src_rank"),
+        )
     )

@@ -102,10 +102,59 @@ FROM ch
 """
 
 
+def q_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile: median/MAD guardrail
+    stats with |v - med| > 3.5 * MAD flagging."""
+    ev = events_with_ts(spark, sf_dir)
+    return A.mad_outliers(ev, group_col="event_type", value_col="value", k=3.5)
+
+
+ORACLE_OUTLIER_VALUES = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.event_type,
+       count(d.value) AS n,
+       round(any_value(d.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.absdev > 3.5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       round(sum(CASE WHEN d.absdev > 3.5 * m.mad THEN 1 ELSE 0 END) * 1.0
+             / count(d.value), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (one user-keyed shuffle; O(types²) output)."""
+    ev = events_with_ts(spark, sf_dir)
+    return A.event_transitions(ev)
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH p AS (SELECT user_id, event_type,
+                  lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM p WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ANALYTICS: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
     "status_history_scd2": (q_status_history_scd2, ORACLE_STATUS_HISTORY_SCD2),
+    "outlier_values": (q_outlier_values, ORACLE_OUTLIER_VALUES),
+    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
 }
 
 

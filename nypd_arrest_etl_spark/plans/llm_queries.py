@@ -1186,6 +1186,70 @@ SELECT query_id, doc_id, score, rank FROM (
 """
 
 
+def q_quality_top_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source curation: keep each source's top half by
+    quality, rank-based so the kept set is engine-exact."""
+    return TX.quality_top_frac(t(spark, sf_dir, "documents"), keep_frac=0.5)
+
+
+# Quality replay (same formula as ORACLE_QUALITY) + per-source rank
+# cutoff at ceil(n * 0.5). Ordering on the ROUNDED quality with doc_id
+# tie-break gives both engines the same total order.
+ORACLE_QUALITY_TOP_FRAC = r"""
+WITH s AS (
+  SELECT doc_id, source, length(text) AS nc,
+         len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS nu,
+         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+           / length(text) AS alpha_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         round(0.4 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+             + 0.3 * alpha_ratio
+             + 0.3 * least(nu * 1.0 / nt * 2, 1.0), 6) AS quality
+  FROM s
+), r AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER
+             (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)
+             AS src_rank,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM q
+)
+SELECT doc_id, source, quality, src_rank
+FROM r WHERE src_rank <= ceil(_n * 0.5)
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix on canonical fingerprints
+    (dataset-mixing diagnostic)."""
+    return D.source_overlap(t(spark, sf_dir, "documents"))
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH fps AS (
+  SELECT DISTINCT source AS src,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), sizes AS (
+  SELECT src, count(*)::BIGINT AS n FROM fps GROUP BY 1
+), inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*)::BIGINT AS n_common
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT sa.src AS source_a, sb.src AS source_b, sa.n AS n_a, sb.n AS n_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(i.n_common, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
+ORDER BY 1, 2
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1227,4 +1291,6 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_span_stats": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "split_train_holdout": (q_split_train_holdout, ORACLE_SPLIT_TRAIN_HOLDOUT),
     "text_bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
+    "curate_quality_top_frac": (q_quality_top_frac, ORACLE_QUALITY_TOP_FRAC),
+    "dedup_source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
 }

@@ -240,3 +240,69 @@ def test_resample_bucket_mean_and_fixed_point(spark):
     }
     assert out[0] == 1.5  # mean of the two observations in bucket 0
     assert out[100] == 3.0
+
+
+def test_mad_outliers_flags_extreme_values(spark):
+    # group 'a': values 1..9 plus one wild 1000 -> med 5.5, MAD robust
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    # group 'b': constant values -> MAD 0, nothing can exceed 0 threshold
+    rows += [("b", 7.0)] * 5
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in A.mad_outliers(df, "grp", "value", k=3.5).collect()}
+    a = out["a"]
+    assert a["n"] == 10 and a["n_outliers"] == 1  # only the 1000
+    assert a["med"] == 5.5
+    b = out["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0
+    assert b["outlier_rate"] == 0.0
+
+
+def test_mad_outliers_null_values_ignored(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None)],
+        "grp string, value double",
+    )
+    row = A.mad_outliers(df, "grp", "value").collect()[0]
+    assert row["n"] == 3 and row["med"] == 2.0 and row["n_outliers"] == 0
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    rows = [
+        # u1: view -> click -> view  (transitions: view->click, click->view)
+        (1, ts("2024-01-01T10:00:00"), 1, "view"),
+        (1, ts("2024-01-01T10:01:00"), 2, "click"),
+        (1, ts("2024-01-01T10:02:00"), 3, "view"),
+        # u2: view -> view (self-transition)
+        (2, ts("2024-01-01T09:00:00"), 4, "view"),
+        (2, ts("2024-01-01T09:30:00"), 5, "view"),
+        # u3: single event -> no transition
+        (3, ts("2024-01-01T08:00:00"), 6, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in A.event_transitions(df).collect()
+    }
+    assert out[("view", "click")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert out[("click", "view")]["n"] == 1
+    # row-normalization: from 'view' there are 2 outgoing transitions
+    assert out[("view", "click")]["p"] == 0.5
+    assert out[("click", "view")]["p"] == 1.0
+    assert len(out) == 3
+
+
+def test_event_transitions_tie_break_on_seq(spark):
+    # two events at the SAME timestamp: order resolves by event_id
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 10, "a"),
+        (1, ts("2024-01-01T10:00:00"), 11, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = A.event_transitions(df).collect()
+    assert len(out) == 1
+    assert (out[0]["prev_type"], out[0]["next_type"]) == ("a", "b")

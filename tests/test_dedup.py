@@ -168,3 +168,23 @@ def test_leakage_safe_split_respects_permille_bounds(spark):
     out = D.leakage_safe_split(df, holdout_permille=100)
     n_hold = out.filter(F.col("split") == "holdout").count()
     assert 120 <= n_hold <= 280  # 10% +- wide tolerance on 2000 draws
+
+
+def test_source_overlap_matrix_includes_zero_pairs(spark):
+    rows = [
+        (1, "alpha beta", "s1"),
+        (2, "alpha beta", "s2"),      # shared with s1 (same normalized text)
+        (3, "  ALPHA   BETA ", "s2"),  # normalizes to the same fingerprint
+        (4, "gamma delta", "s2"),
+        (5, "unrelated text", "s3"),   # overlaps nobody
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r for r in D.source_overlap(df).collect()}
+    # all 3 pairs present, including the zero-overlap ones
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = out[("s1", "s2")]
+    # s2's two alpha-beta variants collapse to ONE distinct fingerprint
+    assert (r12["n_a"], r12["n_b"], r12["n_common"]) == (1, 2, 1)
+    assert r12["jaccard"] == 0.5  # 1 / (1 + 2 - 1)
+    assert out[("s1", "s3")]["n_common"] == 0
+    assert out[("s1", "s3")]["jaccard"] == 0.0

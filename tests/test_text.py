@@ -258,3 +258,37 @@ def test_bm25_topk_respects_k_and_determinism(spark):
     )
     out = bm25_topk(df, [(7, "common")], top_k=3).collect()
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2]
+
+
+def test_quality_top_frac_keeps_exact_per_source_count(spark):
+    # source A: 4 docs, source B: 3 docs -> keep ceil(4*.5)=2, ceil(3*.5)=2
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today", "A"),
+        (2, "zz zz zz zz", "A"),
+        (3, "a well formed english sentence with many distinct common words", "A"),
+        (4, "!!!! #### $$$$", "A"),
+        (5, "another reasonably long and varied document body with words", "B"),
+        (6, "x", "B"),
+        (7, "short but mostly alphabetic tokens here for scoring purposes", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = TX.quality_top_frac(df, keep_frac=0.5)
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    per_src = {"A": 0, "B": 0}
+    for s, _ in got:
+        per_src[s] += 1
+    assert per_src == {"A": 2, "B": 2}
+    # source A's junk docs (repetitive / pure punctuation) score lowest
+    # and must not survive A's cut; B keeps its top 2 by score
+    kept_ids = {d for _, d in got}
+    assert 2 not in kept_ids and 4 not in kept_ids
+    assert {d for s, d in got if s == "B"} == {6, 7}
+
+
+def test_quality_top_frac_rank_is_deterministic_on_ties(spark):
+    # identical texts -> identical quality; tie broken by doc_id asc
+    rows = [(i, "same exact text repeated for every single document here ok", "S")
+            for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = TX.quality_top_frac(df, keep_frac=0.5).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
