@@ -29,6 +29,12 @@ Two physical merge strategies:
   Delta ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` (SURVEY §2b
   K4), which adds concurrent-writer atomicity via the transaction log
   — swap the writer, keep the dedup/anti-join plan.
+
+Both strategies assume a single writer. For concurrent writers,
+``sinks/manifest.py:merge_insert_if_absent_txn`` implements the same
+insert-if-absent semantics over a versioned-manifest table (atomic
+commit claim + optimistic retry — the Delta/Iceberg protocol), making
+first-writer-wins serializable without external jars.
 """
 
 from __future__ import annotations

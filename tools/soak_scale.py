@@ -54,6 +54,10 @@ QUERIES = [
     "similarity_ann_lsh",       # random-hyperplane bucketed ANN
     "dedup_span_stats",         # tumbling-span explode + span-hash join
     "cdc_orders_diff",          # full-outer snapshot diff on the fact key
+    "dedup_source_overlap",     # fingerprint-equality cross-source self-join
+    "outlier_values",           # two-pass exact-percentile aggs + broadcast
+    "event_transitions",        # user-keyed lag window + tiny agg
+    "curate_quality_top_frac",  # per-source window rank over quality
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
