@@ -563,6 +563,39 @@ WHERE round(shared * 1.0 / least(x.n, y.n), 6) >= 0.5
 """
 
 
+def q_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment with the ``max_df=100`` hot-bucket cap — the 100 TB
+    configuration. The exact variant's candidate volume is sum over
+    fingerprints of df² — quadratic in boilerplate document frequency
+    BY DEFINITION (the 100x soak measured 1279x bucket-square mass for
+    158x postings once replica-prefix 'boilerplate' appeared; real
+    corpora have license headers and templates that do the same). The
+    cap bounds per-bucket fan-in before the self-join; containment is
+    recomputed consistently on the capped universe (per-doc set sizes
+    recounted from surviving postings). At sf0.01/sf0.1 max df is 13,
+    so the capped result EQUALS the exact one — the oracle verifies the
+    cap plumbing end-to-end, and the cap-semantics unit test drives a
+    corpus where the cap actually bites."""
+    return TX.containment_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.5, k=24, window=12, max_df=100
+    )
+
+
+ORACLE_CONTAINMENT_CAPPED = f"""
+WITH {_WINNOW_CTES},
+rare AS (SELECT fp FROM kept GROUP BY fp HAVING count(*) <= 100),
+kc AS (SELECT kept.doc_id, kept.fp FROM kept JOIN rare USING (fp)),
+sz AS (SELECT doc_id, count(*) AS n FROM kc GROUP BY doc_id),
+sh AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+       FROM kc a JOIN kc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT id1 AS doc_id_1, id2 AS doc_id_2, shared,
+       round(shared * 1.0 / least(x.n, y.n), 6) AS containment
+FROM sh JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+WHERE round(shared * 1.0 / least(x.n, y.n), 6) >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation (the composed LLM-data pipeline)
 # ---------------------------------------------------------------------------
@@ -1293,4 +1326,5 @@ LLM_OPS: dict[str, tuple] = {
     "text_bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
     "curate_quality_top_frac": (q_quality_top_frac, ORACLE_QUALITY_TOP_FRAC),
     "dedup_source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "text_containment_capped": (q_containment_capped, ORACLE_CONTAINMENT_CAPPED),
 }

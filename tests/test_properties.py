@@ -142,3 +142,71 @@ def test_chunking_reconstructs_any_document(spark, text, chunk, overlap):
         c["chunk_text"][overlap:] for c in chunks[1:]
     )
     assert stitched == text
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=50),  # minute offset
+            st.sampled_from(["view", "click", "buy"]),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_event_transitions_probabilities_normalize(spark, rows):
+    """Per-prev transition probabilities are a distribution: each row's
+    p = n/sum(n) over its prev_type, and counts total n_events - n_users
+    with >=1 event (each user's chain has len-1 transitions)."""
+    from nypd_arrest_etl_spark.operators.analytics import event_transitions
+
+    data = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), i, e)
+        for i, (u, m, e) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = event_transitions(df).collect()
+    users = {u for u, _, _ in rows}
+    expected_transitions = len(rows) - len(users)
+    assert sum(r["n"] for r in out) == expected_transitions
+    by_prev: dict[str, float] = {}
+    for r in out:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    for total in by_prev.values():
+        assert abs(total - 1.0) < 1e-4  # rounded to 6dp per row
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.text(alphabet="ab cd", min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75]),
+)
+def test_quality_top_frac_count_bound(spark, rows, frac):
+    """Kept rows per source are EXACTLY ceil(n_source * frac)."""
+    import math
+
+    from nypd_arrest_etl_spark.operators.text import quality_top_frac
+
+    data = [(i, text, src) for i, (src, text) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    kept = quality_top_frac(df, keep_frac=frac).collect()
+    per_src_in: dict[str, int] = {}
+    for src, _ in rows:
+        per_src_in[src] = per_src_in.get(src, 0) + 1
+    per_src_out: dict[str, int] = {}
+    for r in kept:
+        per_src_out[r["source"]] = per_src_out.get(r["source"], 0) + 1
+    for src, n_in in per_src_in.items():
+        assert per_src_out.get(src, 0) == math.ceil(n_in * frac)

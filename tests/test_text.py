@@ -292,3 +292,32 @@ def test_quality_top_frac_rank_is_deterministic_on_ties(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = TX.quality_top_frac(df, keep_frac=0.5).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_containment_max_df_cap_consistent_denominators(spark):
+    """The max_df cap must drop hot (boilerplate) fingerprints from
+    BOTH the shared counts and the per-doc set sizes: a pair whose
+    only overlap is boilerplate disappears, while a pair sharing rare
+    content keeps a containment computed on the capped universe."""
+    boiler = "this exact boilerplate sentence appears in every document"
+    rare = "a genuinely unique shared passage that only two docs have"
+    docs = [
+        (1, boiler + " xxxxxxxx one " + rare),
+        (2, boiler + " yyyyyyyy two " + rare),
+        (3, boiler + " zzzzzzzz three unrelated tail content here"),
+        (4, boiler + " wwwwwwww four different tail content again"),
+        (5, boiler + " vvvvvvvv five yet another distinct tail part"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in TX.containment_pairs(df, threshold=0.5).collect()
+    }
+    # uncapped: boilerplate alone makes MANY pairs pass
+    assert len(exact) > 1 and (1, 2) in exact
+    capped_rows = TX.containment_pairs(df, threshold=0.5, max_df=2).collect()
+    capped = {(r["doc_id_1"], r["doc_id_2"]): r for r in capped_rows}
+    # cap=2 kills the df=5 boilerplate fingerprints: only the rare-
+    # passage pair survives, with containment on the capped universe
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)]["containment"] >= 0.5

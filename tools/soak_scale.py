@@ -50,7 +50,8 @@ QUERIES = [
     "dedup_jaccard_pairs",      # PPJoin prefix-filtered self-join
     "dedup_minhash_pairs",      # banded MinHash LSH
     "dedup_simhash_pairs",      # 4-band SimHash hamming join
-    "text_containment_pairs",   # winnowing-fingerprint overlap join
+    "text_containment_pairs",   # winnowing-fingerprint overlap join (exact)
+    "text_containment_capped",  # same with the max_df hot-bucket cap
     "similarity_ann_lsh",       # random-hyperplane bucketed ANN
     "dedup_span_stats",         # tumbling-span explode + span-hash join
     "cdc_orders_diff",          # full-outer snapshot diff on the fact key
@@ -167,10 +168,21 @@ def main() -> None:
         "  inflating the result).",
         "- The candidate-generation joins (jaccard/minhash/simhash/containment)",
         "  are the family where super-linear blowup would hide; their candidate",
-        "  volume is sum-of-bucket^2, so staying at or under the data ratio",
-        "  means bucket keys stayed selective. `containment_pairs` grows",
-        "  ~linearly (hot boilerplate fingerprint buckets dominate); its",
-        "  `max_df` cap is the explicit scale knob beyond this.",
+        "  volume is sum-of-bucket^2, so a time ratio at or under the data ratio",
+        "  means bucket keys stayed selective.",
+        "- `text_containment_pairs` reads above the data ratio, and the right",
+        "  denominator shows why that is the WORKLOAD, not the plan: the",
+        "  replica word-prefix inflates 24-char-gram collisions, so the",
+        "  fingerprint candidate mass (sum df^2) grows ~1279x for 158x",
+        "  postings (measured: 238,615 -> 305,136,229; max df 13 -> 299, and",
+        "  even the df<=4 buckets alone hold ~107x the base mass). Against",
+        "  that workload the join's time ratio of ~114x means per-candidate",
+        "  throughput IMPROVED ~11x at scale. `text_containment_capped`",
+        "  (max_df=100, oracle-verified, cap semantics unit-tested) is the",
+        "  production bound on worst-case bucket fan-in — on THIS corpus the",
+        "  mass is mid-frequency so the cap trims only ~25%, but it converts",
+        "  pathological boilerplate (license headers at corpus-wide df) from",
+        "  a quadratic blowup into a hard ceiling.",
         "- A sub-1x ratio (ANN) means AQE picked a better physical plan at the",
         "  larger size than at the base size.",
         "",
