@@ -59,13 +59,17 @@ def stream_etl(
     memory, never correctness.
 
     ``merge_strategy`` picks the physical merge inside foreachBatch:
-    ``"append"`` (merge_into_parquet — simplest, accumulates files) or
+    ``"append"`` (merge_into_parquet — simplest, accumulates files),
     ``"overwrite_partitions"`` (merge_overwrite_partitions — each
     microbatch rewrites/compacts only the year partitions it touches;
-    the long-running incremental shape). Both are idempotent per
-    microbatch, so a replayed batch after a crash inserts zero rows.
+    the long-running incremental shape), or ``"txn"``
+    (sinks.manifest.merge_insert_if_absent_txn — versioned-manifest
+    commits, safe when OTHER writers merge into the same table
+    concurrently with the stream; readers get snapshot isolation).
+    All are idempotent per microbatch, so a replayed batch after a
+    crash inserts zero rows.
     """
-    if merge_strategy not in ("append", "overwrite_partitions"):
+    if merge_strategy not in ("append", "overwrite_partitions", "txn"):
         raise ValueError(f"unknown merge_strategy {merge_strategy!r}")
     raw = (
         spark.readStream.schema(RAW_SCHEMA).format(fmt).load(source_dir)
@@ -85,6 +89,10 @@ def stream_etl(
             merge_overwrite_partitions(
                 batch_df.sparkSession, batch_df, target_path, partition_by="arrest_year"
             )
+        elif merge_strategy == "txn":
+            from nypd_arrest_etl_spark.sinks.manifest import merge_insert_if_absent_txn
+
+            merge_insert_if_absent_txn(batch_df.sparkSession, batch_df, target_path)
         else:
             merge_into_parquet(batch_df.sparkSession, batch_df, target_path)
 

@@ -469,3 +469,51 @@ def test_funnel_stream_advances_across_batches(spark, tmp_path):
         (1, 3): "purchase",
         (2, 1): "view",
     }
+
+
+def test_stream_etl_txn_strategy_snapshot_versions(spark, tmp_path):
+    """foreachBatch + manifest txn merge: microbatches become manifest
+    versions; a concurrent batch-side merge between triggers cannot
+    duplicate a key the stream later re-sends."""
+    from nypd_arrest_etl_spark.sinks import manifest as M
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"arrest_key": "T1", "arrest_date": "2024-01-05", "law_cat_cd": "F"},
+            {"arrest_key": "T2", "arrest_date": "2024-01-06", "law_cat_cd": "M"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt, merge_strategy="txn")
+    q.awaitTermination(120)
+    snap = M.snapshot(target)
+    assert snap is not None and snap.version == 0
+    assert {r["arrest_key"] for r in snap.read(spark).collect()} == {"T1", "T2"}
+
+    # a concurrent NON-stream writer commits T3 between triggers
+    other = spark.createDataFrame(
+        [("T3",)], "arrest_key string"
+    )
+    base = snap.read(spark)
+    extra = base.filter("arrest_key = 'T1'").drop("arrest_key").limit(1).crossJoin(other)
+    M.merge_insert_if_absent_txn(spark, extra.select(base.columns), target)
+
+    # stream re-sends T3 (plus new T4): anti-join vs the LATEST snapshot
+    # rejects T3 even though the stream never wrote it
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"arrest_key": "T3", "arrest_date": "2024-02-01", "law_cat_cd": "I"},
+            {"arrest_key": "T4", "arrest_date": "2024-02-02", "law_cat_cd": "V"},
+        ],
+    )
+    q = stream_etl(spark, str(src), target, ckpt, merge_strategy="txn")
+    q.awaitTermination(120)
+    final = M.snapshot(target).read(spark)
+    keys = [r["arrest_key"] for r in final.collect()]
+    assert sorted(keys) == ["T1", "T2", "T3", "T4"]
