@@ -821,10 +821,23 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs) when groups get huge — same query shape."""
     o = t(spark, sf_dir, "orders")
     pcts = [0.25, 0.50, 0.75]
-    cols = [
-        F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(f"p{int(p * 100)}") for p in pcts
-    ]
-    return o.groupBy("o_orderpriority").agg(*cols)
+    # ONE percentile buffer evaluating all three quantiles: the per-group
+    # value buffer is built and sorted once instead of once per quantile
+    # (3 separate aggregates measured ~1.7x slower at sf0.1).
+    ps = F.percentile(
+        "o_totalprice", F.array(*[F.lit(p) for p in pcts])
+    ).alias("_ps")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(ps)
+        .select(
+            "o_orderpriority",
+            *[
+                F.round(F.col("_ps")[i], 4).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(pcts)
+            ],
+        )
+    )
 
 
 ORACLE_PERCENTILE_PRICES = """

@@ -146,3 +146,39 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink twin of the parquet target — for stacks standardized
     on ORC (Hive-lineage warehouses). Snappy-by-default, splittable."""
     df.write.mode(mode).orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    validate: bool = True,
+) -> DataFrame:
+    """XML scan (Spark 4 native spark-xml, StAX-based): one row per
+    ``row_tag`` element, schema inferred (or pass ``.schema(...)`` on a
+    raw reader for production). Socrata publishes every dataset as XML
+    alongside JSON/CSV, so this closes the reference's source-format
+    matrix (extract.py pulls JSON; import_csv.py pulls CSV).
+
+    Scale note: XML splits by row-tag scan, so files parallelize like
+    JSONL; the parser is row-at-a-time (no vectorized reader) — land
+    as parquet on first touch, as with every text source here."""
+    df = spark.read.format("xml").option("rowTag", row_tag).load(path)
+    return validate_required(df) if validate else df
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink twin (export/interchange; not a storage format)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

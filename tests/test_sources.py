@@ -55,3 +55,29 @@ def test_jsonl_case_folded_duplicate_keys_first_wins(spark, tmp_path):
     rows = {r["arrest_date"]: r["arrest_key"] for r in read_jsonl(spark, str(p)).collect()}
     assert rows["2024-01-01"] == "low"
     assert rows["2024-01-02"] == "only-upper"
+
+
+def test_xml_roundtrip_and_required_columns(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.files import read_xml, write_xml
+
+    src = spark.createDataFrame(
+        [("X1", "2024-01-05", "F"), ("X2", "2024-01-06", "M")],
+        "arrest_key string, arrest_date string, law_cat_cd string",
+    )
+    p = str(tmp_path / "arrests_xml")
+    write_xml(src, p)
+    back = read_xml(spark, p)
+    assert {r["arrest_key"] for r in back.collect()} == {"X1", "X2"}
+    assert set(("arrest_key", "arrest_date")) <= set(back.columns)
+
+
+def test_xml_missing_required_column_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from nypd_arrest_etl_spark.sources.files import read_xml, write_xml
+
+    src = spark.createDataFrame([("no-key-here",)], "something string")
+    p = str(tmp_path / "bad_xml")
+    write_xml(src, p)
+    with pytest.raises(Exception, match="arrest_key|required"):
+        read_xml(spark, p)
