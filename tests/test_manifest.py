@@ -104,3 +104,31 @@ def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         M.snapshot(t, version=0)
     assert M.current_version(t) == 1
+
+
+def test_many_concurrent_appends_all_land(spark, tmp_path):
+    """8 threads append concurrently: every append eventually wins a
+    version (bounded retries), all rows land, versions are a gapless
+    chain 0..7."""
+    t = str(tmp_path / "tbl")
+    n_threads = 8
+    errors = []
+
+    def run(i):
+        try:
+            M.append(spark, _df(spark, [(f"k{i}", i)]), t, max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert M.current_version(t) == n_threads - 1
+    rows = M.snapshot(t).read(spark).collect()
+    assert sorted(r["arrest_key"] for r in rows) == sorted(f"k{i}" for i in range(n_threads))
+    # every intermediate version remains a readable snapshot (no gaps)
+    for v in range(n_threads):
+        assert len(M.snapshot(t, version=v).files) >= v + 1
