@@ -412,21 +412,28 @@ GROUP BY 1, 2
 
 def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window via F.window (epoch-aligned); start exported
-    as epoch seconds so both engines hash identical integers."""
+    as epoch seconds so both engines hash identical integers.
+
+    sum/avg are computed in FIXED POINT (values live on a 2-decimal
+    grid; sum integer cents, divide once) — the same exactness trick as
+    resample_interpolate. A float sum is summation-order dependent, so
+    a double `avg` can land a half-way case on different sides of the
+    6th decimal across engines: the two-scale compare caught exactly
+    one such row at sf0.1 (43.4728125 rounding to ...12 vs ...13)."""
     e = events_with_ts(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.sum(cents).alias("_cents"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
-            "avg_value",
+            F.round(F.col("_cents") / 100.0, 2).alias("sum_value"),
+            F.round(F.col("_cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
         )
     )
 
@@ -434,8 +441,9 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TUMBLING_HOURLY = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
        event_type, count(*) AS n,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 6)
+           AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -507,19 +515,35 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path uses) — 30-min-gap sessions per user. The oracle
     replays the gap semantics with the lag/running-sum rewrite, so
     this also PROVES the built-in and the manual sessionization
-    (q_sessionize) agree. One shuffle on user_id."""
-    e = events_with_ts(spark, sf_dir)
+    (q_sessionize) agree. One shuffle on user_id.
+
+    Sessions are defined on the SECOND-truncated event time — the same
+    integer timeline the manual sessionizer and the oracle use (at
+    microsecond precision a pair ~1799.6 s apart merges here while the
+    integer oracle splits it). The boundary rule is the native
+    operator's: Spark's session window is INCLUSIVE of its end, so an
+    event landing exactly gap seconds after the last one EXTENDS the
+    session (probed empirically; the manual q_sessionize splits at
+    >= gap — one second of boundary difference, each pair oracle-
+    verified under its own rule; the two-scale compare caught exactly
+    one exact-1800s pair at sf0.1). Session values sum in fixed point
+    (integer cents) so float summation order can't move a half-way
+    rounding case across engines."""
+    e = events_with_ts(spark, sf_dir).withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    cents = F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_value"),
+            F.sum(cents).alias("_cents"),
         )
         .select(
             "user_id",
             F.col("w.start").cast("long").alias("session_start"),
             "n_events",
-            "sum_value",
+            F.round(F.col("_cents") / 100.0, 2).alias("sum_value"),
         )
     )
 
@@ -527,21 +551,21 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSION_WINDOW_BATCH = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-         coalesce(value, 0.0) AS v
+         CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents
   FROM events
 ), flagged AS (
-  SELECT user_id, sec, v,
-         CASE WHEN sec - lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+  SELECT user_id, sec, cents,
+         CASE WHEN sec - lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
 ), sessions AS (
-  SELECT user_id, sec, v,
+  SELECT user_id, sec, cents,
          sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )
 SELECT user_id, min(sec) AS session_start,
-       count(*) AS n_events, round(sum(v), 2) AS sum_value
+       count(*) AS n_events, round(sum(cents) / 100.0, 2) AS sum_value
 FROM sessions GROUP BY user_id, sid
 """
 
