@@ -1676,7 +1676,12 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ulps) can straddle the round-half boundary differently per
     # summation order. Casting each term to DECIMAL(18,4) before the
     # sum makes accumulation EXACT and therefore order-independent:
-    # the same answer on 1 partition or 10,000.
+    # the same answer on 1 partition or 10,000. The final round must
+    # ALSO happen in decimal (round THEN cast): rounding after a double
+    # cast is engine-divergent at half-way points — Spark's double
+    # round goes through the shortest decimal string ("...725" rounds
+    # up) while DuckDB rounds the binary value ("...72499999..." rounds
+    # down); the sf0.001 compare caught exactly that row.
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     cost = (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,4)")
     return (
@@ -1688,16 +1693,18 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round((F.sum(revenue) - F.sum(cost)).cast("double"), 2).alias("sum_profit")
+            F.round(F.sum(revenue) - F.sum(cost), 2)
+            .cast("double")
+            .alias("sum_profit")
         )
     )
 
 
 ORACLE_PRODUCT_TYPE_PROFIT = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                  - sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
-             AS DOUBLE), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  - sum(CAST(p_retailprice * l_quantity AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
