@@ -7,7 +7,7 @@ LLM-data-pipeline extensions), as (spark, sf_dir) -> DataFrame.
 the 3 ops whose semantics are genuinely engine-internal (native
 HLL/KLL sketches, IVF k-means, iterative BPE) — those get the
 driver's rows-only check. Every gate-window entry (first 50) carries
-a full oracle; 107 of 110 registry entries do.
+a full oracle; 108 of 111 registry entries do.
 """
 
 from __future__ import annotations

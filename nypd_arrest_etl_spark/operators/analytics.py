@@ -244,6 +244,51 @@ def event_transitions(
     ).orderBy("prev_type", "next_type")
 
 
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing N-day distinct-user count per day (rolling DAU→WAU).
+
+    Spark (like every SQL engine) cannot evaluate COUNT(DISTINCT) over
+    a sliding RANGE frame — distinct state is not mergeable across
+    frame slides. The scalable rewrite: collapse to distinct
+    (user, day) pairs, EXPLODE each pair onto the ``window_days`` days
+    it contributes to (a bounded constant fan-out, JVM-side sequence),
+    then one exact count-distinct groupBy per day. Cost is
+    window_days × distinct daily actives — independent of raw event
+    volume after the first dedup, and each stage is a plain shuffle
+    that AQE can size. (The approximate alternative at extreme scale
+    is mergeable HLL sketches per day, unioned over the window — same
+    query shape, sketch_stats shows the portable-KMV variant.)
+
+    Output is restricted to OBSERVED days (days with at least one
+    event), so the report ends at the data's last day instead of
+    coasting ``window_days - 1`` days past it on stale contributions;
+    the restriction is a broadcast semi-join against the O(days)
+    distinct-day set.
+    """
+    day = F.to_date(ts_col)
+    pairs = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    contrib = pairs.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    )
+    observed = pairs.select(F.col("d").alias("day")).distinct()
+    return (
+        contrib.join(F.broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("u").cast("long").alias("n_users"))
+        .orderBy("day")
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,

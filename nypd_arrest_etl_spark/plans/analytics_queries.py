@@ -149,12 +149,36 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per observed day, via the
+    contribution-explode rewrite (no DISTINCT-over-RANGE in any
+    engine)."""
+    ev = events_with_ts(spark, sf_dir)
+    return A.rolling_distinct_users(ev, window_days=7)
+
+
+ORACLE_ROLLING_DISTINCT_USERS = """
+WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+contrib AS (
+  SELECT u, CAST(gs AS DATE) AS day
+  FROM pairs, LATERAL (
+    SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS gs
+  ) t
+),
+observed AS (SELECT DISTINCT d AS day FROM pairs)
+SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM contrib JOIN observed USING (day)
+GROUP BY day ORDER BY day
+"""
+
+
 ANALYTICS: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, ORACLE_EVENTS_FUNNEL),
     "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
     "status_history_scd2": (q_status_history_scd2, ORACLE_STATUS_HISTORY_SCD2),
     "outlier_values": (q_outlier_values, ORACLE_OUTLIER_VALUES),
     "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
+    "rolling_distinct_users": (q_rolling_distinct_users, ORACLE_ROLLING_DISTINCT_USERS),
 }
 
 

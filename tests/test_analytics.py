@@ -306,3 +306,30 @@ def test_event_transitions_tie_break_on_seq(spark):
     out = A.event_transitions(df).collect()
     assert len(out) == 1
     assert (out[0]["prev_type"], out[0]["next_type"]) == ("a", "b")
+
+
+def test_rolling_distinct_users_window_and_observed_days(spark):
+    rows = [
+        # u1 active day 1; u2 active day 1 and day 9; u3 active day 3
+        (1, ts("2024-01-01T10:00:00")),
+        (2, ts("2024-01-01T11:00:00")),
+        (3, ts("2024-01-03T10:00:00")),
+        (2, ts("2024-01-09T10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["day"]): r["n_users"] for r in A.rolling_distinct_users(df, 7).collect()}
+    # only OBSERVED days appear (1st, 3rd, 9th) — no coasting past data
+    assert set(out) == {"2024-01-01", "2024-01-03", "2024-01-09"}
+    assert out["2024-01-01"] == 2            # u1, u2
+    assert out["2024-01-03"] == 3            # u1, u2 (1st) + u3 (3rd)
+    # day 9: trailing window [3rd..9th] -> u3 (3rd) + u2 (9th); u1/u2 of
+    # the 1st fell out of the 7-day window
+    assert out["2024-01-09"] == 2
+
+
+def test_rolling_distinct_users_dedups_within_window(spark):
+    # same user active on two days of one window counts once
+    rows = [(1, ts("2024-01-01T10:00:00")), (1, ts("2024-01-02T10:00:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r["day"]): r["n_users"] for r in A.rolling_distinct_users(df, 7).collect()}
+    assert out == {"2024-01-01": 1, "2024-01-02": 1}
