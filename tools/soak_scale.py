@@ -59,6 +59,7 @@ QUERIES = [
     "outlier_values",           # two-pass exact-percentile aggs + broadcast
     "event_transitions",        # user-keyed lag window + tiny agg
     "curate_quality_top_frac",  # per-source window rank over quality
+    "rolling_distinct_users",   # contribution-explode rolling distinct
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
@@ -182,7 +183,13 @@ def main() -> None:
         "  production bound on worst-case bucket fan-in — on THIS corpus the",
         "  mass is mid-frequency so the cap trims only ~25%, but it converts",
         "  pathological boilerplate (license headers at corpus-wide df) from",
-        "  a quadratic blowup into a hard ceiling.",
+        "  a quadratic blowup into a hard ceiling. The capped variant also",
+        "  PAYS an extra full-postings frequency pass (groupBy + semi-join)",
+        "  before the candidate join, so on a healthy df distribution it can",
+        "  read slower than the exact query — it is insurance against",
+        "  corpus-wide-df boilerplate, not a general win. Wall times at the",
+        "  100-200s scale vary +/-30% run-to-run on this host (GC/scheduling);",
+        "  compare the mass-vs-time accounting, not single-run ratios.",
         "- A sub-1x ratio (ANN) means AQE picked a better physical plan at the",
         "  larger size than at the base size.",
         "",
