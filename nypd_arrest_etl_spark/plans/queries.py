@@ -419,7 +419,12 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample_interpolate. A float sum is summation-order dependent, so
     a double `avg` can land a half-way case on different sides of the
     6th decimal across engines: the two-scale compare caught exactly
-    one such row at sf0.1 (43.4728125 rounding to ...12 vs ...13)."""
+    one such row at sf0.1 (43.4728125 rounding to ...12 vs ...13).
+
+    Null semantics: `avg_value` is NULL-IGNORING like F.avg — the
+    divisor is count(value) (non-null count), not count(*), and a
+    window whose values are all null averages to null (round-3 ADVICE:
+    dividing by n silently changed avg semantics for null values)."""
     e = events_with_ts(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     return (
@@ -427,13 +432,17 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(cents).alias("_cents"),
+            F.count("value").alias("_nv"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "event_type",
             "n",
             F.round(F.col("_cents") / 100.0, 2).alias("sum_value"),
-            F.round(F.col("_cents") / (100.0 * F.col("n")), 6).alias("avg_value"),
+            F.when(
+                F.col("_nv") > 0,
+                F.round(F.col("_cents") / (100.0 * F.col("_nv")), 6),
+            ).alias("avg_value"),
         )
     )
 
@@ -442,8 +451,8 @@ ORACLE_TUMBLING_HOURLY = """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
        event_type, count(*) AS n,
        round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 6)
-           AS avg_value
+       round(sum(CAST(round(value * 100) AS BIGINT))
+             / (100.0 * nullif(count(value), 0)), 6) AS avg_value
 FROM events GROUP BY 1, 2
 """
 

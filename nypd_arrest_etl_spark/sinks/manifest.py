@@ -19,40 +19,71 @@ the Delta Lake VLDB'20 paper and the Iceberg spec):
   name, fsyncs, then ``os.link``s it to ``v{N+1}``. ``link`` fails
   with EEXIST if another writer claimed N+1 first — the loser gets a
   ``CommitConflict`` and retries against the new snapshot (optimistic
-  concurrency). POSIX rename/link atomicity is the same primitive
-  HDFS gives; on S3-style object stores the claim maps to a
-  conditional PUT (If-None-Match), which is how Delta's commit
-  service and Iceberg's REST catalog do it.
+  concurrency). After a successful link the _manifest DIRECTORY is
+  fsynced too, so an acknowledged version survives power loss (same
+  durability point Delta/Iceberg get from the object store's atomic
+  PUT). POSIX rename/link atomicity is the same primitive HDFS gives;
+  on S3-style object stores the claim maps to a conditional PUT
+  (If-None-Match), which is how Delta's commit service and Iceberg's
+  REST catalog do it.
 - **Snapshot isolation.** A snapshot handle pins a version; concurrent
   commits never change what it reads (its files are immutable).
   Old versions remain readable (time travel) until ``vacuum``.
+- **File-level min/max stats + data skipping** (round 4). Each commit
+  records per-file, per-column min/max + rowcount harvested from the
+  parquet footers (zero extra data scan). ``Snapshot.read(filters=…)``
+  prunes the file list against those stats before Spark ever opens a
+  file — the same scan-pruning contract as Iceberg manifest stats /
+  Delta data skipping. Pruning is a pure optimization: the surviving
+  DataFrame is still filtered exactly.
+- **Schema evolution check** (round 4). Each manifest records the
+  commit's schema; a writer whose schema drops a column or changes a
+  column's type is rejected with ``SchemaEvolutionError`` before any
+  data is written. Adding new nullable columns is allowed (the
+  Iceberg-legal evolution); readers merge schemas across file
+  generations so old files surface the new column as null.
 
 Scale honesty: the manifest is a flat JSON file list — O(files) per
 commit, fine for the file counts a partitioned table produces under
 compaction (``operators/scale.py:compact_files``), but a 100 TB table
 with millions of files wants Iceberg's two-level manifests and a
-catalog service. The COMMIT PROTOCOL — the part bare directories
-lack — is identical; swap the storage of the file list, keep the
-claim/retry loop.
+catalog service. The COMMIT PROTOCOL and the stats-pruning contract —
+the parts bare directories lack — are identical; swap the storage of
+the file list, keep the claim/retry loop and per-file stat ranges.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 12
 
+#: Default vacuum retention (seconds). Files younger than this are
+#: never deleted even when unreferenced: an in-flight writer stages its
+#: data files BEFORE its manifest commit, and from the outside those
+#: are indistinguishable from orphans. Same design as Delta VACUUM's
+#: retention period.
+DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600.0
+
 
 class CommitConflict(Exception):
     """Another writer claimed the target version first; re-read the
     snapshot and retry."""
+
+
+class SchemaEvolutionError(Exception):
+    """Incoming schema is not a legal evolution of the table schema
+    (dropped column or changed type). Adding nullable columns is the
+    only allowed change."""
 
 
 def _manifest_dir(table_path: str) -> str:
@@ -81,6 +112,154 @@ def _load_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+# ---------------------------------------------------------------------------
+# Per-file column statistics (harvested from parquet footers — no data scan)
+# ---------------------------------------------------------------------------
+
+
+def _stat_value(v):
+    """JSON-encode a parquet footer stat. Dates/datetimes become ISO
+    strings (which sort identically to the underlying values), bytes
+    are decoded; anything non-encodable is dropped (file stays
+    unprunable for that column — safe)."""
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _collect_file_stats(full_path: str) -> dict:
+    """Read one parquet footer and aggregate row-group min/max into
+    per-file column ranges: {"rows": n, "columns": {name: {"min": x,
+    "max": x}}}. Columns without usable stats are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            chunk = group.column(ci)
+            st = chunk.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = chunk.path_in_schema
+            if "." in name:  # nested leaves: skip, prune on top-level only
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                cols.pop(name, None)
+                continue
+            cur = cols.get(name)
+            if cur is None:
+                cols[name] = {"min": lo, "max": hi}
+            else:
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+    return {"rows": md.num_rows, "columns": cols}
+
+
+def _normalize_filter_value(v):
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _file_may_match(stats: dict | None, filters) -> bool:
+    """Can a file with these stat ranges contain a row passing ALL
+    filters? Missing stats → must keep (never prune on ignorance).
+    SQL filters never match null, so min/max (which ignore nulls)
+    are a sound bound."""
+    if not stats:
+        return True
+    cols = stats.get("columns", {})
+    for name, op, value in filters:
+        rng = cols.get(name)
+        if rng is None:
+            continue
+        lo, hi, v = rng["min"], rng["max"], _normalize_filter_value(value)
+        try:
+            if op == "=" and not (lo <= v <= hi):
+                return False
+            if op == "<" and not (lo < v):
+                return False
+            if op == "<=" and not (lo <= v):
+                return False
+            if op == ">" and not (hi > v):
+                return False
+            if op == ">=" and not (hi >= v):
+                return False
+        except TypeError:
+            continue  # incomparable types: keep the file
+    return True
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _filters_to_column(filters) -> Column:
+    cond = F.lit(True)
+    for name, op, value in filters:
+        if op not in _OPS:
+            raise ValueError(f"unsupported filter op {op!r}; use one of {sorted(_OPS)}")
+        cond = cond & _OPS[op](F.col(name), F.lit(value))
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution
+# ---------------------------------------------------------------------------
+
+
+def _schema_entry(df: DataFrame) -> list[dict]:
+    return [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+
+
+def _check_schema_evolution(base: list[dict] | None, incoming: list[dict]) -> None:
+    """Legal evolutions: identical schema, or ADDING nullable columns.
+    Dropping a column or changing a column's type is rejected — the
+    already-committed files cannot be rewritten (immutability), so a
+    type change would make the table unreadable as one schema."""
+    if not base:
+        return
+    base_types = {c["name"]: c["type"] for c in base}
+    new_types = {c["name"]: c["type"] for c in incoming}
+    dropped = sorted(set(base_types) - set(new_types))
+    if dropped:
+        raise SchemaEvolutionError(f"incoming schema drops committed column(s) {dropped}")
+    changed = sorted(
+        n for n, t in base_types.items() if new_types[n] != t
+    )
+    if changed:
+        detail = {n: (base_types[n], new_types[n]) for n in changed}
+        raise SchemaEvolutionError(f"incoming schema changes column type(s) {detail}")
+    for c in incoming:
+        if c["name"] not in base_types and not c["nullable"]:
+            raise SchemaEvolutionError(
+                f"new column {c['name']!r} must be nullable (old files have no values for it)"
+            )
+
+
+# ---------------------------------------------------------------------------
+# Snapshots
+# ---------------------------------------------------------------------------
+
+
 class Snapshot:
     """A pinned, immutable view of the table at one version."""
 
@@ -88,13 +267,38 @@ class Snapshot:
         self.table_path = table_path
         self.version = version
         self.files = list(manifest["files"])
+        self.stats = manifest.get("stats", {})
+        self.schema = manifest.get("schema")
         self.operation = manifest.get("operation")
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def prune(self, filters) -> list[str]:
+        """File-skipping: the subset of ``self.files`` whose stat
+        ranges could satisfy ``filters`` (triples ``(col, op, value)``
+        with op in =,<,<=,>,>=)."""
+        return [f for f in self.files if _file_may_match(self.stats.get(f), filters)]
+
+    def read(self, spark: SparkSession, filters=None) -> DataFrame:
+        """Read the snapshot. With ``filters``, the file list is pruned
+        against per-file min/max stats BEFORE the scan (data skipping)
+        and the exact predicate is applied to the surviving rows, so
+        semantics are identical to an unpruned read + filter."""
         if not self.files:
             raise ValueError("empty snapshot has no schema; guard with files check")
-        paths = [os.path.join(self.table_path, f) for f in self.files]
-        return spark.read.parquet(*paths)
+        files = self.files if not filters else self.prune(filters)
+        if not files:
+            # All files skipped: empty result with the full-scan schema.
+            full = self._scan(spark, self.files)
+            return full.filter(F.lit(False))
+        df = self._scan(spark, files)
+        if filters:
+            df = df.filter(_filters_to_column(filters))
+        return df
+
+    def _scan(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        paths = [os.path.join(self.table_path, f) for f in files]
+        # mergeSchema: file generations may differ by added nullable
+        # columns (legal evolution); old files surface them as null.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def snapshot(table_path: str, version: int | None = None) -> Snapshot | None:
@@ -106,11 +310,18 @@ def snapshot(table_path: str, version: int | None = None) -> Snapshot | None:
     return Snapshot(table_path, v, _load_manifest(table_path, v))
 
 
+# ---------------------------------------------------------------------------
+# Commits
+# ---------------------------------------------------------------------------
+
+
 def commit(
     table_path: str,
     files: list[str],
     base_version: int | None,
     operation: str,
+    stats: dict | None = None,
+    schema: list[dict] | None = None,
 ) -> int:
     """Atomically claim version ``base_version + 1`` with the given
     live-file list. Raises ``CommitConflict`` if that version already
@@ -122,6 +333,8 @@ def commit(
         "version": new_version,
         "operation": operation,
         "files": sorted(files),
+        "stats": stats or {},
+        "schema": schema,
         "committed_at": time.time(),
     }
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -139,32 +352,61 @@ def commit(
         ) from None
     finally:
         os.unlink(tmp)
+    # Durability: fsync the directory so the new link's dentry is on
+    # disk before the commit is acknowledged (crash after return must
+    # not lose an acknowledged version).
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return new_version
 
 
-def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
+def _write_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
     """Write ``df`` as immutable parquet files under a unique subdir of
-    data/ and return their table-relative paths. The files are NOT part
-    of the table until a manifest commit references them."""
+    data/ and return (table-relative paths, per-file footer stats). The
+    files are NOT part of the table until a manifest commit references
+    them."""
     sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     out_dir = os.path.join(table_path, sub)
     df.write.mode("error").parquet(out_dir)
-    return [
+    rels = [
         os.path.join(sub, f)
         for f in os.listdir(out_dir)
         if f.endswith(".parquet") and not f.startswith("_")
     ]
+    stats = {rel: _collect_file_stats(os.path.join(table_path, rel)) for rel in rels}
+    return rels, stats
+
+
+def _merged_stats(snap: Snapshot | None, new_stats: dict) -> dict:
+    carried = dict(snap.stats) if snap is not None else {}
+    carried.update(new_stats)
+    return carried
 
 
 def append(spark: SparkSession, df: DataFrame, table_path: str, max_retries: int = 10) -> int:
     """Transactional append: data files are written once; only the
     O(1) manifest claim retries on conflict."""
-    new_files = _write_data_files(df, table_path)
+    schema = _schema_entry(df)
+    base0 = snapshot(table_path)
+    _check_schema_evolution(base0.schema if base0 else None, schema)
+    new_files, new_stats = _write_data_files(df, table_path)
     for _ in range(max_retries):
-        base = current_version(table_path)
-        existing = _load_manifest(table_path, base)["files"] if base is not None else []
+        snap = snapshot(table_path)
+        base = snap.version if snap is not None else None
+        existing = list(snap.files) if snap is not None else []
+        _check_schema_evolution(snap.schema if snap else None, schema)
         try:
-            return commit(table_path, existing + new_files, base, "append")
+            return commit(
+                table_path,
+                existing + new_files,
+                base,
+                "append",
+                stats=_merged_stats(snap, new_stats),
+                schema=schema,
+            )
         except CommitConflict:
             continue
     raise CommitConflict(f"append to {table_path} lost {max_retries} races")
@@ -184,18 +426,21 @@ def merge_insert_if_absent_txn(
     to commit against THAT snapshot's version. If a concurrent commit
     claimed the version, the anti-join result may be stale (the winner
     might have inserted one of our keys) — so the written files are
-    abandoned as orphans (invisible; reclaimed by ``vacuum``) and the
-    whole merge re-runs against the new snapshot. First-writer-wins is
-    thus global across concurrent merges, which the bare-directory
-    variants in operators/merge.py cannot guarantee.
+    abandoned as orphans (invisible; reclaimed by ``vacuum`` after the
+    retention window) and the whole merge re-runs against the new
+    snapshot. First-writer-wins is thus global across concurrent
+    merges, which the bare-directory variants in operators/merge.py
+    cannot guarantee.
 
     Returns (inserted_rowcount, committed_version).
     """
     from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
 
     deduped = dedup_first_writer_wins(incoming, key)
+    schema = _schema_entry(deduped)
     for _ in range(max_retries):
         snap = snapshot(table_path)
+        _check_schema_evolution(snap.schema if snap else None, schema)
         fresh = deduped
         if snap is not None and snap.files:
             fresh = fresh.join(snap.read(spark).select(key), on=key, how="left_anti")
@@ -211,9 +456,16 @@ def merge_insert_if_absent_txn(
             # no new version is created (idempotent re-runs leave the
             # manifest chain untouched).
             return 0, base if base is not None else -1
-        new_files = _write_data_files(fresh, table_path)
+        new_files, new_stats = _write_data_files(fresh, table_path)
         try:
-            v = commit(table_path, existing + new_files, base, "merge")
+            v = commit(
+                table_path,
+                existing + new_files,
+                base,
+                "merge",
+                stats=_merged_stats(snap, new_stats),
+                schema=schema,
+            )
             return n, v
         except CommitConflict:
             # Orphaned new_files stay invisible until vacuum; correctness
@@ -222,14 +474,25 @@ def merge_insert_if_absent_txn(
     raise CommitConflict(f"merge into {table_path} lost {max_retries} races")
 
 
-def vacuum(table_path: str, keep_versions: int = 1) -> int:
+def vacuum(
+    table_path: str,
+    keep_versions: int = 1,
+    retention_seconds: float = DEFAULT_RETENTION_SECONDS,
+) -> int:
     """Delete data files not referenced by the ``keep_versions`` most
     recent manifests (orphans from lost commit races + aged-out time
     travel), then drop the superseded manifests. Returns files deleted.
 
-    Single-maintainer operation by contract (like Delta's VACUUM): it
-    must not run concurrently with readers pinned to versions being
-    dropped."""
+    **Retention window**: unreferenced files whose mtime is within
+    ``retention_seconds`` of now are SKIPPED. An in-flight writer
+    stages data files before its manifest commit; without the window a
+    concurrent vacuum could delete those mid-transaction and the
+    writer's commit would then reference dead files (the Delta VACUUM
+    retention design). With the default 7-day window, vacuum is safe
+    to run alongside writers whose write→commit span is far shorter
+    than the window. Pass ``retention_seconds=0`` ONLY when no writer
+    is in flight. Readers pinned to dropped versions are still the
+    caller's responsibility, as with Delta."""
     latest = current_version(table_path)
     if latest is None:
         return 0
@@ -237,15 +500,22 @@ def vacuum(table_path: str, keep_versions: int = 1) -> int:
     live: set[str] = set()
     for v in keep:
         live.update(_load_manifest(table_path, v)["files"])
+    cutoff = time.time() - retention_seconds
     deleted = 0
     data_root = os.path.join(table_path, _DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
         for fname in files:
             full = os.path.join(root, fname)
             rel = os.path.relpath(full, table_path)
-            if rel not in live:
-                os.remove(full)
-                deleted += 1
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight writer's staged file
+            except OSError:
+                continue
+            os.remove(full)
+            deleted += 1
     for root, dirs, _files in os.walk(data_root, topdown=False):
         for d in dirs:
             p = os.path.join(root, d)

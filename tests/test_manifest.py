@@ -96,7 +96,7 @@ def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
     M.append(spark, _df(spark, [("b", 2)]), t)
     # manufacture an orphan: data files written but never committed
     M._write_data_files(_df(spark, [("orphan", 9)]), t)
-    deleted = M.vacuum(t, keep_versions=1)
+    deleted = M.vacuum(t, keep_versions=1, retention_seconds=0.0)
     assert deleted >= 1
     snap = M.snapshot(t)
     assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == ["a", "b"]
@@ -104,6 +104,72 @@ def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         M.snapshot(t, version=0)
     assert M.current_version(t) == 1
+
+
+def test_vacuum_retention_spares_young_orphans(spark, tmp_path):
+    """An unreferenced file younger than the retention window must
+    survive vacuum: it is indistinguishable from an in-flight writer's
+    staged (pre-commit) data, and deleting it would corrupt that
+    writer's eventual commit."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    staged, _ = M._write_data_files(_df(spark, [("inflight", 9)]), t)
+    assert M.vacuum(t, keep_versions=1) == 0  # default 7-day retention
+    for rel in staged:
+        assert (tmp_path / "tbl" / rel).exists()
+    # the in-flight writer can still commit the staged files afterwards
+    snap = M.snapshot(t)
+    v = M.commit(t, snap.files + staged, snap.version, "append")
+    got = sorted(r["arrest_key"] for r in M.snapshot(t, version=v).read(spark).collect())
+    assert got == ["a", "inflight"]
+
+
+def test_schema_evolution_rejects_type_change_and_drop(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    with pytest.raises(M.SchemaEvolutionError):  # v: long -> string
+        M.append(spark, spark.createDataFrame([("b", "2")], "arrest_key string, v string"), t)
+    with pytest.raises(M.SchemaEvolutionError):  # drops column v
+        M.append(spark, spark.createDataFrame([("b",)], "arrest_key string"), t)
+    assert M.current_version(t) == 0  # rejected writers committed nothing
+
+
+def test_schema_evolution_allows_added_nullable_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    wide = spark.createDataFrame([("b", 2, "x")], "arrest_key string, v long, extra string")
+    M.append(spark, wide, t)
+    rows = {r["arrest_key"]: r["extra"] for r in M.snapshot(t).read(spark).collect()}
+    # old files surface the new column as null (mergeSchema read)
+    assert rows == {"a": None, "b": "x"}
+
+
+def test_stats_pruned_read_skips_untouched_files(spark, tmp_path):
+    """Two appends with disjoint `v` ranges: a filtered read must not
+    open the out-of-range generation's files (data skipping via the
+    manifest's per-file min/max), and must still return exact rows."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    low = spark.createDataFrame([(f"lo{i}", i) for i in range(10)], "arrest_key string, v long")
+    high = spark.createDataFrame(
+        [(f"hi{i}", 1000 + i) for i in range(10)], "arrest_key string, v long"
+    )
+    M.append(spark, low.coalesce(1), t)
+    M.append(spark, high.coalesce(1), t)
+    snap = M.snapshot(t)
+    assert len(snap.files) == 2
+    # prune() drops the low-range file entirely
+    kept = snap.prune([("v", ">=", 1000)])
+    assert len(kept) == 1
+    df = snap.read(spark, filters=[("v", ">=", 1000)])
+    opened = {r["f"] for r in df.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert len(opened) == 1  # only the high-range file was scanned
+    assert sorted(r["arrest_key"] for r in df.collect()) == sorted(f"hi{i}" for i in range(10))
+    # exactness: pruning never changes semantics, only files opened
+    assert df.count() == 10
+    # a filter selecting nothing prunes everything and returns empty
+    assert snap.read(spark, filters=[("v", "=", 500)]).count() == 0
 
 
 def test_many_concurrent_appends_all_land(spark, tmp_path):
