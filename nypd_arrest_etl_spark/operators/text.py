@@ -204,49 +204,66 @@ def containment_pairs(
     boilerplate makes hot fingerprint buckets, and the 100x soak shows
     this query growing ~linearly with data (the bucket joins dominate).
     ``max_df`` is the scale knob: drop fingerprints whose DOCUMENT
-    frequency exceeds the cap before the self-join (one extra
-    partial-agg groupBy + semi-join). The capped run computes
-    containment ON THE CAPPED UNIVERSE — per-doc set sizes are
-    recounted from the surviving postings, so shared counts and
+    frequency exceeds the cap before the self-join. The capped run
+    computes containment ON THE CAPPED UNIVERSE — per-doc set sizes
+    are recounted from the surviving postings, so shared counts and
     denominators stay consistent (capping both numerator and
     denominator; otherwise a pair mostly overlapping on rare hashes
     would be diluted by boilerplate-only denominator mass). Still an
     approximation of the uncapped answer — default off, results exact.
+
+    Cap cost (round-4 fix): the document frequency is a WINDOW COUNT
+    over partitionBy(h) — ONE shuffle of the postings, the same mass
+    the exact variant's self-join shuffles — instead of a separate
+    full-postings aggregation + join-back pass (fingerprint hashes are
+    mostly unique, so a groupBy(h) partial agg barely reduces before
+    shuffling ~|postings| rows; that second pass is what made the
+    capped variant slower than the exact one on healthy corpora). The
+    per-doc set size rides ALONG the postings through the self-join
+    (F.first in the pair agg) rather than being joined back from a
+    sizes table, so neither variant pays doc-level joins at the end;
+    the capped recount is a window over doc on the (already reduced)
+    surviving postings. Postings are cached only because the self-join
+    reads them twice.
     """
-    fp = fingerprint_winnow(df, id_col, text_col, k, window, portable).cache()
-    postings = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprints").alias("h"))
+    from pyspark.sql import Window
+
+    fp = fingerprint_winnow(df, id_col, text_col, k, window, portable)
+    postings = fp.select(
+        F.col(id_col).alias("doc"),
+        F.size("fingerprints").alias("n"),
+        F.explode("fingerprints").alias("h"),
+    )
     if max_df is not None:
-        rare = (
-            postings.groupBy("h")
-            .agg(F.count("*").alias("_df"))
+        postings = (
+            postings.withColumn("_df", F.count("*").over(Window.partitionBy("h")))
             .filter(F.col("_df") <= max_df)
-            .select("h")
+            # containment on the capped universe: denominators recount
+            # the SURVIVING postings, keeping numerator and denominator
+            # on the same universe.
+            .withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+            .drop("_df")
         )
-        postings = postings.join(rare, "h").cache()
-        sizes = postings.groupBy("doc").agg(F.count("*").alias("n"))
-    else:
-        sizes = fp.select(F.col(id_col).alias("doc"), F.size("fingerprints").alias("n"))
+    postings = postings.cache()
 
     a, b = postings.alias("a"), postings.alias("b")
-    shared = (
+    pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id1"), F.col("b.doc").alias("id2"))
-        .agg(F.count("*").alias("shared"))
-    )
-    s1 = sizes.select(F.col("doc").alias("id1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("id2"), F.col("n").alias("n2"))
-    containment = F.col("shared") / F.least("n1", "n2")
-    return (
-        shared.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            F.col("id1").alias("doc_id_1"),
-            F.col("id2").alias("doc_id_2"),
-            "shared",
-            F.round(containment, 6).alias("containment"),
+        .agg(
+            F.count("*").alias("shared"),
+            # n is constant per doc, so first() is deterministic.
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
         )
-        .filter(F.col("containment") >= threshold)
     )
+    containment = F.col("shared") / F.least("n1", "n2")
+    return pairs.select(
+        F.col("id1").alias("doc_id_1"),
+        F.col("id2").alias("doc_id_2"),
+        "shared",
+        F.round(containment, 6).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 # Redaction patterns chosen from the RE2-compatible subset of Java
