@@ -1558,32 +1558,46 @@ def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic form is a correlated EXISTS plus a correlated NOT
     EXISTS against the same fact table — three lineitem scans. Here
-    both correlations collapse into ONE per-order aggregate
-    (countDistinct suppliers, countDistinct returning suppliers)
-    joined back: EXISTS(other supplier) == n_supp >= 2, NOT
+    lineitem is scanned ONCE (round-4; the round-3 shape still paid a
+    second scan for the returning-lines probe): aggregate to one row
+    per (order, supplier) carrying its returning-line count, then an
+    order-partitioned window derives both correlations from that
+    compact frame — EXISTS(other supplier) == n_supp >= 2, NOT
     EXISTS(other returning supplier) == n_ret_supp == 1 given the
-    outer row itself returns. One agg + one join instead of two
-    correlated semi/anti joins — the decorrelation Catalyst cannot do
+    outer supplier itself returns — and numwait is the sum of the
+    carried line counts, so the raw lines are never re-read. The
+    window's exchange keys the (order, supplier) frame by order, which
+    the orders semi-join then reuses. Decorrelation Catalyst cannot do
     on its own at this shape."""
     li = t(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", True)).alias("n_ret_lines")
     )
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_ret_supp", F.count(F.when(F.col("n_ret_lines") > 0, True)).over(w)
+        )
+        .filter(
+            (F.col("n_ret_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_ret_supp") == 1)
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        flagged.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_ret_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(100)
     )
