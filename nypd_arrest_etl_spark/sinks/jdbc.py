@@ -103,6 +103,30 @@ def write_jdbc_staging(
     )
 
 
+def merge_via_staging(
+    df: DataFrame,
+    stage,
+    execute,
+    target_table: str = "nypd_arrests",
+    staging_table: str = "nypd_arrests_staging",
+    key: str = "arrest_key",
+) -> int:
+    """Engine-agnostic K2+K4 core: ``stage(df, staging_table)``
+    materializes the batch into the staging table; ``execute(sql) ->
+    rowcount`` runs the merge statement transactionally on the target
+    engine. Returns the inserted rowcount (reference metric,
+    load.py:151-155). The JDBC/Postgres path and the DuckDB
+    integration test (tests/test_jdbc_sink.py) drive the SAME merge
+    statement through this seam — only the wire differs."""
+    stage(df, staging_table)
+
+    @retry()
+    def _merge() -> int:
+        return execute(build_merge_sql(target_table, staging_table, key))
+
+    return _merge()
+
+
 def merge_via_jdbc_staging(
     df: DataFrame,
     url: str,
@@ -111,16 +135,14 @@ def merge_via_jdbc_staging(
     key: str = "arrest_key",
     properties: dict | None = None,
 ) -> int:
-    """Full K2+K4 path: stage the batch, then one driver-side merge.
-    Returns the inserted rowcount (reference metric, load.py:151-155).
+    """Full K2+K4 path over JDBC: stage the batch, then one driver-side
+    merge. Requires a JDBC driver jar on the Spark classpath and a
+    reachable server; raises the underlying error otherwise."""
 
-    Requires a JDBC driver jar on the Spark classpath and a reachable
-    server; raises the underlying error otherwise.
-    """
-    write_jdbc_staging(df, url, staging_table, properties=properties)
+    def _stage(d: DataFrame, table: str) -> None:
+        write_jdbc_staging(d, url, table, properties=properties)
 
-    @retry()
-    def _merge() -> int:
+    def _execute(sql: str) -> int:
         jvm = df.sparkSession._jvm
         props = jvm.java.util.Properties()
         for k, v in (properties or {}).items():
@@ -128,13 +150,15 @@ def merge_via_jdbc_staging(
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
             stmt = conn.createStatement()
-            n = stmt.executeUpdate(build_merge_sql(target_table, staging_table, key))
+            n = stmt.executeUpdate(sql)
             conn.commit()
             return n
         finally:
             conn.close()
 
-    return _merge()
+    return merge_via_staging(
+        df, _stage, _execute, target_table, staging_table, key
+    )
 
 
 _PG_TYPES = {

@@ -107,4 +107,71 @@ def dedup_stream(df, key_col: str, id_col: str, ttl_ms: int | None = None):
     )
 
 
-__all__ = ["dedup_stream", "OUTPUT_SCHEMA"]
+def dedup_stream_classic(df, key_col: str, id_col: str, ttl_ms: int | None = None):
+    """``applyInPandasWithState`` twin of ``dedup_stream`` — identical
+    per-key state machine (first_id = min row_id ever seen, cumulative
+    n_dups) and identical TTL semantics (processing-time state
+    eviction; expired keys re-admit as fresh firsts).
+
+    Exists because the TWS state-server protocol needs protobuf, which
+    some images lack: the classic API keeps the SAME dedup/TTL
+    semantics executable (and therefore testable) everywhere, and is
+    the drop-in for pre-4.0 clusters. TTL maps to
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``setTimeoutDuration``
+    — like TWS's ttl it is a MEMORY BOUND, not a semantic window, so
+    the timed-out branch evicts silently (no emission)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl = ttl_ms
+
+    def _dedup(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()  # memory bound: evict silently, key re-admits
+            return
+        if state.exists:
+            first_id, n_dups = state.get
+            is_first = False
+        else:
+            first_id, n_dups, is_first = None, 0, True
+        batch_n = 0
+        batch_first = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["row_id"].min())
+                batch_first = m if batch_first is None else min(batch_first, m)
+            batch_n += len(pdf)
+        if is_first:
+            # min row_id, not "first seen": the post-shuffle batch order
+            # within a group is arbitrary, so min is the only
+            # deterministic definition of the first writer.
+            first_id = batch_first
+            n_dups += batch_n - 1
+        else:
+            n_dups += batch_n
+        state.update((first_id, n_dups))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        yield pd.DataFrame(
+            [{"key": k, "first_id": first_id, "n_dups": n_dups, "is_first": is_first}]
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("row_id"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _dedup,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+__all__ = ["dedup_stream", "dedup_stream_classic", "OUTPUT_SCHEMA"]

@@ -419,6 +419,118 @@ def test_transform_with_state_dedup_stream(spark, tmp_path):
     assert rows[("C", True)] == (5, 0)
 
 
+def test_dedup_stream_classic_matches_tws_semantics(spark, tmp_path):
+    """applyInPandasWithState twin of the TWS dedup processor: the SAME
+    state machine and assertions as test_transform_with_state_dedup_
+    stream, executable without the protobuf-dependent TWS state server
+    — so the dedup/TTL semantics are exercised in this image too."""
+    from nypd_arrest_etl_spark.streaming.tws import dedup_stream_classic
+
+    src = tmp_path / "classic"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType()),
+            T.StructField("row_id", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = dedup_stream_classic(stream, key_col="doc", id_col="row_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_classic")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "b1.json",
+            [
+                {"doc": "A", "row_id": 1},
+                {"doc": "A", "row_id": 2},
+                {"doc": "B", "row_id": 3},
+            ],
+        )
+        q.processAllAvailable()
+        _write_jsonl(
+            src / "b2.json",
+            [{"doc": "A", "row_id": 4}, {"doc": "C", "row_id": 5}],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["key"], r["is_first"]): (r["first_id"], r["n_dups"])
+        for r in spark.sql("SELECT * FROM t_classic").collect()
+    }
+    # batch 1: A first seen at row 1 with one in-batch dup; B clean
+    assert rows[("A", True)] == (1, 1)
+    assert rows[("B", True)] == (3, 0)
+    # batch 2: A's state carried over -> cumulative 2 dups, first_id kept
+    assert rows[("A", False)] == (1, 2)
+    assert rows[("C", True)] == (5, 0)
+
+
+def test_dedup_stream_classic_ttl_evicts_and_readmits(spark, tmp_path):
+    """TTL semantics: a key idle past the processing-time TTL is
+    evicted (memory bound) and RE-ADMITS as a fresh first — the
+    deliberate memory/completeness trade for unbounded key spaces.
+
+    Driven as discrete availableNow runs over one checkpoint: a
+    continuously-running query with ProcessingTimeTimeout schedules
+    no-data poll batches forever (processAllAvailable never settles —
+    the wall-clock-timer hazard stateful.py's docstring documents), so
+    the test advances time BETWEEN runs and lets the next data batch
+    fire the expired timer."""
+    import time as _time
+
+    from nypd_arrest_etl_spark.streaming.tws import dedup_stream_classic
+
+    src = tmp_path / "classic_ttl"
+    src.mkdir()
+    ckpt = str(tmp_path / "classic_ttl_ckpt")
+    sink = str(tmp_path / "classic_ttl_out")
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType()),
+            T.StructField("row_id", T.LongType()),
+        ]
+    )
+
+    def run_batch():
+        # memory sink can't recover a checkpoint; the parquet file sink
+        # can, so discrete availableNow runs share state through ckpt
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = dedup_stream_classic(stream, key_col="doc", id_col="row_id", ttl_ms=500)
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_jsonl(src / "b1.json", [{"doc": "A", "row_id": 1}])
+    run_batch()
+    _time.sleep(2.0)  # let A's 500 ms TTL expire in wall-clock
+    # an unrelated batch advances processing time -> A's timer fires
+    _write_jsonl(src / "b2.json", [{"doc": "B", "row_id": 2}])
+    run_batch()
+    # A returns: state gone, so it must re-admit as a fresh first
+    _write_jsonl(src / "b3.json", [{"doc": "A", "row_id": 3}])
+    run_batch()
+
+    a_rows = sorted(
+        (r["first_id"], r["is_first"], r["n_dups"])
+        for r in spark.read.parquet(sink).collect()
+        if r["key"] == "A"
+    )
+    # two fresh firsts, no carried state: (1, True, 0) then (3, True, 0)
+    assert a_rows == [(1, True, 0), (3, True, 0)]
+
+
 def test_funnel_stream_advances_across_batches(spark, tmp_path):
     """Streaming funnel: stage machine persists per user across
     microbatches; out-of-order events before the last completion do
