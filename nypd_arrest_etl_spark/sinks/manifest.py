@@ -43,13 +43,27 @@ the Delta Lake VLDB'20 paper and the Iceberg spec):
   Iceberg-legal evolution); readers merge schemas across file
   generations so old files surface the new column as null.
 
-Scale honesty: the manifest is a flat JSON file list — O(files) per
-commit, fine for the file counts a partitioned table produces under
-compaction (``operators/scale.py:compact_files``), but a 100 TB table
-with millions of files wants Iceberg's two-level manifests and a
-catalog service. The COMMIT PROTOCOL and the stats-pruning contract —
-the parts bare directories lack — are identical; swap the storage of
-the file list, keep the claim/retry loop and per-file stat ranges.
+- **Two-level manifests** (round 4, the Iceberg shape). A version file
+  is a MANIFEST LIST: refs to immutable content manifests
+  (``_manifest/m-<hex>.json`` holding file lists + per-file stats),
+  each ref carrying aggregate column ranges over its files. A commit
+  writes ONE new content manifest for its new files and carries the
+  base version's manifests BY REFERENCE — metadata write cost is
+  O(new files + n_manifests) per commit, not O(total files). Readers
+  prune at the manifest level first (aggregate ranges) and only open
+  the manifests that could match, then prune per-file — Iceberg's
+  manifest-list → manifest → data-file skip chain. When the ref list
+  exceeds ``MANIFEST_COMPACT_THRESHOLD`` the committer rewrites the
+  metadata into one manifest (amortized O(total files), data files
+  untouched); superseded/orphaned content manifests are reclaimed by
+  ``vacuum`` under the same retention window as data files.
+
+Scale honesty: what still separates this from a production catalog at
+100 TB is a catalog SERVICE (the version claim here is a POSIX
+hard-link; on an object store it maps to conditional PUT) and
+partition-transform metadata (Iceberg's hidden partitioning). The
+commit protocol, the two-level metadata layout, and the stats-pruning
+contract are the Iceberg design.
 """
 
 from __future__ import annotations
@@ -66,6 +80,13 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 12
+
+#: When a commit would reference more content manifests than this, it
+#: first rewrites them into one. Amortizes metadata growth: N appends
+#: cost O(N · threshold) manifest refs total, while every read stays
+#: O(threshold) manifest opens in the unpruned worst case. Iceberg's
+#: equivalent knob is commit.manifest.min-count-to-merge.
+MANIFEST_COMPACT_THRESHOLD = 32
 
 #: Default vacuum retention (seconds). Files younger than this are
 #: never deleted even when unreferenced: an in-flight writer stages its
@@ -219,6 +240,89 @@ def _filters_to_column(filters) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Content manifests (level 2): immutable file lists + per-file stats,
+# shared across versions by reference.
+# ---------------------------------------------------------------------------
+
+
+def _aggregate_ranges(files: list[str], stats: dict) -> dict:
+    """Manifest-level column ranges, soundly: a column appears in the
+    aggregate ONLY if every file in the manifest has stats for it —
+    otherwise a file with an unknown range could hide a match and
+    manifest-level pruning would drop real rows."""
+    agg: dict[str, dict] = {}
+    rows = 0
+    complete: set[str] | None = None
+    for f in files:
+        st = stats.get(f) or {}
+        rows += st.get("rows", 0)
+        cols = st.get("columns", {})
+        names = set(cols)
+        complete = names if complete is None else (complete & names)
+        for name in names:
+            rng, cur = cols[name], agg.get(name)
+            if cur is None:
+                agg[name] = {"min": rng["min"], "max": rng["max"]}
+            else:
+                try:
+                    cur["min"] = min(cur["min"], rng["min"])
+                    cur["max"] = max(cur["max"], rng["max"])
+                except TypeError:
+                    complete.discard(name)
+    keep = complete or set()
+    return {"rows": rows, "columns": {n: agg[n] for n in sorted(keep)}}
+
+
+def _write_content_manifest(table_path: str, files: list[str], stats: dict) -> dict:
+    """Write an immutable level-2 manifest and return its manifest-list
+    ref (path + aggregate ranges). Like data files, the manifest is not
+    part of the table until a version file references it — an orphaned
+    one is reclaimed by vacuum after the retention window."""
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    body = {"files": sorted(files), "stats": stats}
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    agg = _aggregate_ranges(files, stats)
+    return {
+        "path": name,
+        "n_files": len(files),
+        "rows": agg["rows"],
+        "columns": agg["columns"],
+    }
+
+
+def _load_content_manifest(table_path: str, name: str) -> dict:
+    with open(os.path.join(_manifest_dir(table_path), name)) as f:
+        return json.load(f)
+
+
+def _ref_may_match(ref: dict, filters) -> bool:
+    """Manifest-level skip: can ANY file under this ref match? Uses the
+    ref's aggregate ranges with the same conservative predicate as
+    per-file pruning."""
+    return _file_may_match({"columns": ref.get("columns", {})}, filters)
+
+
+def _compact_refs(table_path: str, refs: list[dict]) -> list[dict]:
+    """Metadata-only compaction: rewrite many small content manifests
+    into one. Data files untouched; the old manifests stay on disk for
+    pinned readers until vacuum."""
+    files: list[str] = []
+    stats: dict = {}
+    for ref in refs:
+        body = _load_content_manifest(table_path, ref["path"])
+        files.extend(body["files"])
+        stats.update(body.get("stats", {}))
+    return [_write_content_manifest(table_path, files, stats)]
+
+
+# ---------------------------------------------------------------------------
 # Schema evolution
 # ---------------------------------------------------------------------------
 
@@ -261,28 +365,94 @@ def _check_schema_evolution(base: list[dict] | None, incoming: list[dict]) -> No
 
 
 class Snapshot:
-    """A pinned, immutable view of the table at one version."""
+    """A pinned, immutable view of the table at one version.
+
+    Metadata is two-level and LAZY: the constructor sees only the
+    manifest list (refs + aggregate ranges); content manifests load on
+    first touch and ``prune`` never opens a ref whose aggregate ranges
+    already exclude the filters. ``manifests_opened`` counts actual
+    level-2 loads so tests can assert the skip really skipped."""
 
     def __init__(self, table_path: str, version: int, manifest: dict):
         self.table_path = table_path
         self.version = version
-        self.files = list(manifest["files"])
-        self.stats = manifest.get("stats", {})
+        if "manifests" in manifest:
+            self.refs = list(manifest["manifests"])
+        else:  # legacy flat layout: inline file list as one pseudo-ref
+            self.refs = [
+                {
+                    "path": None,
+                    "_inline": {
+                        "files": list(manifest.get("files", [])),
+                        "stats": manifest.get("stats", {}),
+                    },
+                }
+            ]
         self.schema = manifest.get("schema")
         self.operation = manifest.get("operation")
+        self.manifests_opened = 0
+        self._bodies: dict[int, dict] = {}
+        self._files: list[str] | None = None
+        self._stats: dict | None = None
+
+    def _body(self, i: int) -> dict:
+        if i not in self._bodies:
+            ref = self.refs[i]
+            if "_inline" in ref:
+                self._bodies[i] = ref["_inline"]
+            else:
+                self._bodies[i] = _load_content_manifest(self.table_path, ref["path"])
+                self.manifests_opened += 1
+        return self._bodies[i]
+
+    @property
+    def files(self) -> list[str]:
+        if self._files is None:
+            self._files = sorted(
+                f for i in range(len(self.refs)) for f in self._body(i)["files"]
+            )
+        return self._files
+
+    @property
+    def stats(self) -> dict:
+        if self._stats is None:
+            merged: dict = {}
+            for i in range(len(self.refs)):
+                merged.update(self._body(i).get("stats", {}))
+            self._stats = merged
+        return self._stats
 
     def prune(self, filters) -> list[str]:
-        """File-skipping: the subset of ``self.files`` whose stat
-        ranges could satisfy ``filters`` (triples ``(col, op, value)``
-        with op in =,<,<=,>,>=)."""
-        return [f for f in self.files if _file_may_match(self.stats.get(f), filters)]
+        """Two-level file-skipping: refs whose AGGREGATE ranges exclude
+        the filters are skipped without opening their manifest; files
+        inside surviving manifests are then pruned on per-file ranges.
+        Filters are triples ``(col, op, value)``, op in =,<,<=,>,>=."""
+        kept: list[str] = []
+        for i, ref in enumerate(self.refs):
+            if "_inline" not in ref and not _ref_may_match(ref, filters):
+                continue
+            body = self._body(i)
+            stats = body.get("stats", {})
+            kept.extend(
+                f for f in body["files"] if _file_may_match(stats.get(f), filters)
+            )
+        return sorted(kept)
+
+    @property
+    def n_files(self) -> int:
+        """File count without loading content manifests."""
+        return sum(
+            len(r["_inline"]["files"]) if "_inline" in r else r.get("n_files", 0)
+            for r in self.refs
+        )
 
     def read(self, spark: SparkSession, filters=None) -> DataFrame:
         """Read the snapshot. With ``filters``, the file list is pruned
-        against per-file min/max stats BEFORE the scan (data skipping)
-        and the exact predicate is applied to the surviving rows, so
-        semantics are identical to an unpruned read + filter."""
-        if not self.files:
+        against manifest-level then per-file min/max stats BEFORE the
+        scan (data skipping) and the exact predicate is applied to the
+        surviving rows, so semantics are identical to an unpruned
+        read + filter."""
+        if not self.n_files:
             raise ValueError("empty snapshot has no schema; guard with files check")
         files = self.files if not filters else self.prune(filters)
         if not files:
@@ -324,16 +494,31 @@ def commit(
     schema: list[dict] | None = None,
 ) -> int:
     """Atomically claim version ``base_version + 1`` with the given
-    live-file list. Raises ``CommitConflict`` if that version already
-    exists (a concurrent writer won the race)."""
+    live-file list (written as one content manifest). Raises
+    ``CommitConflict`` if that version already exists (a concurrent
+    writer won the race). O(files) metadata — the incremental writers
+    (``append``/``merge_insert_if_absent_txn``) carry prior manifests
+    by reference instead."""
+    ref = _write_content_manifest(table_path, files, stats or {})
+    return _commit_refs(table_path, [ref], base_version, operation, schema)
+
+
+def _commit_refs(
+    table_path: str,
+    refs: list[dict],
+    base_version: int | None,
+    operation: str,
+    schema: list[dict] | None = None,
+) -> int:
+    """The atomic claim, manifest-list form: version N+1 = these
+    content-manifest refs."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     new_version = 0 if base_version is None else base_version + 1
     manifest = {
         "version": new_version,
         "operation": operation,
-        "files": sorted(files),
-        "stats": stats or {},
+        "manifests": refs,
         "schema": schema,
         "committed_at": time.time(),
     }
@@ -377,34 +562,63 @@ def _write_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     stats = {rel: _collect_file_stats(os.path.join(table_path, rel)) for rel in rels}
+    # Zero-row part files (empty write partitions) carry no column
+    # stats, so they would blank the manifest's aggregate ranges and
+    # defeat two-level pruning — and they contribute no rows. Drop them
+    # from the table before they are ever referenced.
+    for rel in [r for r in rels if stats[r]["rows"] == 0]:
+        os.remove(os.path.join(table_path, rel))
+        rels.remove(rel)
+        del stats[rel]
     return rels, stats
 
 
-def _merged_stats(snap: Snapshot | None, new_stats: dict) -> dict:
-    carried = dict(snap.stats) if snap is not None else {}
-    carried.update(new_stats)
-    return carried
+def _carry_refs(snap: Snapshot | None) -> list[dict]:
+    """The base snapshot's manifests, carriable by reference. A legacy
+    inline (flat-layout) ref is materialized into a real content
+    manifest once so newer versions can share it."""
+    if snap is None:
+        return []
+    out = []
+    for i, ref in enumerate(snap.refs):
+        if "_inline" in ref:
+            body = snap._body(i)
+            out.append(
+                _write_content_manifest(snap.table_path, body["files"], body.get("stats", {}))
+            )
+        else:
+            out.append(ref)
+    return out
+
+
+def _next_refs(table_path: str, snap: Snapshot | None, new_ref: dict) -> list[dict]:
+    """Manifest list for the next version: base refs + the new one,
+    compacted into a single manifest when the list exceeds the
+    threshold (metadata rewrite only; data files untouched)."""
+    refs = _carry_refs(snap) + [new_ref]
+    if len(refs) > MANIFEST_COMPACT_THRESHOLD:
+        refs = _compact_refs(table_path, refs)
+    return refs
 
 
 def append(spark: SparkSession, df: DataFrame, table_path: str, max_retries: int = 10) -> int:
-    """Transactional append: data files are written once; only the
-    O(1) manifest claim retries on conflict."""
+    """Transactional append: data files + their content manifest are
+    written once; only the O(n_manifests) claim retries on conflict."""
     schema = _schema_entry(df)
     base0 = snapshot(table_path)
     _check_schema_evolution(base0.schema if base0 else None, schema)
     new_files, new_stats = _write_data_files(df, table_path)
+    new_ref = _write_content_manifest(table_path, new_files, new_stats)
     for _ in range(max_retries):
         snap = snapshot(table_path)
         base = snap.version if snap is not None else None
-        existing = list(snap.files) if snap is not None else []
         _check_schema_evolution(snap.schema if snap else None, schema)
         try:
-            return commit(
+            return _commit_refs(
                 table_path,
-                existing + new_files,
+                _next_refs(table_path, snap, new_ref),
                 base,
                 "append",
-                stats=_merged_stats(snap, new_stats),
                 schema=schema,
             )
         except CommitConflict:
@@ -450,20 +664,19 @@ def merge_insert_if_absent_txn(
         fresh = fresh.localCheckpoint(eager=True)
         n = fresh.count()
         base = snap.version if snap is not None else None
-        existing = list(snap.files) if snap is not None else []
         if n == 0:
             # Nothing to insert: the merge is a no-op at this snapshot;
             # no new version is created (idempotent re-runs leave the
             # manifest chain untouched).
             return 0, base if base is not None else -1
         new_files, new_stats = _write_data_files(fresh, table_path)
+        new_ref = _write_content_manifest(table_path, new_files, new_stats)
         try:
-            v = commit(
+            v = _commit_refs(
                 table_path,
-                existing + new_files,
+                _next_refs(table_path, snap, new_ref),
                 base,
                 "merge",
-                stats=_merged_stats(snap, new_stats),
                 schema=schema,
             )
             return n, v
@@ -498,8 +711,11 @@ def vacuum(
         return 0
     keep = range(max(0, latest - keep_versions + 1), latest + 1)
     live: set[str] = set()
+    live_manifests: set[str] = set()
     for v in keep:
-        live.update(_load_manifest(table_path, v)["files"])
+        snap = Snapshot(table_path, v, _load_manifest(table_path, v))
+        live.update(snap.files)
+        live_manifests.update(r["path"] for r in snap.refs if r.get("path"))
     cutoff = time.time() - retention_seconds
     deleted = 0
     data_root = os.path.join(table_path, _DATA_DIR)
@@ -526,4 +742,16 @@ def vacuum(
         if f.startswith("v") and f.endswith(".json"):
             if int(f[1 : 1 + _VERSION_DIGITS]) < keep.start:
                 os.remove(os.path.join(mdir, f))
+        elif f.startswith("m-") and f.endswith(".json") and f not in live_manifests:
+            # Unreferenced content manifest: superseded by compaction or
+            # orphaned by a lost commit race. Same retention guard as
+            # data files — an in-flight writer stages its manifest
+            # before the version claim.
+            full = os.path.join(mdir, f)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            os.remove(full)
     return deleted

@@ -172,6 +172,88 @@ def test_stats_pruned_read_skips_untouched_files(spark, tmp_path):
     assert snap.read(spark, filters=[("v", "=", 500)]).count() == 0
 
 
+def test_two_level_commit_carries_manifests_by_reference(spark, tmp_path):
+    """Iceberg-shape metadata: each append writes ONE new content
+    manifest and carries the base version's manifests by reference —
+    the new version file must reuse the previous version's manifest
+    paths verbatim, not rewrite the file list."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        M.append(spark, _df(spark, [(f"k{i}", i)]), t)
+    with open(M._version_path(t, 1)) as f:
+        v1 = json.load(f)
+    with open(M._version_path(t, 2)) as f:
+        v2 = json.load(f)
+    p1 = [r["path"] for r in v1["manifests"]]
+    p2 = [r["path"] for r in v2["manifests"]]
+    assert len(p1) == 2 and len(p2) == 3
+    assert p2[:2] == p1  # carried by reference, no metadata rewrite
+    # each content manifest holds only its own commit's files
+    sizes = [
+        len(M._load_content_manifest(t, p)["files"]) for p in p2
+    ]
+    assert sum(sizes) == len(M.snapshot(t).files)
+    # aggregate ranges live in the manifest-list refs
+    assert all("columns" in r for r in v2["manifests"])
+
+
+def test_manifest_level_prune_skips_unopened_manifests(spark, tmp_path):
+    """Two-level skip: a filter excluded by a ref's AGGREGATE ranges
+    must prune that whole manifest WITHOUT opening it."""
+    t = str(tmp_path / "tbl")
+    low = spark.createDataFrame(
+        [(f"lo{i}", i) for i in range(10)], "arrest_key string, v long"
+    )
+    high = spark.createDataFrame(
+        [(f"hi{i}", 1000 + i) for i in range(10)], "arrest_key string, v long"
+    )
+    M.append(spark, low.coalesce(2), t)
+    M.append(spark, high.coalesce(2), t)
+    snap = M.snapshot(t)
+    assert len(snap.refs) == 2 and snap.manifests_opened == 0
+    kept = snap.prune([("v", ">=", 1000)])
+    assert snap.manifests_opened == 1  # low-range manifest never loaded
+    assert len(kept) == 2
+    got = sorted(
+        r["arrest_key"] for r in snap.read(spark, filters=[("v", ">=", 1000)]).collect()
+    )
+    assert got == sorted(f"hi{i}" for i in range(10))
+
+
+def test_manifest_compaction_bounds_ref_list(spark, tmp_path, monkeypatch):
+    """Past the threshold the committer rewrites metadata into one
+    content manifest: the ref list stays bounded, reads stay exact,
+    data files are untouched, and vacuum reclaims the superseded
+    content manifests."""
+    import os
+
+    monkeypatch.setattr(M, "MANIFEST_COMPACT_THRESHOLD", 3)
+    t = str(tmp_path / "tbl")
+    for i in range(6):
+        M.append(spark, _df(spark, [(f"k{i}", i)]), t)
+    snap = M.snapshot(t)
+    assert len(snap.refs) <= 3
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == sorted(
+        f"k{i}" for i in range(6)
+    )
+    assert len(snap.files) == len(set(snap.files)) == sum(
+        r["n_files"] for r in snap.refs
+    )
+    # compaction rewrote metadata only: one data file per append remains
+    n_data = sum(len(fs) for _, _, fs in os.walk(os.path.join(t, "data")))
+    assert n_data >= 6
+    # superseded content manifests are vacuumable, table still reads
+    mdir = os.path.join(t, "_manifest")
+    before = sum(1 for f in os.listdir(mdir) if f.startswith("m-"))
+    M.vacuum(t, keep_versions=1, retention_seconds=0.0)
+    after = sum(1 for f in os.listdir(mdir) if f.startswith("m-"))
+    assert after < before
+    assert M.snapshot(t).read(spark).count() == 6
+
+
 def test_many_concurrent_appends_all_land(spark, tmp_path):
     """8 threads append concurrently: every append eventually wins a
     version (bounded retries), all rows land, versions are a gapless
