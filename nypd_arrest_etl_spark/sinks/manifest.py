@@ -548,17 +548,27 @@ def _commit_refs(
     return new_version
 
 
-def _write_data_files(df: DataFrame, table_path: str) -> tuple[list[str], dict]:
+def _write_data_files(
+    df: DataFrame, table_path: str, partition_col: str | None = None
+) -> tuple[list[str], dict]:
     """Write ``df`` as immutable parquet files under a unique subdir of
     data/ and return (table-relative paths, per-file footer stats). The
     files are NOT part of the table until a manifest commit references
-    them."""
+    them. With ``partition_col`` the write is hive-partitioned by that
+    column (one directory per value, so each FILE holds exactly one
+    value) and the column lives only in the directory name — readers
+    scan explicit leaf files, so it never surfaces in the table schema
+    (hidden partitioning)."""
     sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     out_dir = os.path.join(table_path, sub)
-    df.write.mode("error").parquet(out_dir)
+    w = df.write.mode("error")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(out_dir)
     rels = [
-        os.path.join(sub, f)
-        for f in os.listdir(out_dir)
+        os.path.relpath(os.path.join(root, f), table_path)
+        for root, _dirs, fs in os.walk(out_dir)
+        for f in fs
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     stats = {rel: _collect_file_stats(os.path.join(table_path, rel)) for rel in rels}
@@ -601,13 +611,53 @@ def _next_refs(table_path: str, snap: Snapshot | None, new_ref: dict) -> list[di
     return refs
 
 
-def append(spark: SparkSession, df: DataFrame, table_path: str, max_retries: int = 10) -> int:
+#: Partition transforms for ``append(partition_by=(col, transform))`` —
+#: the practical half of Iceberg's hidden partitioning: the WRITER
+#: splits files so each covers exactly one transform value, which makes
+#: the existing min/max stat ranges per file tight and disjoint, so
+#: readers get partition-pruned scans through the SAME stats-skipping
+#: path with no partition columns in the schema and no reader changes.
+PARTITION_TRANSFORMS = {
+    "identity": lambda c: F.col(c),
+    "year": lambda c: F.year(c),
+    "month": lambda c: F.date_trunc("month", F.col(c)).cast("date"),
+    "day": lambda c: F.col(c).cast("date"),
+    "bucket16": lambda c: F.pmod(F.xxhash64(c), F.lit(16)),
+}
+
+
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    max_retries: int = 10,
+    partition_by: tuple[str, str] | None = None,
+) -> int:
     """Transactional append: data files + their content manifest are
-    written once; only the O(n_manifests) claim retries on conflict."""
-    schema = _schema_entry(df)
+    written once; only the O(n_manifests) claim retries on conflict.
+
+    ``partition_by=(col, transform)`` (transform in
+    ``PARTITION_TRANSFORMS``) writes the batch hive-partitioned by the
+    transform VALUE, so each data file holds exactly one partition
+    value and min/max stats pruning on the raw ``col`` skips exactly
+    like partition pruning — hidden partitioning: the derived value
+    lives only in directory names, never in the table schema, and
+    queries filter on the raw column. (A shuffle-based split was
+    rejected: AQE coalesces small range shuffles, merging partition
+    values back into shared files.)"""
+    partition_col = None
+    if partition_by is not None:
+        col, transform = partition_by
+        if transform not in PARTITION_TRANSFORMS:
+            raise ValueError(
+                f"unknown transform {transform!r}; one of {sorted(PARTITION_TRANSFORMS)}"
+            )
+        partition_col = "__pt"
+        df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
+    schema = _schema_entry(df.drop(partition_col) if partition_col else df)
     base0 = snapshot(table_path)
     _check_schema_evolution(base0.schema if base0 else None, schema)
-    new_files, new_stats = _write_data_files(df, table_path)
+    new_files, new_stats = _write_data_files(df, table_path, partition_col)
     new_ref = _write_content_manifest(table_path, new_files, new_stats)
     for _ in range(max_retries):
         snap = snapshot(table_path)
@@ -685,6 +735,153 @@ def merge_insert_if_absent_txn(
             # requires re-running the anti-join against the winner's rows.
             continue
     raise CommitConflict(f"merge into {table_path} lost {max_retries} races")
+
+
+def _rewrite_commit(
+    spark: SparkSession,
+    table_path: str,
+    write_df,
+    operation: str,
+    max_retries: int = 5,
+) -> int:
+    """Shared core of ``cluster_table``/``compact_table``: rewrite the
+    CURRENT data into a new physical layout and commit it as a
+    metadata replacement, resolving races with concurrent appenders
+    the way Iceberg's RewriteFiles does — a rewrite replaces exactly
+    the manifests it read (matched by ref path), so refs committed by
+    writers who won the race in between are carried forward, not lost.
+    ``write_df`` maps the snapshot's DataFrame to the laid-out
+    DataFrame to write. Returns the committed version."""
+    base = snapshot(table_path)
+    if base is None or not base.n_files:
+        raise ValueError(f"{table_path} has no committed data to rewrite")
+    rewritten_paths = {r["path"] for r in base.refs if r.get("path")}
+    laid_out = write_df(base.read(spark))
+    new_files, new_stats = _write_data_files(laid_out, table_path)
+    new_ref = _write_content_manifest(table_path, new_files, new_stats)
+    for _ in range(max_retries):
+        snap = snapshot(table_path)
+        # Concurrent appends since the base: their manifests are not in
+        # rewritten_paths, so they survive the replacement untouched.
+        # Pathless (legacy inline) refs can only be the base's own
+        # metadata — rewritten by definition, never carried.
+        carried = [
+            r
+            for r in snap.refs
+            if r.get("path") and r["path"] not in rewritten_paths
+        ]
+        try:
+            return _commit_refs(
+                table_path,
+                [new_ref] + carried,
+                snap.version,
+                operation,
+                schema=snap.schema,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"{operation} of {table_path} lost {max_retries} races")
+
+
+def cluster_table(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_col: int = 8,
+    max_retries: int = 5,
+) -> int:
+    """OPTIMIZE ZORDER BY for the manifest table: rewrite the current
+    data Z-ordered over ``cols`` (operators/scale.py ``zorder_key`` —
+    range-partition by the interleaved key, sort within partitions) and
+    commit the new layout transactionally. Each rewritten file then
+    covers a tight hyper-rectangle of the listed columns, so BOTH
+    pruning levels (manifest aggregate ranges and per-file min/max)
+    skip aggressively for predicates on ANY listed column — the read
+    path needs no change. Old files stay readable for pinned/time-travel
+    readers until ``vacuum``. Concurrent appends are never lost (see
+    ``_rewrite_commit``); rows appended after the rewrite's snapshot
+    simply stay in their own un-clustered manifests until the next
+    OPTIMIZE, exactly Delta/Iceberg behavior."""
+    from nypd_arrest_etl_spark.operators.scale import zorder_key
+
+    def _layout(df: DataFrame) -> DataFrame:
+        keyed, zk = zorder_key(df, cols, bits_per_col)
+        return (
+            keyed.repartitionByRange(n_files, F.col(zk))
+            .sortWithinPartitions(zk)
+            .drop(zk)
+        )
+
+    return _rewrite_commit(spark, table_path, _layout, "cluster", max_retries)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_retries: int = 5,
+) -> int:
+    """Small-files compaction for the manifest table: incremental
+    ingest (one manifest + a few files per merge) accumulates tiny
+    files whose open/footer cost dominates scans at 100 TB. Coalesce
+    the current data into ~target-sized files and commit as a layout
+    replacement; no shuffle (coalesce concatenates whole partitions).
+    Concurrent appends survive via rewrite conflict resolution."""
+    # Target file count from the snapshot's own sizes (cheap: local
+    # stat calls on the manifest's file list, no Spark job).
+    base = snapshot(table_path)
+    if base is None or not base.n_files:
+        raise ValueError(f"{table_path} has no committed data to rewrite")
+    total = sum(
+        os.path.getsize(os.path.join(table_path, f)) for f in base.files
+    )
+    n_after = max(1, -(-total // target_file_bytes))
+
+    return _rewrite_commit(
+        spark, table_path, lambda df: df.coalesce(n_after), "compact", max_retries
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental scan (change data feed for an insert-only table):
+    the rows ADDED between ``from_version`` (exclusive) and
+    ``to_version`` (inclusive, default latest). Because data files are
+    immutable and append/merge commits only ADD files, the change set
+    is exactly the file-list difference — no diff join, no full scan;
+    a streaming-style consumer can checkpoint the version number it
+    has processed and read forward from there.
+
+    Raises if an intervening commit is a layout rewrite
+    (``cluster``/``compact``): those re-add existing ROWS in new files,
+    so the file diff would double-count; re-baseline past the rewrite
+    version instead (same contract as Delta CDF across OPTIMIZE —
+    OPTIMIZE commits are data-preserving and are skipped by CDF only
+    because Delta marks them; here the caller re-baselines)."""
+    to_v = current_version(table_path) if to_version is None else to_version
+    if to_v is None or to_v < from_version:
+        raise ValueError(f"bad version range [{from_version}, {to_v}]")
+    for v in range(from_version + 1, to_v + 1):
+        op = _load_manifest(table_path, v).get("operation")
+        if op in ("cluster", "compact"):
+            raise ValueError(
+                f"version {v} is a layout rewrite ({op}); file-diff changes "
+                "are only valid across append/merge commits — re-baseline "
+                f"from version {v}"
+            )
+    old = Snapshot(table_path, from_version, _load_manifest(table_path, from_version))
+    new = Snapshot(table_path, to_v, _load_manifest(table_path, to_v))
+    added = sorted(set(new.files) - set(old.files))
+    if not added:
+        return new.read(spark).filter(F.lit(False))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_path, f) for f in added]
+    )
 
 
 def vacuum(

@@ -254,6 +254,125 @@ def test_manifest_compaction_bounds_ref_list(spark, tmp_path, monkeypatch):
     assert M.snapshot(t).read(spark).count() == 6
 
 
+def test_cluster_table_tightens_pruning_and_keeps_rows(spark, tmp_path):
+    """OPTIMIZE ZORDER: after cluster_table the same range filter must
+    prune MORE files than before (each rewritten file covers a tight
+    value range), with row-level results identical."""
+    import random
+
+    t = str(tmp_path / "tbl")
+    rng = random.Random(7)
+    rows = [(f"k{i}", rng.randrange(0, 1000)) for i in range(2000)]
+    # interleaved value ranges: every pre-cluster file spans ~[0,1000),
+    # so a narrow range filter can prune nothing
+    df = _df(spark, rows).repartition(8)
+    M.append(spark, df, t)
+    before = M.snapshot(t)
+    filt = [("v", ">=", 900)]
+    kept_before = len(before.prune(filt))
+    want = sorted(
+        r["arrest_key"] for r in before.read(spark, filters=filt).collect()
+    )
+    v = M.cluster_table(spark, t, ["v"], n_files=8)
+    after = M.snapshot(t)
+    assert after.version == v and after.operation == "cluster"
+    kept_after = len(after.prune(filt))
+    assert kept_after < kept_before  # layout actually bought skipping
+    got = sorted(r["arrest_key"] for r in after.read(spark, filters=filt).collect())
+    assert got == want
+    assert after.read(spark).count() == 2000
+    # time travel: the pre-cluster snapshot still reads its old layout
+    assert before.read(spark).count() == 2000
+
+
+def test_rewrite_commit_carries_concurrent_append(spark, tmp_path, monkeypatch):
+    """A compact/cluster whose commit races a concurrent append must
+    carry the appender's manifest forward, not drop its rows (Iceberg
+    RewriteFiles conflict resolution)."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+
+    committed = {"done": False}
+    orig = M._commit_refs
+
+    def racing_commit(table_path, refs, base, operation, schema=None):
+        # Inject an append AFTER the rewrite pinned its snapshot but
+        # BEFORE its first claim: first rewrite attempt must conflict.
+        if operation == "compact" and not committed["done"]:
+            committed["done"] = True
+            M.append(spark, _df(spark, [("late", 9)]), t)
+        return orig(table_path, refs, base, operation, schema)
+
+    monkeypatch.setattr(M, "_commit_refs", racing_commit)
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    got = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
+    assert got == ["a", "b", "late"]  # the racing append survived
+    assert M.snapshot(t).operation == "compact"
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        M.append(spark, _df(spark, [(f"k{i}", i)]).repartition(4), t)
+    before = M.snapshot(t).n_files
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    snap = M.snapshot(t)
+    assert snap.n_files < before
+    assert snap.read(spark).count() == 4
+
+
+def test_partition_transform_append_aligns_files_for_pruning(spark, tmp_path):
+    """Hidden partitioning, writer half: append with a month transform
+    must split files so a one-month filter prunes to ~one file, while
+    an unpartitioned append of the same rows cannot prune at all."""
+    import datetime
+
+    rows = [
+        (f"k{m}_{i}", datetime.date(2023, m, 1 + i))
+        for m in (1, 2, 3)
+        for i in range(5)
+    ]
+    schema = "arrest_key string, d date"
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    # force interleaving so the unpartitioned write mixes months per file
+    src = spark.createDataFrame(rows, schema).repartition(3)
+    M.append(spark, src, flat)
+    M.append(spark, src, part, partition_by=("d", "month"))
+    filt = [("d", ">=", datetime.date(2023, 2, 1)), ("d", "<", datetime.date(2023, 3, 1))]
+    flat_snap, part_snap = M.snapshot(flat), M.snapshot(part)
+    assert len(flat_snap.prune(filt)) == len(flat_snap.files)  # no skip
+    assert len(part_snap.prune(filt)) < len(part_snap.files)
+    feb = sorted(r["arrest_key"] for r in part_snap.read(spark, filters=filt).collect())
+    assert feb == sorted(f"k2_{i}" for i in range(5))
+    with pytest.raises(ValueError, match="unknown transform"):
+        M.append(spark, src, part, partition_by=("d", "decade"))
+
+
+def test_read_changes_is_exact_file_diff(spark, tmp_path):
+    """Incremental consumer: rows added between two versions, no full
+    scan; a layout rewrite in the range must be refused (file diff
+    would re-read rewritten rows)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)  # v0
+    M.append(spark, _df(spark, [("b", 2), ("c", 3)]), t)  # v1
+    M.merge_insert_if_absent_txn(spark, _df(spark, [("c", 9), ("d", 4)]), t)  # v2
+    got = sorted(r["arrest_key"] for r in M.read_changes(spark, t, 0).collect())
+    assert got == ["b", "c", "d"]  # only rows added after v0
+    assert sorted(
+        r["arrest_key"] for r in M.read_changes(spark, t, 1, 2).collect()
+    ) == ["d"]
+    # empty range -> empty frame with the table schema
+    assert M.read_changes(spark, t, 2).count() == 0
+    M.compact_table(spark, t, target_file_bytes=1 << 30)  # v3: rewrite
+    with _pytest.raises(ValueError, match="re-baseline"):
+        M.read_changes(spark, t, 2)
+    # re-baselined past the rewrite: changes flow again
+    M.append(spark, _df(spark, [("e", 5)]), t)  # v4
+    assert [r["arrest_key"] for r in M.read_changes(spark, t, 3).collect()] == ["e"]
+
+
 def test_many_concurrent_appends_all_land(spark, tmp_path):
     """8 threads append concurrently: every append eventually wins a
     version (bounded retries), all rows land, versions are a gapless

@@ -240,7 +240,10 @@ def main() -> None:
         f"  candidate mass, which grew {_aratio('minhash_cand_pairs')}x"
         f" (time ratio {_row('dedup_minhash_pairs')[2]}x): banding keeps",
         "  buckets tiny (see max bucket), so candidate work tracks true",
-        "  near-dup density, not corpus size squared.",
+        "  near-dup density, not corpus size squared. This query's soak",
+        "  wall time swings ~2x across identical back-to-back runs on this",
+        "  host (same plan; GC/scheduling at the 30-70s range); judge the",
+        "  ratio against the mass growth, with that spread in mind.",
         "",
         "Methodology notes:",
         "",
