@@ -399,3 +399,61 @@ def test_many_concurrent_appends_all_land(spark, tmp_path):
     # every intermediate version remains a readable snapshot (no gaps)
     for v in range(n_threads):
         assert len(M.snapshot(t, version=v).files) >= v + 1
+
+
+def test_manifest_table_stream_source_exactly_once(spark, tmp_path):
+    """manifest_table streaming source: version-number offsets give
+    each inserted row exactly once across restarts; a compact commit
+    in the version range is skipped (data-preserving, like Delta CDF
+    over OPTIMIZE) instead of re-emitting rewritten rows."""
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)  # v0
+    M.append(spark, _df(spark, [("c", 3)]), t)  # v1
+
+    def run_once():
+        q = (
+            spark.readStream.format("manifest_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["arrest_key"] for r in spark.read.parquet(sink).collect())
+
+    assert run_once() == ["a", "b", "c"]  # full history on first run
+    # rewrite + new data: restart must emit ONLY the new rows
+    M.compact_table(spark, t, target_file_bytes=1 << 30)  # v2 (skipped)
+    M.merge_insert_if_absent_txn(spark, _df(spark, [("c", 9), ("d", 4)]), t)  # v3
+    assert run_once() == ["a", "b", "c", "d"]  # d once, c not re-emitted
+    # no new versions -> empty batch, nothing duplicated
+    assert run_once() == ["a", "b", "c", "d"]
+
+
+def test_manifest_table_batch_read_and_time_travel(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    wide = spark.createDataFrame([("b", 2, "x")], "arrest_key string, v long, extra string")
+    M.append(spark, wide, t)
+    df = spark.read.format("manifest_table").option("path", t).load()
+    rows = {r["arrest_key"]: r["extra"] for r in df.collect()}
+    # old file pads the evolved column with typed nulls
+    assert rows == {"a": None, "b": "x"}
+    v0 = (
+        spark.read.format("manifest_table")
+        .option("path", t)
+        .option("versionAsOf", 0)
+        .load()
+    )
+    assert [r["arrest_key"] for r in v0.collect()] == ["a"]

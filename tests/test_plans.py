@@ -94,12 +94,13 @@ def test_tpch_shapes_plan_as_designed(spark, sf_dir):
 
 
 def test_sole_returning_supplier_decorrelates_to_single_agg(spark, sf_dir):
-    # The EXISTS / NOT EXISTS pair is rewritten as ONE per-order
-    # aggregate: exactly 2 lineitem scans total (outer + agg input),
-    # not 3 (outer + one per correlated subquery).
+    # Round-4 shape: the EXISTS / NOT EXISTS pair AND the outer probe
+    # all derive from ONE per-(order, supplier) aggregate + an order
+    # window — exactly 1 lineitem scan total (was 2 after the round-3
+    # decorrelation, 3 naively with one scan per correlated subquery).
     plan = _optimized(Q.q_sole_returning_supplier(spark, sf_dir))
     scans = [l for l in plan.splitlines() if "Relation [l_orderkey" in l]
-    assert len(scans) == 2
+    assert len(scans) == 1
 
 
 def test_q6_is_scan_filter_agg_only(spark, sf_dir):
