@@ -457,3 +457,96 @@ def test_manifest_table_batch_read_and_time_travel(spark, tmp_path):
         .load()
     )
     assert [r["arrest_key"] for r in v0.collect()] == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# Pruning soundness properties (pure Python, no Spark): skipping is an
+# OPTIMIZATION — for any stats layout and any filter, a row matching
+# the filter must live in a file that survives both pruning levels.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.integers(min_value=-50, max_value=50)
+# a file: its rows, plus whether its stats are known to the manifest
+_file = st.tuples(st.lists(_vals, min_size=1, max_size=5), st.booleans())
+_op = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    manifests=st.lists(
+        st.lists(_file, min_size=1, max_size=4), min_size=1, max_size=4
+    ),
+    op=_op,
+    value=_vals,
+)
+def test_two_level_prune_never_drops_a_matching_row(manifests, op, value):
+    import operator as _o
+
+    cmp = {"=": _o.eq, "<": _o.lt, "<=": _o.le, ">": _o.gt, ">=": _o.ge}[op]
+    filters = [("v", op, value)]
+    # build per-file stats + manifest refs exactly as the writers do
+    fid = 0
+    survivors = set()
+    all_matching_files = set()
+    for files in manifests:
+        names, stats = [], {}
+        for rows, has_stats in files:
+            name = f"f{fid}"
+            fid += 1
+            names.append(name)
+            if has_stats:
+                stats[name] = {
+                    "rows": len(rows),
+                    "columns": {"v": {"min": min(rows), "max": max(rows)}},
+                }
+            if any(cmp(r, value) for r in rows):
+                all_matching_files.add(name)
+        ref = {"columns": M._aggregate_ranges(names, stats)["columns"]}
+        if not M._ref_may_match(ref, filters):
+            continue  # manifest-level skip
+        survivors.update(
+            n for n in names if M._file_may_match(stats.get(n), filters)
+        )
+    # soundness: no file containing a matching row was pruned
+    assert all_matching_files <= survivors
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from(["bigint", "string"])),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda c: c[0],
+    ),
+    incoming=st.lists(
+        st.tuples(
+            st.sampled_from("abcdef"),
+            st.sampled_from(["bigint", "string"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda c: c[0],
+    ),
+)
+def test_schema_evolution_check_is_sound(base, incoming):
+    """The check accepts EXACTLY the legal evolutions: no dropped
+    column, no type change, new columns nullable."""
+    b = [{"name": n, "type": t, "nullable": True} for n, t in base]
+    i = [{"name": n, "type": t, "nullable": nl} for n, t, nl in incoming]
+    bt, it = dict(base), {n: t for n, t, _ in incoming}
+    legal = (
+        set(bt) <= set(it)
+        and all(it[n] == t for n, t in bt.items())
+        and all(nl for n, _, nl in incoming if n not in bt)
+    )
+    try:
+        M._check_schema_evolution(b, i)
+        ok = True
+    except M.SchemaEvolutionError:
+        ok = False
+    assert ok == legal
