@@ -696,18 +696,40 @@ def merge_insert_if_absent_txn(
     merges, which the bare-directory variants in operators/merge.py
     cannot guarantee.
 
+    Scale: the anti-join's table scan is PRUNED to the incoming
+    batch's key range — rows outside [min(incoming key), max(incoming
+    key)] cannot equal any incoming key, so skipping their files is
+    sound for the equality anti-join. On a table whose files are
+    key-clustered (``cluster_table`` on the key, or ingest that
+    arrives in key order), a small batch then reads a few files of a
+    100 TB table instead of all of them; on an unclustered table the
+    bounds simply prune nothing. One tiny agg on the (already reduced)
+    deduped batch buys the skip.
+
     Returns (inserted_rowcount, committed_version).
     """
     from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
 
     deduped = dedup_first_writer_wins(incoming, key)
     schema = _schema_entry(deduped)
+    bounds = deduped.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    key_filters = (
+        [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
+        if bounds["lo"] is not None
+        else None
+    )
     for _ in range(max_retries):
         snap = snapshot(table_path)
         _check_schema_evolution(snap.schema if snap else None, schema)
         fresh = deduped
-        if snap is not None and snap.files:
-            fresh = fresh.join(snap.read(spark).select(key), on=key, how="left_anti")
+        if snap is not None and snap.n_files:
+            fresh = fresh.join(
+                snap.read(spark, filters=key_filters).select(key),
+                on=key,
+                how="left_anti",
+            )
         # Materialize BEFORE the commit attempt: the rowcount decides
         # whether to commit at all, and the files must be fully on disk
         # before the manifest can reference them.

@@ -459,6 +459,36 @@ def test_manifest_table_batch_read_and_time_travel(spark, tmp_path):
     assert [r["arrest_key"] for r in v0.collect()] == ["a"]
 
 
+def test_merge_prunes_table_scan_to_incoming_key_range(spark, tmp_path, monkeypatch):
+    """The merge anti-join must read only files overlapping the
+    incoming batch's key range (sound for an equality anti-join), and
+    still reject dups / insert fresh keys exactly."""
+    t = str(tmp_path / "tbl")
+    # three appends with disjoint, tight key ranges -> one file each
+    M.append(spark, _df(spark, [("a1", 1), ("a2", 2)]).coalesce(1), t)
+    M.append(spark, _df(spark, [("m1", 3), ("m2", 4)]).coalesce(1), t)
+    M.append(spark, _df(spark, [("z1", 5), ("z2", 6)]).coalesce(1), t)
+
+    seen = {}
+    orig = M.Snapshot.read
+
+    def spy(self, spark_, filters=None):
+        seen["filters"] = filters
+        seen["files"] = self.prune(filters) if filters else list(self.files)
+        return orig(self, spark_, filters)
+
+    monkeypatch.setattr(M.Snapshot, "read", spy)
+    n, _ = M.merge_insert_if_absent_txn(
+        spark, _df(spark, [("m1", 9), ("m9", 7)]), t, key="arrest_key"
+    )
+    assert n == 1  # m1 rejected, m9 inserted
+    assert seen["filters"] == [("arrest_key", ">=", "m1"), ("arrest_key", "<=", "m9")]
+    assert len(seen["files"]) == 1  # only the m-range file was scanned
+    monkeypatch.undo()
+    rows = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert rows == {"a1": 1, "a2": 2, "m1": 3, "m2": 4, "z1": 5, "z2": 6, "m9": 7}
+
+
 # ---------------------------------------------------------------------------
 # Pruning soundness properties (pure Python, no Spark): skipping is an
 # OPTIMIZATION — for any stats layout and any filter, a row matching
