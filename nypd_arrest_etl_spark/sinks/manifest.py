@@ -390,6 +390,8 @@ class Snapshot:
             ]
         self.schema = manifest.get("schema")
         self.operation = manifest.get("operation")
+        spec = manifest.get("partition_spec")
+        self.partition_spec = tuple(spec) if spec else None
         self.manifests_opened = 0
         self._bodies: dict[int, dict] = {}
         self._files: list[str] | None = None
@@ -509,9 +511,12 @@ def _commit_refs(
     base_version: int | None,
     operation: str,
     schema: list[dict] | None = None,
+    partition_spec: list | None = None,
 ) -> int:
     """The atomic claim, manifest-list form: version N+1 = these
-    content-manifest refs."""
+    content-manifest refs. ``partition_spec`` carries the table's
+    declared ``(col, transform)`` forward so the layout contract is
+    self-describing metadata, like Iceberg's partition spec."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     new_version = 0 if base_version is None else base_version + 1
@@ -522,6 +527,8 @@ def _commit_refs(
         "schema": schema,
         "committed_at": time.time(),
     }
+    if partition_spec is not None:
+        manifest["partition_spec"] = list(partition_spec)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -644,10 +651,21 @@ def append(
     lives only in directory names, never in the table schema, and
     queries filter on the raw column. (A shuffle-based split was
     rejected: AQE coalesces small range shuffles, merging partition
-    values back into shared files.)"""
+    values back into shared files.)
+
+    The spec is recorded in the version metadata (Iceberg partition
+    spec): later appends WITHOUT ``partition_by`` inherit it
+    automatically — declare the layout once, every writer follows it.
+    Passing a different spec evolves it (recorded from that version
+    on; existing files keep their old layout, exactly Iceberg spec
+    evolution)."""
+    base0 = snapshot(table_path)
+    spec = partition_by if partition_by is not None else (
+        base0.partition_spec if base0 is not None else None
+    )
     partition_col = None
-    if partition_by is not None:
-        col, transform = partition_by
+    if spec is not None:
+        col, transform = spec
         if transform not in PARTITION_TRANSFORMS:
             raise ValueError(
                 f"unknown transform {transform!r}; one of {sorted(PARTITION_TRANSFORMS)}"
@@ -655,7 +673,6 @@ def append(
         partition_col = "__pt"
         df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
     schema = _schema_entry(df.drop(partition_col) if partition_col else df)
-    base0 = snapshot(table_path)
     _check_schema_evolution(base0.schema if base0 else None, schema)
     new_files, new_stats = _write_data_files(df, table_path, partition_col)
     new_ref = _write_content_manifest(table_path, new_files, new_stats)
@@ -670,6 +687,7 @@ def append(
                 base,
                 "append",
                 schema=schema,
+                partition_spec=spec,
             )
         except CommitConflict:
             continue
@@ -741,7 +759,16 @@ def merge_insert_if_absent_txn(
             # no new version is created (idempotent re-runs leave the
             # manifest chain untouched).
             return 0, base if base is not None else -1
-        new_files, new_stats = _write_data_files(fresh, table_path)
+        # Inherit the table's partition spec: merged rows land in the
+        # same transform-aligned file layout as appended rows.
+        spec = snap.partition_spec if snap is not None else None
+        to_write, partition_col = fresh, None
+        if spec is not None and spec[1] in PARTITION_TRANSFORMS:
+            partition_col = "__pt"
+            to_write = fresh.withColumn(
+                partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
+            )
+        new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
         new_ref = _write_content_manifest(table_path, new_files, new_stats)
         try:
             v = _commit_refs(
@@ -750,6 +777,7 @@ def merge_insert_if_absent_txn(
                 base,
                 "merge",
                 schema=schema,
+                partition_spec=spec,
             )
             return n, v
         except CommitConflict:
@@ -799,6 +827,7 @@ def _rewrite_commit(
                 snap.version,
                 operation,
                 schema=snap.schema,
+                partition_spec=snap.partition_spec,
             )
         except CommitConflict:
             continue

@@ -295,13 +295,13 @@ def test_rewrite_commit_carries_concurrent_append(spark, tmp_path, monkeypatch):
     committed = {"done": False}
     orig = M._commit_refs
 
-    def racing_commit(table_path, refs, base, operation, schema=None):
+    def racing_commit(table_path, refs, base, operation, schema=None, **kw):
         # Inject an append AFTER the rewrite pinned its snapshot but
         # BEFORE its first claim: first rewrite attempt must conflict.
         if operation == "compact" and not committed["done"]:
             committed["done"] = True
             M.append(spark, _df(spark, [("late", 9)]), t)
-        return orig(table_path, refs, base, operation, schema)
+        return orig(table_path, refs, base, operation, schema, **kw)
 
     monkeypatch.setattr(M, "_commit_refs", racing_commit)
     M.compact_table(spark, t, target_file_bytes=1 << 30)
@@ -346,6 +346,42 @@ def test_partition_transform_append_aligns_files_for_pruning(spark, tmp_path):
     assert feb == sorted(f"k2_{i}" for i in range(5))
     with pytest.raises(ValueError, match="unknown transform"):
         M.append(spark, src, part, partition_by=("d", "decade"))
+
+
+def test_partition_spec_is_inherited_by_later_writers(spark, tmp_path):
+    """Declare the layout once: appends without partition_by and txn
+    merges must follow the recorded spec, so every file generation
+    stays transform-aligned."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    schema = "arrest_key string, d date"
+
+    def rows(month, keys):
+        return spark.createDataFrame(
+            [(k, datetime.date(2023, month, 5)) for k in keys], schema
+        )
+
+    M.append(spark, rows(1, ["a"]).union(rows(2, ["b"])), t, partition_by=("d", "month"))
+    assert M.snapshot(t).partition_spec == ("d", "month")
+    # plain append inherits: its two months land in two files
+    before = M.snapshot(t).n_files
+    M.append(spark, rows(1, ["c"]).union(rows(3, ["e"])).coalesce(1), t)
+    snap = M.snapshot(t)
+    assert snap.partition_spec == ("d", "month")
+    assert snap.n_files == before + 2  # split by month despite coalesce(1)
+    # txn merge inherits too
+    M.merge_insert_if_absent_txn(
+        spark, rows(1, ["f"]).union(rows(4, ["g"])).coalesce(1), t, key="arrest_key"
+    )
+    snap = M.snapshot(t)
+    assert snap.partition_spec == ("d", "month")
+    assert snap.n_files == before + 4
+    # pruning to one month touches only that month's files
+    filt = [("d", ">=", datetime.date(2023, 3, 1)), ("d", "<", datetime.date(2023, 4, 1))]
+    assert len(snap.prune(filt)) == 1
+    got = sorted(r["arrest_key"] for r in snap.read(spark).collect())
+    assert got == ["a", "b", "c", "e", "f", "g"]
 
 
 def test_read_changes_is_exact_file_diff(spark, tmp_path):
