@@ -505,6 +505,20 @@ def commit(
     return _commit_refs(table_path, [ref], base_version, operation, schema)
 
 
+def _claim_version(tmp_path: str, version_path: str) -> None:
+    """THE atomic claim, as a swappable primitive: publish ``tmp_path``
+    under ``version_path`` iff no one has — raise ``FileExistsError``
+    otherwise. The default is a POSIX hard link (EEXIST on loss —
+    HDFS-rename-equivalent). Every other part of the commit protocol
+    is claim-agnostic, so deploying on an object store or a catalog
+    service means replacing ONLY this function with a conditional PUT
+    (S3 If-None-Match) or a catalog CAS — the seam Delta's commit
+    service and Iceberg's REST catalog occupy. The concurrency suite
+    re-runs against a CAS-dict stand-in to prove the protocol itself
+    never depended on filesystem semantics."""
+    os.link(tmp_path, version_path)
+
+
 def _commit_refs(
     table_path: str,
     refs: list[dict],
@@ -535,9 +549,7 @@ def _commit_refs(
         f.flush()
         os.fsync(f.fileno())
     try:
-        # THE atomic claim: hard-link fails with EEXIST when the
-        # version was taken between our snapshot read and now.
-        os.link(tmp, _version_path(table_path, new_version))
+        _claim_version(tmp, _version_path(table_path, new_version))
     except FileExistsError:
         raise CommitConflict(
             f"version {new_version} of {table_path} was committed concurrently"

@@ -616,3 +616,45 @@ def test_schema_evolution_check_is_sound(base, incoming):
     except M.SchemaEvolutionError:
         ok = False
     assert ok == legal
+
+
+def test_commit_protocol_is_claim_agnostic(spark, tmp_path, monkeypatch):
+    """Swap the POSIX hard-link claim for a catalog-style CAS (the
+    object-store conditional-PUT seam): the 8-way concurrent append
+    race must still produce a gapless version chain with every row
+    landing — proving the protocol never depended on filesystem
+    atomicity, only on SOME compare-and-set primitive."""
+    import shutil
+
+    lock = threading.Lock()
+    claimed = set()
+
+    def cas_claim(tmp_path_, version_path):
+        with lock:  # the catalog's CAS: one winner per version key
+            if version_path in claimed or os.path.exists(version_path):
+                raise FileExistsError(version_path)
+            claimed.add(version_path)
+        # control plane won -> data plane write (only the winner writes)
+        shutil.copyfile(tmp_path_, version_path)
+
+    import os
+
+    monkeypatch.setattr(M, "_claim_version", cas_claim)
+    t = str(tmp_path / "tbl")
+    errors = []
+
+    def run(i):
+        try:
+            M.append(spark, _df(spark, [(f"k{i}", i)]), t, max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert M.current_version(t) == 7
+    rows = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
+    assert rows == sorted(f"k{i}" for i in range(8))
