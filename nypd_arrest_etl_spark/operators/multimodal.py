@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns + typed metadata, processed with Arrow-batched Pandas UDFs.
 
-The decode libraries (PIL/torchaudio/ffmpeg) are NOT in this image, so
-the decode kernels are stubbed: ``fake=True`` (default) derives
-deterministic metadata/features from the bytes themselves;
-``fake=False`` raises NotImplementedError at the point a real decoder
-would run. Everything Spark-side — schema, partitioning, mapInPandas
-batch iteration, UDF signatures — is real and tested, so swapping in a
-real decoder is a one-function change.
+Decode kernels, round 4: ``fake=False`` now REALLY decodes every
+format parseable with stdlib + numpy — PCM WAV (``wave`` module:
+channels/rate/frames -> duration; real sample decode feeds the audio
+feature kernel), BMP (header dims + 24-bit pixel array -> real
+nearest-neighbor resize), and PNG/GIF/JPEG header dimension parsing.
+``NotImplementedError`` remains ONLY for formats that genuinely need
+an external runtime (compressed video, JPEG pixel data, model-based
+features), raised at the exact seam a PIL/ffmpeg/torch call would
+occupy. ``fake=True`` (default) stays the deterministic bytes-derived
+stand-in so driver-gate queries over text payloads are stable.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
 time (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
@@ -63,19 +66,134 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 640 + 1, (n // 640) % 480 + 1, n * 10)
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (stdlib + numpy only — no PIL/ffmpeg in this image)
+# ---------------------------------------------------------------------------
+
+
+def _decode_wav(payload: bytes) -> tuple[None, None, int]:
+    """PCM WAV via the stdlib ``wave`` module: duration from
+    frames/rate; image dims are null for audio."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        frames, rate = w.getnframes(), w.getframerate()
+    return None, None, int(frames * 1000 / rate) if rate else 0
+
+
+def _wav_samples(payload: bytes):
+    """Decoded mono float32 samples in [-1, 1] (averages channels)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, width, frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(frames)
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    if dt is None:
+        raise NotImplementedError(f"{width * 8}-bit WAV needs an audio library")
+    arr = np.frombuffer(raw, dtype=dt).astype("float32")
+    if nch > 1:
+        arr = arr[: len(arr) - len(arr) % nch].reshape(-1, nch).mean(axis=1)
+    peak = float(1 << (width * 8 - 1))
+    return arr / peak
+
+
+def _decode_bmp_header(payload: bytes) -> tuple[int, int, None]:
+    import struct
+
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return w, abs(h), None  # negative height = top-down row order
+
+
+def _bmp_pixels(payload: bytes):
+    """24-bit uncompressed BMP -> (H, W, 3) RGB array. The one image
+    format fully decodable without a codec library."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"{bpp}-bpp/compression={compression} BMP needs PIL")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+    return px if top_down else px[::-1]
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, None]:
+    import struct
+
+    w, h = struct.unpack_from(">II", payload, 16)  # IHDR is always first
+    return w, h, None
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, None]:
+    import struct
+
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h, None
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, None]:
+    """Walk JPEG marker segments to the SOF frame header for dims —
+    pixel decode (huffman+DCT) is where a real codec takes over."""
+    import struct
+
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            return w, h, None
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        i += 2 + struct.unpack_from(">H", payload, i + 2)[0]
+    raise ValueError("no SOF marker found")
+
+
+def _real_decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Dispatch on magic bytes; raise ONLY where an external runtime
+    is genuinely required."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp_header(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:4] in (b"GIF8",):
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    raise NotImplementedError(
+        "payload is not WAV/BMP/PNG/GIF/JPEG — this container decodes "
+        "those without external libs; other formats need PIL/ffmpeg"
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas decode: bytes -> typed metadata. One Arrow batch in,
     one out; payload column is dropped on output so downstream stages
     don't carry the heavy bytes."""
 
+    decode = _fake_decode if fake else _real_decode
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not in this image"
-                )
             payloads = pdf["payload"]
-            dims = payloads.map(lambda b: _fake_decode(bytes(b)))
+            dims = payloads.map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -91,20 +209,46 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(op, schema=DECODED_SCHEMA)
 
 
+def _audio_features(payload: bytes) -> list[float]:
+    """REAL 16-dim audio descriptor from decoded WAV samples: RMS
+    level, zero-crossing rate, then 14 log-energy bins of the rFFT
+    magnitude spectrum — the classic pre-neural audio fingerprint,
+    computed entirely in numpy."""
+    import numpy as np
+
+    s = _wav_samples(payload)
+    if len(s) == 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt(np.mean(s * s)))
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+    spec = np.abs(np.fft.rfft(s))
+    bins = np.array_split(spec, FEATURE_DIM - 2)
+    energies = [float(np.log1p(b.sum())) for b in bins]
+    return [rms, zcr] + energies
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Pandas-UDF feature extractor: bytes -> fixed-dim float vector.
-    Fake mode: normalized 16-bin byte histogram (deterministic); real
-    mode would call an encoder model here."""
+    Fake mode: normalized 16-bin byte histogram (deterministic). Real
+    mode decodes PCM WAV payloads and computes RMS/ZCR/spectral-bin
+    features in numpy; non-audio payloads are where an encoder MODEL
+    would run, so they still raise at that seam."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real feature extraction needs a model runtime")
             feats = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                b = bytes(b)
+                if not fake:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        feats.append(_audio_features(b))
+                        continue
+                    raise NotImplementedError(
+                        "non-WAV feature extraction needs a model runtime"
+                    )
+                arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
                 total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
@@ -150,11 +294,21 @@ def resize_media(
 
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL — not in this image")
             out = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                b = bytes(b)
+                if not fake:
+                    # REAL nearest-neighbor resize of a decoded 24-bit
+                    # BMP pixel array; output is raw RGB888 (W*H*3).
+                    # Other formats are the PIL seam.
+                    if b[:2] != b"BM":
+                        raise NotImplementedError("non-BMP resize requires PIL")
+                    px = _bmp_pixels(b)
+                    ys = (np.arange(height) * px.shape[0]) // height
+                    xs = (np.arange(width) * px.shape[1]) // width
+                    out.append(px[ys][:, xs].tobytes())
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
                 if len(arr) == 0:
                     arr = np.zeros(1, dtype=np.uint8)
                 idx = (np.arange(target) * len(arr) // target) % len(arr)
