@@ -1,0 +1,124 @@
+"""Metadata-cost microbench for the two-level manifest layer.
+
+Measures exactly the thing the round-4 rework claims: commit metadata
+cost as the table grows. Flat layout (every commit rewrites the full
+file list — what `commit()` still does for compat) is O(total files)
+per commit; the two-level writers (`append`/merge path:
+`_write_content_manifest` + `_commit_refs` with carried refs) are
+O(new files + n_manifests). No Spark involved — this times the
+metadata layer itself with synthetic file entries, the way a 100 TB
+table with millions of files would exercise it.
+
+Usage: python tools/manifest_bench.py  ->  prints a table and writes
+the "Metadata layer" section consumed by SCALING.md readers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nypd_arrest_etl_spark.sinks import manifest as M  # noqa: E402
+
+FILES_PER_COMMIT = 8
+SIZES = [1_000, 10_000, 100_000]  # files already in the table
+
+
+def _entries(start: int, n: int):
+    files = [f"data/x/{i:09d}.parquet" for i in range(start, start + n)]
+    stats = {
+        f: {"rows": 1000, "columns": {"v": {"min": i, "max": i + 10}}}
+        for i, f in enumerate(files, start)
+    }
+    return files, stats
+
+
+def bench_flat(existing_n: int) -> tuple[float, int]:
+    """Flat commit: rewrite the whole file list."""
+    d = tempfile.mkdtemp()
+    try:
+        files, stats = _entries(0, existing_n)
+        M.commit(d, files, None, "seed", stats=stats)
+        new_files, new_stats = _entries(existing_n, FILES_PER_COMMIT)
+        all_stats = {**stats, **new_stats}
+        t0 = time.perf_counter()
+        M.commit(d, files + new_files, 0, "append", stats=all_stats)
+        dt = time.perf_counter() - t0
+        meta_bytes = os.path.getsize(M._version_path(d, 1)) + sum(
+            os.path.getsize(os.path.join(d, "_manifest", f))
+            for f in os.listdir(os.path.join(d, "_manifest"))
+            if f.startswith("m-")
+        ) // 2  # ~one content manifest per version here
+        return dt, meta_bytes
+    finally:
+        shutil.rmtree(d)
+
+
+def bench_two_level(existing_n: int, trigger_compaction: bool = False) -> tuple[float, int]:
+    """Two-level commit: one new content manifest + carried refs. With
+    ``trigger_compaction`` the seed sits AT the ref threshold so the
+    timed commit pays the amortized metadata rewrite."""
+    d = tempfile.mkdtemp()
+    try:
+        # Realistic manifest-size distribution: a few BIG settled
+        # manifests (prior compactions) + a tail of small per-commit
+        # ones. trigger_compaction sits the list AT the threshold so
+        # the timed commit pays the selective merge of the small tail.
+        n_small = (
+            M.MANIFEST_COMPACT_THRESHOLD - 4
+            if trigger_compaction
+            else M.MANIFEST_COMPACT_THRESHOLD // 2 - 4
+        )
+        small_total = n_small * FILES_PER_COMMIT
+        big_total = max(0, existing_n - small_total)
+        refs = []
+        i = 0
+        for _ in range(4):  # big settled manifests
+            files, stats = _entries(i, max(1, big_total // 4))
+            refs.append(M._write_content_manifest(d, files, stats))
+            i += max(1, big_total // 4)
+        while i < existing_n:
+            files, stats = _entries(i, min(FILES_PER_COMMIT, existing_n - i))
+            refs.append(M._write_content_manifest(d, files, stats))
+            i += FILES_PER_COMMIT
+        M._commit_refs(d, refs, None, "seed")
+        snap = M.snapshot(d)
+        new_files, new_stats = _entries(existing_n, FILES_PER_COMMIT)
+        t0 = time.perf_counter()
+        ref = M._write_content_manifest(d, new_files, new_stats)
+        M._commit_refs(d, M._next_refs(d, snap, ref), snap.version, "append")
+        dt = time.perf_counter() - t0
+        mdir = os.path.join(d, "_manifest")
+        # bytes written BY THIS commit: the new version file + new ref
+        meta_bytes = os.path.getsize(M._version_path(d, 1)) + os.path.getsize(
+            os.path.join(mdir, ref["path"])
+        )
+        return dt, meta_bytes
+    finally:
+        shutil.rmtree(d)
+
+
+def main() -> None:
+    print(
+        "| table files | flat commit | two-level commit "
+        "| two-level w/ compaction | flat meta B | two-level meta B |"
+    )
+    print("|---|---|---|---|---|---|")
+    for n in SIZES:
+        fdt, fb = bench_flat(n)
+        tdt, tb = bench_two_level(n)
+        cdt, _ = bench_two_level(n, trigger_compaction=True)
+        print(
+            f"| {n:,} | {fdt * 1000:.1f} ms | {tdt * 1000:.1f} ms "
+            f"| {cdt * 1000:.1f} ms | {fb:,} | {tb:,} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
