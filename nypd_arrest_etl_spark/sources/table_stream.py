@@ -73,19 +73,55 @@ def _read_file_as_batches(full_path: str, fields: list[tuple[str, pa.DataType]])
 
 
 class ManifestBatchReader(DataSourceReader):
+    """Batch reads with DATA SKIPPING through the DataSource pushdown
+    API: Catalyst hands comparison filters to ``pushFilters``; they
+    are translated into the manifest layer's ``(col, op, value)``
+    triples and applied at partition planning, so files (and whole
+    manifests) whose stat ranges exclude the predicate are never
+    opened. Every filter is also RETURNED as unsupported — Spark
+    re-applies it row-level after the scan, so skipping stays a pure
+    optimization (exactly ``Snapshot.read``'s contract)."""
+
     def __init__(self, schema, options: dict):
         self.fields = _arrow_fields(schema)
         self.table_path = options["path"]
         version = options.get("versionasof")
         self.version = int(version) if version is not None else None
+        self.skip_filters: list[tuple] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            op = ops.get(type(flt))
+            if op is not None and attr is not None and len(attr) == 1:
+                self.skip_filters.append((attr[0], op, flt.value))
+        # report ALL as unsupported: the engine rechecks row-level, so
+        # stats-based skipping can never change results
+        return filters
 
     def partitions(self):
         snap = M.snapshot(self.table_path, version=self.version)
         if snap is None:
             return []
-        return [
-            FilePartition(os.path.join(self.table_path, f)) for f in snap.files
-        ]
+        files = (
+            snap.prune(self.skip_filters) if self.skip_filters else snap.files
+        )
+        return [FilePartition(os.path.join(self.table_path, f)) for f in files]
 
     def read(self, partition: FilePartition):
         yield from _read_file_as_batches(partition.full_path, self.fields)

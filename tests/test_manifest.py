@@ -658,3 +658,30 @@ def test_commit_protocol_is_claim_agnostic(spark, tmp_path, monkeypatch):
     assert M.current_version(t) == 7
     rows = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
     assert rows == sorted(f"k{i}" for i in range(8))
+
+
+def test_manifest_table_batch_pushdown_skips_files(spark, tmp_path):
+    """spark.read.format("manifest_table") with a range filter must
+    scan only the stat-matching files (pushFilters -> manifest prune)
+    while returning exact rows (engine re-checks row-level)."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [(f"lo{i}", i) for i in range(5)]).coalesce(1), t)
+    M.append(
+        spark, _df(spark, [(f"hi{i}", 1000 + i) for i in range(5)]).coalesce(1), t
+    )
+    df = (
+        spark.read.format("manifest_table")
+        .option("path", t)
+        .load()
+        .filter(F.col("v") >= 1000)
+    )
+    rows = sorted(r["arrest_key"] for r in df.collect())
+    assert rows == sorted(f"hi{i}" for i in range(5))
+    # the low-range file contributes no input partition: with one file
+    # per generation, exactly one task reads data
+    assert df.rdd.getNumPartitions() == 1
