@@ -685,3 +685,62 @@ def test_manifest_table_batch_pushdown_skips_files(spark, tmp_path):
     # the low-range file contributes no input partition: with one file
     # per generation, exactly one task reads data
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_random_walk_matches_model(spark, tmp_path):
+    """Model-based sequence test: a seeded random walk of appends,
+    merges, layout rewrites and vacuums must always read back exactly
+    the model's rows (merge = first-writer-wins set semantics, append
+    = multiset), with a gapless version chain."""
+    import random
+
+    rng = random.Random(20260814)
+    t = str(tmp_path / "tbl")
+    model: dict[str, int] = {}  # key -> first-written v
+    appended: list[tuple[str, int]] = []
+
+    def check(history=True):
+        snap = M.snapshot(t)
+        if snap is None:
+            assert not model and not appended
+            return
+        got = sorted((r["arrest_key"], r["v"]) for r in snap.read(spark).collect())
+        want = sorted(appended + list(model.items()))
+        assert got == want
+        if history:  # gapless chain, all versions readable (pre-vacuum)
+            for v in range(snap.version + 1):
+                assert M.snapshot(t, version=v) is not None
+
+    next_key = [0]
+
+    def fresh_keys(n):
+        ks = [f"k{next_key[0] + i}" for i in range(n)]
+        next_key[0] += n
+        return ks
+
+    for step in range(14):
+        op = rng.choice(["append", "merge", "merge_dup", "compact", "cluster"])
+        if op == "append":
+            rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
+            M.append(spark, _df(spark, rows), t)
+            appended.extend(rows)
+        elif op == "merge":
+            rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
+            M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
+            # merge keys are fresh and distinct -> all insert
+            model.update(dict(rows))
+        elif op == "merge_dup" and (model or appended):
+            # re-offer existing keys with NEW values: first-writer-wins
+            # must reject every one
+            existing = [k for k, _ in appended] + list(model)
+            rows = [(k, 999) for k in rng.sample(existing, min(2, len(existing)))]
+            n, _ = M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
+            assert n == 0
+        elif op in ("compact", "cluster") and M.snapshot(t) is not None:
+            if op == "compact":
+                M.compact_table(spark, t, target_file_bytes=1 << 30)
+            else:
+                M.cluster_table(spark, t, ["v"], n_files=2)
+        check()
+    M.vacuum(t, keep_versions=1, retention_seconds=0.0)
+    check(history=False)  # old versions legitimately dropped
