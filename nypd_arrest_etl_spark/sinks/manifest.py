@@ -955,6 +955,45 @@ def read_changes(
     )
 
 
+def history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one entry per surviving version, newest
+    first — version, operation, commit time, file/row deltas vs the
+    previous version, and the partition spec in force. Metadata-only
+    (reads version files + ref aggregates; content manifests are
+    opened only when a version still carries legacy inline metadata)."""
+    latest = current_version(table_path)
+    if latest is None:
+        return []
+    out = []
+    prev_files = prev_rows = None
+    for v in range(latest + 1):
+        try:
+            snap = Snapshot(table_path, v, _load_manifest(table_path, v))
+        except FileNotFoundError:  # vacuumed-away prefix
+            continue
+        rows = sum(
+            r.get("rows", 0)
+            if "_inline" not in r
+            else sum(
+                st.get("rows", 0) for st in r["_inline"].get("stats", {}).values()
+            )
+            for r in snap.refs
+        )
+        entry = {
+            "version": v,
+            "operation": snap.operation,
+            "committed_at": _load_manifest(table_path, v).get("committed_at"),
+            "n_files": snap.n_files,
+            "n_rows": rows,
+            "files_delta": None if prev_files is None else snap.n_files - prev_files,
+            "rows_delta": None if prev_rows is None else rows - prev_rows,
+            "partition_spec": snap.partition_spec,
+        }
+        prev_files, prev_rows = snap.n_files, rows
+        out.append(entry)
+    return list(reversed(out))
+
+
 def vacuum(
     table_path: str,
     keep_versions: int = 1,

@@ -744,3 +744,17 @@ def test_random_walk_matches_model(spark, tmp_path):
         check()
     M.vacuum(t, keep_versions=1, retention_seconds=0.0)
     check(history=False)  # old versions legitimately dropped
+
+
+def test_history_reports_versions_and_deltas(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.merge_insert_if_absent_txn(spark, _df(spark, [("b", 9), ("c", 3)]), t)
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    h = M.history(t)
+    assert [e["version"] for e in h] == [2, 1, 0]  # newest first
+    assert [e["operation"] for e in h] == ["compact", "merge", "append"]
+    assert h[-1]["n_rows"] == 2 and h[-1]["rows_delta"] is None
+    assert h[1]["rows_delta"] == 1  # merge inserted exactly c
+    assert h[0]["rows_delta"] == 0  # compaction preserves rows
+    assert all(e["committed_at"] is not None for e in h)
