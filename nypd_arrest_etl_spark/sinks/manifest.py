@@ -939,11 +939,11 @@ def read_changes(
         raise ValueError(f"bad version range [{from_version}, {to_v}]")
     for v in range(from_version + 1, to_v + 1):
         op = _load_manifest(table_path, v).get("operation")
-        if op in ("cluster", "compact"):
+        if op in ("cluster", "compact", "delete"):
             raise ValueError(
-                f"version {v} is a layout rewrite ({op}); file-diff changes "
-                "are only valid across append/merge commits — re-baseline "
-                f"from version {v}"
+                f"version {v} is a {op} commit; file-diff changes are only "
+                "valid across append/merge commits — re-baseline from "
+                f"version {v}"
             )
     old = Snapshot(table_path, from_version, _load_manifest(table_path, from_version))
     new = Snapshot(table_path, to_v, _load_manifest(table_path, to_v))
@@ -953,6 +953,93 @@ def read_changes(
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_path, f) for f in added]
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    filters,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Copy-on-write DELETE (the takedown/right-to-be-forgotten
+    primitive a training-data table needs): remove rows matching ALL
+    ``filters`` (triples ``(col, op, value)``, the prune grammar).
+
+    Scale shape: stats pruning picks the CANDIDATE files (the only
+    ones that can contain matches); only those are read and rewritten
+    without the matching rows. Untouched files are carried by
+    reference — per-ref metadata surgery drops candidate entries from
+    refs that contain them and leaves other refs untouched, so a
+    point delete on a 100 TB key-clustered table rewrites a handful
+    of files and O(touched manifests) metadata.
+
+    Concurrency: same resolution as layout rewrites — refs committed
+    by writers after our snapshot are carried forward verbatim. (A
+    concurrent merge may insert rows matching the predicate; they
+    survive, which is the serializable order delete-then-merge.)
+    Deleted versions break insert-only change feeds: ``read_changes``
+    and the streaming source refuse ranges crossing a ``delete``
+    commit — consumers re-baseline (deletes need retraction semantics
+    a row-diff feed cannot express).
+
+    Returns (rows_deleted, committed_version); no-op deletes commit
+    nothing."""
+    base = snapshot(table_path)
+    if base is None or not base.n_files:
+        return 0, base.version if base is not None else -1
+    candidates = set(base.prune(filters))
+    if not candidates:
+        return 0, base.version
+    pred = _filters_to_column(filters)
+    cand_df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_path, f) for f in sorted(candidates)]
+    )
+    survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
+    survivors = survivors.localCheckpoint(eager=True)
+    n_deleted = cand_df.count() - survivors.count()
+    if n_deleted == 0:
+        return 0, base.version
+    new_files, new_stats = _write_data_files(survivors, table_path)
+    new_ref = (
+        [_write_content_manifest(table_path, new_files, new_stats)]
+        if new_files
+        else []
+    )
+
+    def _strip(ref: dict) -> dict | None:
+        """Metadata surgery: drop candidate files from a ref; None if
+        nothing remains. Refs with no candidates return unchanged."""
+        body = _load_content_manifest(table_path, ref["path"])
+        if not candidates & set(body["files"]):
+            return ref
+        keep = [f for f in body["files"] if f not in candidates]
+        if not keep:
+            return None
+        stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
+        return _write_content_manifest(table_path, keep, stats)
+
+    base_paths = {r["path"] for r in base.refs if r.get("path")}
+    stripped = [s for r in _carry_refs(base) if (s := _strip(r)) is not None]
+    for _ in range(max_retries):
+        snap = snapshot(table_path)
+        later = [
+            r
+            for r in snap.refs
+            if r.get("path") and r["path"] not in base_paths
+        ]
+        try:
+            v = _commit_refs(
+                table_path,
+                stripped + new_ref + later,
+                snap.version,
+                "delete",
+                schema=snap.schema,
+                partition_spec=snap.partition_spec,
+            )
+            return n_deleted, v
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"delete from {table_path} lost {max_retries} races")
 
 
 def history(table_path: str) -> list[dict]:

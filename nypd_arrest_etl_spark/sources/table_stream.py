@@ -165,7 +165,17 @@ class ManifestStreamReader(DataSourceStreamReader):
             cur = set(
                 M.Snapshot(self.table_path, v, manifest).files
             )
-            if manifest.get("operation") in ("cluster", "compact"):
+            op = manifest.get("operation")
+            if op == "delete":
+                # A delete REMOVES rows this stream already emitted; a
+                # row-add feed cannot express the retraction. Fail loud
+                # so the consumer re-baselines past it (startingVersion).
+                raise ValueError(
+                    f"version {v} of {self.table_path} is a delete commit; "
+                    "insert-only streaming cannot express retractions — "
+                    f"restart the stream with startingVersion={v}"
+                )
+            if op in ("cluster", "compact"):
                 # Data-preserving rewrite: its added files re-pack rows
                 # already emitted by earlier versions — skip them, but
                 # advance the baseline so the NEXT diff is correct.

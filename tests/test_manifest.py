@@ -719,7 +719,9 @@ def test_random_walk_matches_model(spark, tmp_path):
         return ks
 
     for step in range(14):
-        op = rng.choice(["append", "merge", "merge_dup", "compact", "cluster"])
+        op = rng.choice(
+            ["append", "merge", "merge_dup", "compact", "cluster", "delete"]
+        )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
             M.append(spark, _df(spark, rows), t)
@@ -736,6 +738,15 @@ def test_random_walk_matches_model(spark, tmp_path):
             rows = [(k, 999) for k in rng.sample(existing, min(2, len(existing)))]
             n, _ = M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
             assert n == 0
+        elif op == "delete" and M.snapshot(t) is not None:
+            cut = rng.randrange(100)
+            n, _ = M.delete_where(spark, t, [("v", ">=", cut)])
+            gone_a = [r for r in appended if r[1] >= cut]
+            gone_m = {k for k, v in model.items() if v >= cut}
+            assert n == len(gone_a) + len(gone_m)
+            appended[:] = [r for r in appended if r[1] < cut]
+            for k in gone_m:
+                del model[k]
         elif op in ("compact", "cluster") and M.snapshot(t) is not None:
             if op == "compact":
                 M.compact_table(spark, t, target_file_bytes=1 << 30)
@@ -758,3 +769,60 @@ def test_history_reports_versions_and_deltas(spark, tmp_path):
     assert h[1]["rows_delta"] == 1  # merge inserted exactly c
     assert h[0]["rows_delta"] == 0  # compaction preserves rows
     assert all(e["committed_at"] is not None for e in h)
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tmp_path):
+    """Copy-on-write delete: only stat-matching files are read and
+    rewritten; out-of-range generations keep their EXACT file paths
+    (carried by reference); time travel still sees deleted rows."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [(f"lo{i}", i) for i in range(5)]).coalesce(1), t)
+    M.append(
+        spark, _df(spark, [(f"hi{i}", 1000 + i) for i in range(5)]).coalesce(1), t
+    )
+    before = M.snapshot(t)
+    lo_files = set(before.prune([("v", "<", 100)]))
+    n, v = M.delete_where(spark, t, [("v", "=", 1002)])
+    assert n == 1
+    snap = M.snapshot(t)
+    assert snap.version == v and snap.operation == "delete"
+    rows = sorted(r["arrest_key"] for r in snap.read(spark).collect())
+    assert rows == sorted(["lo0", "lo1", "lo2", "lo3", "lo4", "hi0", "hi1", "hi3", "hi4"])
+    # the low generation's file survived untouched, same path
+    assert lo_files <= set(snap.files)
+    # time travel: pre-delete snapshot still reads hi2
+    assert before.read(spark).count() == 10
+    # no-op delete commits nothing
+    assert M.delete_where(spark, t, [("v", "=", 1002)]) == (0, v)
+    # row counts in history reflect the delete
+    h = M.history(t)
+    assert h[0]["operation"] == "delete" and h[0]["rows_delta"] == -1
+
+
+def test_delete_breaks_change_feeds_explicitly(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+
+    def run_once():
+        q = (
+            spark.readStream.format("manifest_table")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # consume v0
+    M.delete_where(spark, t, [("v", "=", 1)])  # v1: delete
+    with pytest.raises(Exception, match="delete commit|retraction"):
+        run_once()
+    with pytest.raises(ValueError, match="re-baseline"):
+        M.read_changes(spark, t, 0)
