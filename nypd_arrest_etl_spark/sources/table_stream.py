@@ -166,12 +166,12 @@ class ManifestStreamReader(DataSourceStreamReader):
                 M.Snapshot(self.table_path, v, manifest).files
             )
             op = manifest.get("operation")
-            if op == "delete":
+            if op in ("delete", "update"):
                 # A delete REMOVES rows this stream already emitted; a
                 # row-add feed cannot express the retraction. Fail loud
                 # so the consumer re-baselines past it (startingVersion).
                 raise ValueError(
-                    f"version {v} of {self.table_path} is a delete commit; "
+                    f"version {v} of {self.table_path} is a {op} commit; "
                     "insert-only streaming cannot express retractions — "
                     f"restart the stream with startingVersion={v}"
                 )

@@ -826,3 +826,27 @@ def test_delete_breaks_change_feeds_explicitly(spark, tmp_path):
         run_once()
     with pytest.raises(ValueError, match="re-baseline"):
         M.read_changes(spark, t, 0)
+
+
+def test_update_where_transforms_only_matching_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [(f"lo{i}", i) for i in range(5)]).coalesce(1), t)
+    M.append(
+        spark, _df(spark, [(f"hi{i}", 1000 + i) for i in range(5)]).coalesce(1), t
+    )
+    lo_files = set(M.snapshot(t).prune([("v", "<", 100)]))
+    n, v = M.update_where(
+        spark, t, [("v", ">=", 1003)], {"v": F.col("v") + 10000, "arrest_key": "redacted"}
+    )
+    assert n == 2  # hi3, hi4
+    snap = M.snapshot(t)
+    assert snap.operation == "update" and snap.version == v
+    rows = sorted((r["arrest_key"], r["v"]) for r in snap.read(spark).collect())
+    assert ("redacted", 11003) in rows and ("redacted", 11004) in rows
+    assert ("hi0", 1000) in rows and ("lo0", 0) in rows
+    assert len(rows) == 10  # updates never change cardinality
+    assert lo_files <= set(snap.files)  # non-candidate file untouched
+    with pytest.raises(ValueError, match="re-baseline"):
+        M.read_changes(spark, t, 0)
