@@ -720,7 +720,7 @@ def test_random_walk_matches_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "merge", "merge_dup", "compact", "cluster", "delete"]
+            ["append", "merge", "merge_dup", "compact", "cluster", "delete", "update"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
@@ -747,6 +747,16 @@ def test_random_walk_matches_model(spark, tmp_path):
             appended[:] = [r for r in appended if r[1] < cut]
             for k in gone_m:
                 del model[k]
+        elif op == "update" and M.snapshot(t) is not None:
+            cut = rng.randrange(100)
+            n, _ = M.update_where(spark, t, [("v", "=", cut)], {"v": cut + 1000})
+            hits = [i for i, r in enumerate(appended) if r[1] == cut]
+            mkeys = [k for k, v in model.items() if v == cut]
+            assert n == len(hits) + len(mkeys)
+            for i in hits:
+                appended[i] = (appended[i][0], cut + 1000)
+            for k in mkeys:
+                model[k] = cut + 1000
         elif op in ("compact", "cluster") and M.snapshot(t) is not None:
             if op == "compact":
                 M.compact_table(spark, t, target_file_bytes=1 << 30)
