@@ -1283,6 +1283,92 @@ ORDER BY 1, 2
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the curation step production
+    pipelines run AFTER near-dup clustering: within each cluster keep
+    the highest-quality member (ties broken by doc_id), not the
+    arbitrary min-id representative; unclustered docs survive as
+    their own singletons. Pure composition of existing operators
+    (jaccard pairs -> connected components -> quality score -> one
+    per-cluster window), so the plan is the candidate-generation
+    shuffle + one window shuffle on the (tiny) cluster labels."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = D.connected_components(D.jaccard_pairs(docs, threshold=0.8, n=4))
+    quality = TX.quality_score(docs)
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col("doc_id")))
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality").alias("kept_quality"),
+        )
+    )
+
+
+# Composition of ORACLE_NEARDUP_CLUSTERS (recursive-CTE connected
+# components) and ORACLE_QUALITY (score replay), plus the per-cluster
+# argmax window.
+ORACLE_DEDUP_KEEP_BEST = r"""
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents),
+big AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] AS sh
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-3)) AS i) t),
+sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+  WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+s AS (
+  SELECT doc_id, length(text) AS nc, len(string_split(text, ' ')) AS nt,
+         len(list_distinct(string_split(text, ' '))) AS nu,
+         (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0
+           / length(text) AS alpha_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END)
+             + 0.3 * alpha_ratio
+             + 0.3 * least(nu * 1.0 / nt * 2, 1.0), 6) AS quality
+  FROM s
+),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep, q.quality
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_rep ORDER BY quality DESC, doc_id) AS rk
+  FROM lab
+)
+SELECT cluster_rep, doc_id AS kept_doc, quality AS kept_quality FROM r WHERE rk = 1
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1327,4 +1413,5 @@ LLM_OPS: dict[str, tuple] = {
     "curate_quality_top_frac": (q_quality_top_frac, ORACLE_QUALITY_TOP_FRAC),
     "dedup_source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "text_containment_capped": (q_containment_capped, ORACLE_CONTAINMENT_CAPPED),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
 }
