@@ -137,7 +137,15 @@ def main() -> None:
             indent=1,
         )
 
-    families = ("dedup_", "text_", "similarity_", "multimodal_")
+    families = (
+        "dedup_",
+        "text_",
+        "similarity_",
+        "multimodal_",
+        "sample_",
+        "curate_",
+        "sketch_",
+    )
     compact: dict[str, float] = {}
     for name, sec in timings.items():
         fam = next((p[:-1] for p in families if name.startswith(p)), None)
