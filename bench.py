@@ -167,10 +167,11 @@ def main() -> None:
         )
 
     line = render()
-    # Hard guard: collapse longest-named entries into "other" until the
-    # line fits with margin (driver keeps only the last 2000 chars).
+    # Hard guard: collapse entries into "other" until the line fits
+    # with margin (driver keeps only the last 2000 chars). Cheapest
+    # first: the slow queries are the signal worth keeping visible.
     while len(line) > 1900:
-        k = max((k for k in compact if k != "other"), key=len)
+        k = min((k for k in compact if k != "other"), key=lambda k: compact[k])
         compact["other"] = round(compact.get("other", 0.0) + compact.pop(k), 2)
         line = render()
     print(line)
