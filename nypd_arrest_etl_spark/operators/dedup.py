@@ -795,6 +795,84 @@ def span_dedup_stats(
     )
 
 
+def span_dedup_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """The REWRITE companion to :func:`span_dedup_stats`: rebuild each
+    document with duplicated word spans removed, keeping exactly ONE
+    global occurrence per span (Lee et al. 2022 remove repeated
+    substrings from the corpus, not just score them — this is that
+    step at tumbling-span granularity).
+
+    Keep rule: an occurrence survives iff it is the FIRST occurrence of
+    its span hash in (doc_id, span_index) order. One global occurrence
+    per distinct span — within-doc repeats collapse too, and the rule
+    is a total order, so the output is engine-exact (no RNG, no float).
+
+    Output: (doc_id, n_spans, kept_spans, trimmed_text) — every input
+    doc appears; a doc whose every span already occurred earlier comes
+    back with ``trimmed_text = ''``.
+
+    Scale (100 TB): same explode factor as the stats op (~1/span_words
+    of token count). ONE shuffle on the span hash for the first-
+    occurrence window (row_number over (doc_id, i) — a rank, not a
+    distinct-count, so it needs no second pass), then ONE shuffle on
+    doc_id to reassemble. The reassembly carries only surviving span
+    text, so the second shuffle's payload SHRINKS with dedup rate.
+    Boilerplate spans make hot hash partitions — AQE skew handling
+    applies; the window only needs each hash's min, so an extreme
+    corpus can swap the window for a groupBy(h).agg(min(struct(doc,i)))
+    + join at the cost of a second pass.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w")).withColumn(
+        "n_spans",
+        F.greatest(F.lit(1), F.ceil(F.size("w") / F.lit(span_words))).cast("long"),
+    )
+    spans = base.select(
+        "doc_id",
+        "n_spans",
+        "w",
+        F.explode(F.expr("sequence(0, int(n_spans) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "i",
+        F.array_join(
+            F.slice(F.col("w"), F.col("i") * span_words + 1, span_words), " "
+        ).alias("txt"),
+    )
+    first = Window.partitionBy(F.md5("txt")).orderBy("doc_id", "i")
+    kept = spans.withColumn("kept", F.row_number().over(first) == 1)
+    return kept.groupBy("doc_id").agg(
+        F.first("n_spans").alias("n_spans"),
+        F.sum(F.col("kept").cast("long")).alias("kept_spans"),
+        # collect_list skips the nulls from when(kept, ...), so only
+        # surviving spans ride the doc shuffle; array_sort on the
+        # (i, txt) struct restores document order regardless of
+        # collect_list's arrival order.
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct(F.col("i"), F.col("txt")))
+                    )
+                ),
+                lambda s: s["txt"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Leakage-safe train/holdout split
 # ---------------------------------------------------------------------------

@@ -346,3 +346,90 @@ def drift_report(
         )
         .orderBy("category")
     )
+
+
+def importance_resample_dsir(
+    df: DataFrame,
+    is_target: Column,
+    n_keep: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): pick the raw-corpus documents whose hashed-unigram
+    distribution looks most like a small target domain.
+
+    Rows where ``is_target`` holds define the target distribution;
+    every other row is the raw pool being scored. Token features are
+    hashed into ``n_buckets`` buckets (the paper's hashed n-gram
+    trick: the model is O(n_buckets), not O(vocab)); per-bucket
+    add-one-smoothed probabilities under target and raw give a
+    per-token log importance ratio; a document's weight is the sum
+    over its tokens. Output: the ``n_keep`` raw docs with the highest
+    weight — (doc_id, n_toks, logw_micro), ordered (weight DESC,
+    doc_id) so the kept set is engine-exact.
+
+    Engine-exactness: per-bucket log-ratios are rounded to integer
+    MICRO-units (``round(ln(r) * 1e6)`` as BIGINT) before the per-doc
+    sum, so the sum is integer arithmetic — independent of Spark's
+    partition-order float accumulation, and bit-replayable by the
+    DuckDB oracle. The only float op is ``ln`` of a ratio of exact
+    rationals; a libm ulp flips the micro-rounding only on an exact
+    .5 boundary (measure-zero, same exposure BM25 accepts).
+
+    Scale (100 TB): the bucket model is ONE token-grain groupBy whose
+    map-side partial agg collapses to <= n_buckets rows per task
+    before the shuffle — the shuffle moves O(tasks * n_buckets), not
+    O(tokens). The model (n_buckets rows) broadcasts to the scoring
+    join, so scoring is map-side; the per-doc sum is the one real
+    token-grain shuffle, with partial aggregation. Top-n is
+    TakeOrderedAndProject. Growing the target corpus changes nothing
+    structurally — it only feeds the same bucket counts.
+    """
+    from nypd_arrest_etl_spark.operators.dedup import portable_str_hash60
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            is_target.alias("is_t"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+                )
+            ).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.pmod(portable_str_hash60(F.lower("tok")), F.lit(n_buckets)).alias("b"),
+        )
+    )
+    model = toks.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    totals = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    contrib = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1.0) / (F.col("nt") + float(n_buckets)))
+                / ((F.col("cr") + 1.0) / (F.col("nr") + float(n_buckets)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        toks.filter(~F.col("is_t"))
+        .join(F.broadcast(contrib), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w").alias("logw_micro"),
+        )
+        .orderBy(F.col("logw_micro").desc(), "doc_id")
+        .limit(n_keep)
+    )

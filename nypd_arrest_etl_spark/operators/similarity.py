@@ -258,6 +258,97 @@ def ann_ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that makes
+    embedding dedup tractable by only comparing WITHIN k-means
+    clusters — the paper's observation is that semantic duplicates
+    land in the same cluster, so the O(n^2) corpus matmul collapses to
+    sum over cells of |cell|^2.
+
+    1. TRAIN (driver): the same deterministic Lloyd k-means the IVF
+       index uses (strided init, no RNG).
+    2. ASSIGN (map-only): vector -> argmax-dot cell, one Arrow pass.
+    3. DEDUP (per cell, applyInPandas): greedy survivor scan in id
+       order — a vector is dropped iff its rounded cosine to some
+       ALREADY-KEPT lower-id vector in the cell is >= threshold
+       (``dup_of`` = the lowest such survivor). Greedy-by-id replaces
+       the paper's keep-farthest-from-centroid rule to make the kept
+       set a pure function of the input (engine-exact, rerun-stable)
+       rather than centroid-float-sensitive; the cluster-bounded
+       comparison structure — the part that matters at scale — is the
+       paper's.
+
+    Output: one row per corpus vector (vec_id, cell_id, kept, dup_of).
+
+    Scale (100 TB): no pair ever crosses cells, so the shuffle is ONE
+    hash partition on cell_id; per-cell cost is |cell|^2 dot products
+    in a vectorized kernel. Executor memory bounds the max cell
+    (documented like dedup.embedding_cosine's block matmul); a skewed
+    mega-cell is the signal to raise n_cells — cost falls as 1/n_cells
+    for uniform cells. Exactly the paper's operating curve.
+
+    Rows-only verification (driver k-means is not SQL-replayable, same
+    as IVF); the greedy rule and cluster-boundedness are unit-tested
+    against a numpy reference in tests/test_similarity.py.
+    """
+    c = spread(corpus).select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
+    )
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms == 0, 1.0, norms)
+
+    train_pdf = c.orderBy("vec_id").limit(train_size).toPandas()
+    cents = _kmeans_centroids(
+        unit(np.vstack(train_pdf["cv"].to_numpy()).astype("float64")), n_cells
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = unit(np.vstack(vs.to_numpy()).astype("float64"))
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = unit(np.vstack(pdf["cv"].to_numpy()).astype("float64"))
+        # rounded BEFORE the threshold compare so the keep decision
+        # matches the 6-digit rule every other cosine op uses
+        sims = np.round(m @ m.T, 6)
+        n = len(pdf)
+        kept = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype="int64")
+        for i in range(1, n):
+            hits = np.nonzero(kept[:i] & (sims[i, :i] >= threshold))[0]
+            if len(hits):
+                kept[i] = False
+                dup_of[i] = pdf["vec_id"].iloc[hits[0]]
+        out = pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell_id": pdf["cell_id"],
+                "kept": kept,
+                "dup_of": dup_of,
+            }
+        )
+        out.loc[out["dup_of"] < 0, "dup_of"] = None
+        return out
+
+    return (
+        c.withColumn("cell_id", cell_of("cv"))
+        .groupBy("cell_id")
+        .applyInPandas(dedup_cell, "vec_id long, cell_id int, kept boolean, dup_of long")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", bits: int = 8
 ) -> DataFrame:

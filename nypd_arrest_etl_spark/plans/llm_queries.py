@@ -1369,6 +1369,92 @@ SELECT cluster_rep, doc_id AS kept_doc, quality AS kept_quality FROM r WHERE rk 
 """
 
 
+def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dedup_trim(t(spark, sf_dir, "documents"), span_words=8)
+
+
+# Same span pipeline as ORACLE_SPAN_DEDUP, but the keep rule is a
+# first-occurrence rank over (doc_id, i) per span hash, and survivors
+# are stitched back with an ordered string_agg.
+ORACLE_SPAN_TRIM = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, words,
+         greatest(1, CAST(ceil(len(words) / 8.0) AS BIGINT)) AS n_spans
+  FROM w
+), spans AS (
+  SELECT doc_id, n_spans, i,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS txt
+  FROM base, unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS u(i)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(txt) ORDER BY doc_id, i) AS rk
+  FROM spans
+)
+SELECT doc_id,
+       any_value(n_spans) AS n_spans,
+       sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_spans,
+       coalesce(string_agg(txt, ' ' ORDER BY i) FILTER (WHERE rk = 1), '')
+         AS trimmed_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-bounded semantic dedup (rows-only: the cell
+    assignment comes from driver k-means, like IVF; the greedy survivor
+    rule is unit-tested against a numpy reference)."""
+    return SIM.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), threshold=0.95, n_cells=16
+    ).orderBy("vec_id")
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: src0 is the target domain; keep the
+    100 raw docs whose hashed-unigram distribution is closest to it."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    docs = t(spark, sf_dir, "documents")
+    return S.importance_resample_dsir(
+        docs, is_target=F.col("source") == "src0", n_keep=100
+    )
+
+
+# Replays the hashed-unigram model: portable 60-bit md5 hash mod 1024
+# buckets, add-one smoothing, integer micro-unit log-ratios, integer
+# per-doc sums, (weight DESC, doc_id) top-100.
+ORACLE_DSIR_SAMPLE = r"""
+WITH toks AS (
+  SELECT doc_id, source = 'src0' AS is_t,
+         CAST(('0x' || substr(md5(lower(tok)), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), model AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM toks GROUP BY b
+), tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+contrib AS (
+  SELECT b,
+         CAST(round(ln(((ct + 1.0) / (nt + 1024.0))
+                       / ((cr + 1.0) / (nr + 1024.0))) * 1000000) AS BIGINT) AS w
+  FROM model, tot
+)
+SELECT t.doc_id, count(*) AS n_toks, CAST(sum(c.w) AS BIGINT) AS logw_micro
+FROM toks t JOIN contrib c USING (b)
+WHERE NOT t.is_t
+GROUP BY t.doc_id
+ORDER BY logw_micro DESC, doc_id
+LIMIT 100
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1414,4 +1500,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "text_containment_capped": (q_containment_capped, ORACLE_CONTAINMENT_CAPPED),
     "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "dedup_span_trim": (q_span_trim, ORACLE_SPAN_TRIM),
+    "sample_importance_dsir": (q_dsir_sample, ORACLE_DSIR_SAMPLE),
+    "dedup_semantic": (q_semantic_dedup, None),
 }

@@ -188,3 +188,34 @@ def test_source_overlap_matrix_includes_zero_pairs(spark):
     assert r12["jaccard"] == 0.5  # 1 / (1 + 2 - 1)
     assert out[("s1", "s3")]["n_common"] == 0
     assert out[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_span_trim_keeps_first_global_occurrence(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, shared + " t1 a b c d e f g"),
+        (2, shared + " t2 h i j k l m n"),
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 " + "x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.span_dedup_trim(df, span_words=8).collect()}
+    # doc1 is first in (doc_id, i) order -> keeps the shared span
+    assert out[1]["kept_spans"] == 2
+    assert out[1]["trimmed_text"] == shared + " t1 a b c d e f g"
+    # doc2 loses the shared span but keeps its own tail
+    assert out[2]["kept_spans"] == 1
+    assert out[2]["trimmed_text"] == "t2 h i j k l m n"
+    # within-doc repeat collapses to one occurrence
+    assert out[3]["kept_spans"] == 1
+    assert out[3]["trimmed_text"] == "x1 x2 x3 x4 x5 x6 x7 x8"
+
+
+def test_span_trim_fully_duplicated_doc_comes_back_empty(spark):
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [(1, span), (2, span)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.span_dedup_trim(df, span_words=8).collect()}
+    assert out[1]["trimmed_text"] == span
+    assert out[2]["kept_spans"] == 0 and out[2]["trimmed_text"] == ""
+    # every input doc appears even when fully trimmed
+    assert set(out) == {1, 2}

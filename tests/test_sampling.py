@@ -146,3 +146,48 @@ def test_drift_report_psi(spark):
     assert out["z"]["psi"] > 0.5
     total_psi = sum(r["psi"] for r in out.values())
     assert total_psi > 0.2  # the conventional drifted threshold
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.sampling import importance_resample_dsir
+
+    # target domain speaks vocab {alpha..delta}; raw pool has 3 docs in
+    # that vocab and 3 in a disjoint one — DSIR must rank the
+    # target-like raw docs first and never return target rows.
+    rows = [
+        (0, "t", "alpha beta gamma delta alpha beta"),
+        (1, "t", "beta alpha delta gamma beta alpha"),
+        (10, "r", "alpha beta gamma delta gamma"),
+        (11, "r", "delta gamma beta alpha alpha"),
+        (12, "r", "alpha delta beta gamma beta"),
+        (20, "r", "zulu yankee xray whiskey victor"),
+        (21, "r", "xray zulu whiskey yankee zulu"),
+        (22, "r", "victor whiskey zulu xray yankee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = importance_resample_dsir(
+        df, is_target=F.col("grp") == "t", n_keep=6
+    ).collect()
+    assert {r["doc_id"] for r in out[:3]} == {10, 11, 12}
+    w = {r["doc_id"]: r["logw_micro"] for r in out}
+    # every target-vocab raw doc outranks every disjoint-vocab one
+    assert min(w[10], w[11], w[12]) > max(w[20], w[21], w[22])
+    ws = [r["logw_micro"] for r in out]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_dsir_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.sampling import importance_resample_dsir
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = importance_resample_dsir(
+        docs, is_target=F.col("source") == "src0", n_keep=20
+    ).collect()
+    re = importance_resample_dsir(
+        docs.repartition(13, "doc_id"), is_target=F.col("source") == "src0", n_keep=20
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in re]

@@ -142,3 +142,56 @@ def test_quantized_topk_high_recall_vs_exact(spark):
         hits += len(want & got[qid])
         total += 5
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_semantic_dedup_greedy_matches_numpy_reference(spark):
+    from nypd_arrest_etl_spark.operators.similarity import semantic_dedup
+
+    rows = _vectors(seed=3, n=30)
+    # n_cells=1: every pair is compared, so the distributed result must
+    # equal a straight numpy greedy scan in id order
+    out = (
+        semantic_dedup(_df(spark, rows), threshold=0.98, n_cells=1)
+        .orderBy("vec_id")
+        .collect()
+    )
+    mat = np.array([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    kept, dup_of = [], {}
+    for i in range(len(rows)):
+        hit = next((j for j in kept if sims[i, j] >= 0.98), None)
+        if hit is None:
+            kept.append(i)
+        else:
+            dup_of[i] = hit
+    assert [r["kept"] for r in out] == [i in kept for i in range(len(rows))]
+    for r in out:
+        assert r["dup_of"] == dup_of.get(r["vec_id"])
+
+
+def test_semantic_dedup_pairs_never_cross_cells(spark):
+    from nypd_arrest_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.95, n_cells=8).collect()
+    cell = {r["vec_id"]: r["cell_id"] for r in out}
+    assert len(out) == emb.count()  # one row per input vector
+    for r in out:
+        if r["dup_of"] is not None:
+            assert not r["kept"]
+            assert cell[r["dup_of"]] == r["cell_id"]  # survivor in same cell
+            assert r["dup_of"] < r["vec_id"]  # survivor has lower id
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    from nypd_arrest_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = semantic_dedup(emb, n_cells=4).orderBy("vec_id").collect()
+    b = (
+        semantic_dedup(emb.repartition(17, "vec_id"), n_cells=4)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
