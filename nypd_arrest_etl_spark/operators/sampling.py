@@ -433,3 +433,58 @@ def importance_resample_dsir(
         .orderBy(F.col("logw_micro").desc(), "doc_id")
         .limit(n_keep)
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual/multi-source
+    sampling rule from T5/mT5: sample source i with p_i proportional to
+    n_i^alpha, alpha < 1 upweighting small sources), plus the planning
+    columns a training run wants: expected token allocation under a
+    budget and the implied epoch count (allocation / corpus size —
+    epochs > 1 flags sources the schedule will repeat).
+
+    Engine-exactness: per-source token totals are integer sums; the
+    alpha-power is integer-micro-ized (``round(n^alpha * 1e6)`` BIGINT)
+    BEFORE the denominator sum, so the normalization is integer
+    arithmetic — no float-accumulation order dependence — and weights /
+    allocations round identically in any engine.
+
+    Scale (100 TB): token counting is a narrow projection; ONE shuffle
+    to O(sources) rows; the normalization joins a broadcast 1-row
+    total. Nothing doc-grain ever moves again.
+    """
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    )
+    per_src = (
+        df.select(F.col(source_col).alias("source"), toks.alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn(
+            "pow_micro",
+            F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1_000_000)
+            .cast("long"),
+        )
+    )
+    total = per_src.agg(F.sum("pow_micro").alias("t"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("pow_micro") / F.col("t"), 6).alias("weight"),
+            F.round(F.lit(token_budget) * F.col("pow_micro") / F.col("t"))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6)
+        )
+        .orderBy("source")
+    )

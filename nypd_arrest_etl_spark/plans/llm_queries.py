@@ -1455,6 +1455,39 @@ LIMIT 100
 """
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style temperature-scaled source mixture (alpha=0.3) with
+    token allocations under a 1M-token budget."""
+    from nypd_arrest_etl_spark.operators import sampling as S
+
+    return S.mixture_temperature_weights(
+        t(spark, sf_dir, "documents"), alpha=0.3, token_budget=1_000_000
+    )
+
+
+# Integer token totals -> micro-ized n^alpha -> integer denominator sum;
+# weights and allocations replay exactly.
+ORACLE_MIXTURE_TEMPERATURE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_tokens,
+         CAST(round(pow(n_tokens, 0.3) * 1000000) AS BIGINT) AS pow_micro
+  FROM per
+), tot AS (SELECT CAST(sum(pow_micro) AS BIGINT) AS t FROM p)
+SELECT source, n_tokens,
+       round(pow_micro * 1.0 / t, 6) AS weight,
+       CAST(round(1000000 * pow_micro * 1.0 / t) AS BIGINT) AS alloc_tokens,
+       round(CAST(round(1000000 * pow_micro * 1.0 / t) AS BIGINT) * 1.0 / n_tokens,
+             6) AS epochs
+FROM p, tot
+ORDER BY source
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1503,4 +1536,5 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_span_trim": (q_span_trim, ORACLE_SPAN_TRIM),
     "sample_importance_dsir": (q_dsir_sample, ORACLE_DSIR_SAMPLE),
     "dedup_semantic": (q_semantic_dedup, None),
+    "mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
 }

@@ -191,3 +191,30 @@ def test_dsir_partitioning_invariant(spark):
         docs.repartition(13, "doc_id"), is_target=F.col("source") == "src0", n_keep=20
     ).collect()
     assert [tuple(r) for r in base] == [tuple(r) for r in re]
+
+
+def test_mixture_temperature_flattens_toward_small_sources(spark):
+    from nypd_arrest_etl_spark.operators.sampling import mixture_temperature_weights
+
+    rows = [(f"d{i}", "big", "w " * 100) for i in range(10)] + [
+        ("s1", "small", "w " * 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    flat = {
+        r["source"]: r
+        for r in mixture_temperature_weights(df, alpha=0.3).collect()
+    }
+    prop = {
+        r["source"]: r
+        for r in mixture_temperature_weights(df, alpha=1.0).collect()
+    }
+    # alpha=1 is proportional: big has 1000 of 1010 tokens
+    assert abs(prop["big"]["weight"] - 1000 / 1010) < 1e-6
+    # alpha<1 upweights the small source vs proportional
+    assert flat["small"]["weight"] > prop["small"]["weight"]
+    # weights sum to ~1 and allocations to ~budget
+    assert abs(sum(r["weight"] for r in flat.values()) - 1.0) < 1e-5
+    assert abs(sum(r["alloc_tokens"] for r in flat.values()) - 1_000_000) <= 2
+    # epochs = allocation over corpus size
+    small = flat["small"]
+    assert small["epochs"] == round(small["alloc_tokens"] / small["n_tokens"], 6)
