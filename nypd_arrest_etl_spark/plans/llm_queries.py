@@ -1296,12 +1296,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     clusters = D.connected_components(D.jaccard_pairs(docs, threshold=0.8, n=4))
-    quality = TX.quality_score(docs)
+    # quality_score is a pure projection carrying every doc_id, so it
+    # doubles as the doc universe: one left join against the (tiny)
+    # cluster labels instead of a doc-list scan plus two joins.
     labeled = (
-        docs.select("doc_id")
+        TX.quality_score(docs)
         .join(clusters, "doc_id", "left")
         .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col("doc_id")))
-        .join(quality, "doc_id")
     )
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("quality").desc(), F.col("doc_id")

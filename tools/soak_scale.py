@@ -54,6 +54,8 @@ QUERIES = [
     "text_containment_capped",  # same with the max_df hot-bucket cap
     "similarity_ann_lsh",       # random-hyperplane bucketed ANN
     "dedup_span_stats",         # tumbling-span explode + span-hash join
+    "dedup_span_trim",          # span first-occurrence window + doc reassembly
+    "sample_importance_dsir",   # token-grain bucket model + scoring shuffle
     "cdc_orders_diff",          # full-outer snapshot diff on the fact key
     "dedup_source_overlap",     # fingerprint-equality cross-source self-join
     "outlier_values",           # two-pass exact-percentile aggs + broadcast
@@ -63,6 +65,11 @@ QUERIES = [
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
+    # (dedup_semantic is excluded by design: the registered query pins
+    # n_cells=16, so a 100x corpus makes each cell 100x bigger and the
+    # per-cell |cell|^2 kernel 10^4x — the SemDeDup contract is that
+    # n_cells scales with the corpus; soaking the fixed-cell query
+    # would measure a misconfiguration, not the operator)
 ]
 
 
