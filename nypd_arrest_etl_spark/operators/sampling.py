@@ -378,18 +378,21 @@ def importance_resample_dsir(
     rationals; a libm ulp flips the micro-rounding only on an exact
     .5 boundary (measure-zero, same exposure BM25 accepts).
 
-    Scale (100 TB): the bucket model is ONE token-grain groupBy whose
-    map-side partial agg collapses to <= n_buckets rows per task
-    before the shuffle — the shuffle moves O(tasks * n_buckets), not
-    O(tokens). The model (n_buckets rows) broadcasts to the scoring
-    join, so scoring is map-side; the per-doc sum is the one real
-    token-grain shuffle, with partial aggregation. Top-n is
-    TakeOrderedAndProject. Growing the target corpus changes nothing
-    structurally — it only feeds the same bucket counts.
+    Scale (100 TB): the token explode is aggregated to (doc, bucket,
+    count) grain — at most min(n_toks, n_buckets) rows per doc — and
+    everything downstream (bucket model, count-weighted scoring sum)
+    works on that histogram, so shuffles move histograms, never raw
+    tokens. The plan keeps the model and scoring branches as separate
+    scans ON PURPOSE: the scoring branch's NOT-target predicate then
+    pushes into its parquet scan (caching the histogram would block
+    that); a deployment where tokenization dominates caches doc_hist
+    instead and trades the pushdown away. The model (n_buckets rows)
+    broadcasts to the scoring join, so scoring is map-side over the
+    histogram. Top-n is TakeOrderedAndProject.
     """
     from nypd_arrest_etl_spark.operators.dedup import portable_str_hash60
 
-    toks = (
+    doc_hist = (
         df.select(
             F.col(id_col).alias("doc_id"),
             is_target.alias("is_t"),
@@ -404,10 +407,12 @@ def importance_resample_dsir(
             "is_t",
             F.pmod(portable_str_hash60(F.lower("tok")), F.lit(n_buckets)).alias("b"),
         )
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count("*").alias("cnt"))
     )
-    model = toks.groupBy("b").agg(
-        F.sum(F.col("is_t").cast("long")).alias("ct"),
-        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    model = doc_hist.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_t"), F.col("cnt")).otherwise(0)).alias("cr"),
     )
     totals = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     contrib = model.crossJoin(F.broadcast(totals)).select(
@@ -423,12 +428,12 @@ def importance_resample_dsir(
         .alias("w"),
     )
     return (
-        toks.filter(~F.col("is_t"))
+        doc_hist.filter(~F.col("is_t"))
         .join(F.broadcast(contrib), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_toks"),
-            F.sum("w").alias("logw_micro"),
+            F.sum("cnt").alias("n_toks"),
+            F.sum(F.col("w") * F.col("cnt")).alias("logw_micro"),
         )
         .orderBy(F.col("logw_micro").desc(), "doc_id")
         .limit(n_keep)
