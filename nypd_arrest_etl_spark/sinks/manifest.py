@@ -66,6 +66,16 @@ the Delta Lake VLDB'20 paper and the Iceberg spec):
   candidate files, only those rewrite, per-ref metadata surgery keeps
   everything else by reference; change feeds refuse delete/update
   ranges explicitly (retractions are inexpressible row-add-side).
+- **Merge-on-read DELETE** (round 4, the Iceberg v2 positional-delete
+  shape): ``delete_where_mor`` writes O(matched rows) tombstones —
+  (file, row-position) parquet + one delete manifest — instead of
+  rewriting candidate files; every reader (``Snapshot.read``, the
+  ``manifest_table`` DataSource, COW rewrites, the txn merge's
+  anti-join) applies them. Rewrites MATERIALIZE tombstones as they
+  re-pack (and redo if a concurrent MOR delete lands mid-rewrite);
+  ``materialize_deletes`` folds them eagerly by rewriting only the
+  tombstoned files. Tombstones on files that leave the table are
+  inert by construction (position keys reference dead paths).
 - **Layout management** (round 4): ``cluster_table`` (OPTIMIZE ZORDER)
   and ``compact_table``, with Iceberg RewriteFiles conflict resolution
   against concurrent appenders; ``history()`` (DESCRIBE HISTORY);
@@ -312,6 +322,36 @@ def _write_content_manifest(table_path: str, files: list[str], stats: dict) -> d
     }
 
 
+def _file_uri_prefix(table_path: str) -> str:
+    """The prefix Spark's ``_metadata.file_path`` puts before a
+    table-relative path for this table (``file:`` + absolute path +
+    ``/``). Delete files store table-RELATIVE paths so the table stays
+    relocatable; this prefix bridges to the scan-time URI."""
+    return "file:" + os.path.abspath(table_path) + "/"
+
+
+def _write_delete_manifest(
+    table_path: str, files: list[str], data_files: set[str]
+) -> dict:
+    """Write an immutable delete manifest (merge-on-read tombstones):
+    ``files`` are parquet files of (_df_file, _df_pos) rows under
+    data/; ``data_files`` are the table-relative data files those
+    positions point into — recorded so commit-time validity checks and
+    vacuum/materialization can reason about reference liveness without
+    opening the parquet."""
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    body = {"files": sorted(files), "data_files": sorted(data_files)}
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    return {"path": name, "kind": "deletes", "n_files": len(files)}
+
+
 def _load_content_manifest(table_path: str, name: str) -> dict:
     with open(os.path.join(_manifest_dir(table_path), name)) as f:
         return json.load(f)
@@ -415,10 +455,12 @@ class Snapshot:
         self.operation = manifest.get("operation")
         spec = manifest.get("partition_spec")
         self.partition_spec = tuple(spec) if spec else None
+        self.delete_refs = list(manifest.get("delete_manifests", []))
         self.manifests_opened = 0
         self._bodies: dict[int, dict] = {}
         self._files: list[str] | None = None
         self._stats: dict | None = None
+        self._delete_bodies: list[dict] | None = None
 
     def _body(self, i: int) -> dict:
         if i not in self._bodies:
@@ -463,6 +505,55 @@ class Snapshot:
             )
         return sorted(kept)
 
+    def _delete_manifest_bodies(self) -> list[dict]:
+        if self._delete_bodies is None:
+            self._delete_bodies = [
+                _load_content_manifest(self.table_path, r["path"])
+                for r in self.delete_refs
+            ]
+        return self._delete_bodies
+
+    @property
+    def delete_files(self) -> list[str]:
+        """Merge-on-read delete files (parquet of (_df_file, _df_pos))."""
+        return sorted(
+            f for b in self._delete_manifest_bodies() for f in b["files"]
+        )
+
+    @property
+    def delete_data_files(self) -> set[str]:
+        """Data files that live delete entries point at."""
+        return {
+            f for b in self._delete_manifest_bodies() for f in b["data_files"]
+        }
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Drop rows tombstoned by merge-on-read delete files: anti-join
+        on (table-relative file path, row position). ``df`` must come
+        from ``_scan`` so ``_metadata`` is addressable. Delete sets are
+        small relative to data (that is the point of MOR) — AQE plans
+        the anti-join broadcast when they are."""
+        if not self.delete_refs:
+            return df
+        tomb = spark.read.parquet(
+            *[os.path.join(self.table_path, f) for f in self.delete_files]
+        )
+        prefix_len = len(_file_uri_prefix(self.table_path))
+        keyed = df.withColumns(
+            {
+                "__df_file": F.col("_metadata.file_path").substr(
+                    F.lit(prefix_len + 1), F.lit(4096)
+                ),
+                "__df_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return keyed.join(
+            tomb,
+            (keyed["__df_file"] == tomb["_df_file"])
+            & (keyed["__df_pos"] == tomb["_df_pos"]),
+            "left_anti",
+        ).drop("__df_file", "__df_pos")
+
     @property
     def n_files(self) -> int:
         """File count without loading content manifests."""
@@ -484,7 +575,7 @@ class Snapshot:
             # All files skipped: empty result with the full-scan schema.
             full = self._scan(spark, self.files)
             return full.filter(F.lit(False))
-        df = self._scan(spark, files)
+        df = self._apply_deletes(spark, self._scan(spark, files))
         if filters:
             df = df.filter(_filters_to_column(filters))
         return df
@@ -549,11 +640,14 @@ def _commit_refs(
     operation: str,
     schema: list[dict] | None = None,
     partition_spec: list | None = None,
+    delete_refs: list[dict] | None = None,
 ) -> int:
     """The atomic claim, manifest-list form: version N+1 = these
     content-manifest refs. ``partition_spec`` carries the table's
     declared ``(col, transform)`` forward so the layout contract is
-    self-describing metadata, like Iceberg's partition spec."""
+    self-describing metadata, like Iceberg's partition spec.
+    ``delete_refs`` are the version's live merge-on-read delete
+    manifests (omitted key when empty)."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     new_version = 0 if base_version is None else base_version + 1
@@ -566,6 +660,8 @@ def _commit_refs(
     }
     if partition_spec is not None:
         manifest["partition_spec"] = list(partition_spec)
+    if delete_refs:
+        manifest["delete_manifests"] = list(delete_refs)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -723,6 +819,7 @@ def append(
                 "append",
                 schema=schema,
                 partition_spec=spec,
+                delete_refs=snap.delete_refs if snap is not None else None,
             )
         except CommitConflict:
             continue
@@ -813,6 +910,7 @@ def merge_insert_if_absent_txn(
                 "merge",
                 schema=schema,
                 partition_spec=spec,
+                delete_refs=snap.delete_refs if snap is not None else None,
             )
             return n, v
         except CommitConflict:
@@ -837,35 +935,52 @@ def _rewrite_commit(
     writers who won the race in between are carried forward, not lost.
     ``write_df`` maps the snapshot's DataFrame to the laid-out
     DataFrame to write. Returns the committed version."""
-    base = snapshot(table_path)
-    if base is None or not base.n_files:
-        raise ValueError(f"{table_path} has no committed data to rewrite")
-    rewritten_paths = {r["path"] for r in base.refs if r.get("path")}
-    laid_out = write_df(base.read(spark))
-    new_files, new_stats = _write_data_files(laid_out, table_path)
-    new_ref = _write_content_manifest(table_path, new_files, new_stats)
     for _ in range(max_retries):
-        snap = snapshot(table_path)
-        # Concurrent appends since the base: their manifests are not in
-        # rewritten_paths, so they survive the replacement untouched.
-        # Pathless (legacy inline) refs can only be the base's own
-        # metadata — rewritten by definition, never carried.
-        carried = [
-            r
-            for r in snap.refs
-            if r.get("path") and r["path"] not in rewritten_paths
-        ]
-        try:
-            return _commit_refs(
-                table_path,
-                [new_ref] + carried,
-                snap.version,
-                operation,
-                schema=snap.schema,
-                partition_spec=snap.partition_spec,
-            )
-        except CommitConflict:
-            continue
+        base = snapshot(table_path)
+        if base is None or not base.n_files:
+            raise ValueError(f"{table_path} has no committed data to rewrite")
+        rewritten_paths = {r["path"] for r in base.refs if r.get("path")}
+        base_delete_paths = {r["path"] for r in base.delete_refs}
+        # base.read applies the base's merge-on-read tombstones, so the
+        # rewrite MATERIALIZES them: the new files lack the deleted
+        # rows and the base's delete manifests are dropped from the
+        # committed version.
+        laid_out = write_df(base.read(spark))
+        new_files, new_stats = _write_data_files(laid_out, table_path)
+        new_ref = _write_content_manifest(table_path, new_files, new_stats)
+        redo = False
+        for _ in range(max_retries):
+            snap = snapshot(table_path)
+            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+                # A concurrent MOR delete tombstoned rows in files we
+                # just re-packed WITHOUT honoring it — committing would
+                # resurrect them. Abandon the written files (vacuum
+                # reclaims) and redo the rewrite on the fresh snapshot.
+                redo = True
+                break
+            # Concurrent appends since the base: their manifests are not
+            # in rewritten_paths, so they survive the replacement
+            # untouched. Pathless (legacy inline) refs can only be the
+            # base's own metadata — rewritten by definition, never
+            # carried.
+            carried = [
+                r
+                for r in snap.refs
+                if r.get("path") and r["path"] not in rewritten_paths
+            ]
+            try:
+                return _commit_refs(
+                    table_path,
+                    [new_ref] + carried,
+                    snap.version,
+                    operation,
+                    schema=snap.schema,
+                    partition_spec=snap.partition_spec,
+                )
+            except CommitConflict:
+                continue
+        if not redo:
+            break
     raise CommitConflict(f"{operation} of {table_path} lost {max_retries} races")
 
 
@@ -954,7 +1069,7 @@ def read_changes(
         raise ValueError(f"bad version range [{from_version}, {to_v}]")
     for v in range(from_version + 1, to_v + 1):
         op = _load_manifest(table_path, v).get("operation")
-        if op in ("cluster", "compact", "delete", "update"):
+        if op in ("cluster", "compact", "delete", "update", "delete_mor", "materialize"):
             raise ValueError(
                 f"version {v} is a {op} commit; file-diff changes are only "
                 "valid across append/merge commits — re-baseline from "
@@ -1042,6 +1157,187 @@ def delete_where(
     )
 
 
+def _write_delete_files(df: DataFrame, table_path: str) -> list[str]:
+    """Write (_df_file, _df_pos) tombstone rows as parquet under data/
+    and return table-relative paths. Like data files, invisible until
+    a version references them; orphans reclaimed by vacuum."""
+    sub = os.path.join(_DATA_DIR, "deletes-" + uuid.uuid4().hex)
+    out_dir = os.path.join(table_path, sub)
+    df.coalesce(1).write.mode("error").parquet(out_dir)
+    return [
+        os.path.relpath(os.path.join(root, f), table_path)
+        for root, _dirs, fs in os.walk(out_dir)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    filters,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Merge-on-read DELETE (Iceberg v2 positional-delete shape): rows
+    matching ``filters`` are TOMBSTONED — a small parquet of
+    (file, row-position) pairs plus one delete manifest — and every
+    reader anti-joins them out; no data file is rewritten.
+
+    This is the delete a 100 TB table wants for small/frequent
+    takedowns: copy-on-write ``delete_where`` rewrites every candidate
+    file (write cost = candidate bytes), MOR writes O(matched rows)
+    bytes and O(1) metadata, moving the cost to a small anti-join at
+    read time. Accumulated tombstones are folded away by
+    ``materialize_deletes`` (or any ``compact_table``/
+    ``cluster_table`` rewrite, which applies them as it re-packs).
+
+    Positions are stable because data files are immutable; a tombstone
+    can only go stale if its file LEAVES the table (concurrent
+    rewrite) — the commit loop re-checks that every referenced file is
+    still live and recomputes from the fresh snapshot when not.
+    Tombstoning the same predicate twice is a no-op (already-deleted
+    rows are excluded before matching). Change feeds refuse
+    ``delete_mor`` ranges exactly like COW deletes (retractions are
+    inexpressible row-add-side). Returns (rows_deleted, version)."""
+    for _ in range(max_retries):
+        base = snapshot(table_path)
+        if base is None or not base.n_files:
+            return 0, base.version if base is not None else -1
+        candidates = sorted(set(base.prune(filters)))
+        if not candidates:
+            return 0, base.version
+        pred = _filters_to_column(filters)
+        prefix_len = len(_file_uri_prefix(table_path))
+        keyed = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, f) for f in candidates]
+        )
+        keyed = keyed.select(
+            "*",
+            F.col("_metadata.file_path")
+            .substr(F.lit(prefix_len + 1), F.lit(4096))
+            .alias("_df_file"),
+            F.col("_metadata.row_index").alias("_df_pos"),
+        )
+        if base.delete_refs:
+            tomb = spark.read.parquet(
+                *[os.path.join(table_path, f) for f in base.delete_files]
+            )
+            keyed = keyed.join(tomb, ["_df_file", "_df_pos"], "left_anti")
+        matches = (
+            keyed.filter(F.coalesce(pred, F.lit(False)))
+            .select("_df_file", "_df_pos")
+            .localCheckpoint(eager=True)
+        )
+        n = matches.count()
+        if n == 0:
+            return 0, base.version
+        data_files = {
+            r["_df_file"] for r in matches.select("_df_file").distinct().collect()
+        }
+        del_files = _write_delete_files(matches, table_path)
+        del_ref = _write_delete_manifest(table_path, del_files, data_files)
+        redo = False
+        for _ in range(max_retries):
+            snap = snapshot(table_path)
+            if not data_files <= set(snap.files):
+                # A concurrent rewrite replaced a tombstoned file: our
+                # positions point at a dead file while the replacement
+                # re-contains the rows. Recompute against it.
+                redo = True
+                break
+            try:
+                v = _commit_refs(
+                    table_path,
+                    _carry_refs(snap),
+                    snap.version,
+                    "delete_mor",
+                    schema=snap.schema,
+                    partition_spec=snap.partition_spec,
+                    delete_refs=snap.delete_refs + [del_ref],
+                )
+                return n, v
+            except CommitConflict:
+                continue
+        if not redo:
+            break
+    raise CommitConflict(f"delete_mor on {table_path} lost {max_retries} races")
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    table_path: str,
+    max_retries: int = 5,
+) -> int:
+    """Fold merge-on-read tombstones into the data: rewrite ONLY the
+    data files that live delete entries point at (tombstoned rows
+    dropped), carry every other file by reference, and commit with no
+    delete manifests. The read-side anti-join disappears until the
+    next ``delete_where_mor``. Data-preserving for surviving rows
+    (the streaming source skips it like compact; ``read_changes``
+    re-baselines). Returns the committed version, or the current one
+    when there is nothing to fold."""
+    for _ in range(max_retries):
+        base = snapshot(table_path)
+        if base is None or not base.delete_refs:
+            return base.version if base is not None else -1
+        affected = sorted(set(base.files) & base.delete_data_files)
+        base_delete_paths = {r["path"] for r in base.delete_refs}
+        new_ref: list[dict] = []
+        if affected:
+            out_df = base._apply_deletes(
+                spark,
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(table_path, f) for f in affected]
+                ),
+            ).localCheckpoint(eager=True)
+            new_files, new_stats = _write_data_files(out_df, table_path)
+            if new_files:
+                new_ref = [
+                    _write_content_manifest(table_path, new_files, new_stats)
+                ]
+        affected_set = set(affected)
+
+        def _strip(ref: dict) -> dict | None:
+            body = _load_content_manifest(table_path, ref["path"])
+            if not affected_set & set(body["files"]):
+                return ref
+            keep = [f for f in body["files"] if f not in affected_set]
+            if not keep:
+                return None
+            stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
+            return _write_content_manifest(table_path, keep, stats)
+
+        base_paths = {r["path"] for r in base.refs if r.get("path")}
+        stripped = [s for r in _carry_refs(base) if (s := _strip(r)) is not None]
+        redo = False
+        for _ in range(max_retries):
+            snap = snapshot(table_path)
+            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+                redo = True  # new tombstones arrived; fold those too
+                break
+            later = [
+                r
+                for r in snap.refs
+                if r.get("path") and r["path"] not in base_paths
+            ]
+            try:
+                return _commit_refs(
+                    table_path,
+                    stripped + new_ref + later,
+                    snap.version,
+                    "materialize",
+                    schema=snap.schema,
+                    partition_spec=snap.partition_spec,
+                )
+            except CommitConflict:
+                continue
+        if not redo:
+            break
+    raise CommitConflict(
+        f"materialize_deletes on {table_path} lost {max_retries} races"
+    )
+
+
 def _rewrite_rows_where(
     spark: SparkSession,
     table_path: str,
@@ -1051,60 +1347,83 @@ def _rewrite_rows_where(
     max_retries: int,
 ) -> tuple[int, int]:
     """Shared copy-on-write core for delete_where/update_where."""
-    base = snapshot(table_path)
-    if base is None or not base.n_files:
-        return 0, base.version if base is not None else -1
-    candidates = set(base.prune(filters))
-    if not candidates:
-        return 0, base.version
-    pred = _filters_to_column(filters)
-    cand_df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_path, f) for f in sorted(candidates)]
-    )
-    n_changed = cand_df.filter(F.coalesce(pred, F.lit(False))).count()
-    if n_changed == 0:
-        return 0, base.version
-    out_df = apply_fn(cand_df, pred).localCheckpoint(eager=True)
-    new_files, new_stats = _write_data_files(out_df, table_path)
-    new_ref = (
-        [_write_content_manifest(table_path, new_files, new_stats)]
-        if new_files
-        else []
-    )
-
-    def _strip(ref: dict) -> dict | None:
-        """Metadata surgery: drop candidate files from a ref; None if
-        nothing remains. Refs with no candidates return unchanged."""
-        body = _load_content_manifest(table_path, ref["path"])
-        if not candidates & set(body["files"]):
-            return ref
-        keep = [f for f in body["files"] if f not in candidates]
-        if not keep:
-            return None
-        stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
-        return _write_content_manifest(table_path, keep, stats)
-
-    base_paths = {r["path"] for r in base.refs if r.get("path")}
-    stripped = [s for r in _carry_refs(base) if (s := _strip(r)) is not None]
     for _ in range(max_retries):
-        snap = snapshot(table_path)
-        later = [
-            r
-            for r in snap.refs
-            if r.get("path") and r["path"] not in base_paths
-        ]
-        try:
-            v = _commit_refs(
-                table_path,
-                stripped + new_ref + later,
-                snap.version,
-                operation,
-                schema=snap.schema,
-                partition_spec=snap.partition_spec,
-            )
-            return n_changed, v
-        except CommitConflict:
-            continue
+        base = snapshot(table_path)
+        if base is None or not base.n_files:
+            return 0, base.version if base is not None else -1
+        candidates = set(base.prune(filters))
+        if not candidates:
+            return 0, base.version
+        pred = _filters_to_column(filters)
+        # _apply_deletes: rows already tombstoned by merge-on-read
+        # deletes must not be resurrected into the rewritten files
+        # (and must not count as changed).
+        cand_df = base._apply_deletes(
+            spark,
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(table_path, f) for f in sorted(candidates)]
+            ),
+        )
+        n_changed = cand_df.filter(F.coalesce(pred, F.lit(False))).count()
+        if n_changed == 0:
+            return 0, base.version
+        out_df = apply_fn(cand_df, pred).localCheckpoint(eager=True)
+        new_files, new_stats = _write_data_files(out_df, table_path)
+        new_ref = (
+            [_write_content_manifest(table_path, new_files, new_stats)]
+            if new_files
+            else []
+        )
+
+        def _strip(ref: dict) -> dict | None:
+            """Metadata surgery: drop candidate files from a ref; None
+            if nothing remains. Refs with no candidates return
+            unchanged."""
+            body = _load_content_manifest(table_path, ref["path"])
+            if not candidates & set(body["files"]):
+                return ref
+            keep = [f for f in body["files"] if f not in candidates]
+            if not keep:
+                return None
+            stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
+            return _write_content_manifest(table_path, keep, stats)
+
+        base_paths = {r["path"] for r in base.refs if r.get("path")}
+        base_delete_paths = {r["path"] for r in base.delete_refs}
+        stripped = [s for r in _carry_refs(base) if (s := _strip(r)) is not None]
+        redo = False
+        for _ in range(max_retries):
+            snap = snapshot(table_path)
+            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+                # Concurrent MOR delete since our read: its tombstones
+                # may hit candidate files we re-packed without honoring
+                # it. Recompute from the fresh snapshot.
+                redo = True
+                break
+            later = [
+                r
+                for r in snap.refs
+                if r.get("path") and r["path"] not in base_paths
+            ]
+            try:
+                v = _commit_refs(
+                    table_path,
+                    stripped + new_ref + later,
+                    snap.version,
+                    operation,
+                    schema=snap.schema,
+                    partition_spec=snap.partition_spec,
+                    # Rewritten candidate files make their tombstones
+                    # inert (the files left the table); tombstones on
+                    # untouched files must keep applying — carry the
+                    # delete manifests verbatim.
+                    delete_refs=snap.delete_refs,
+                )
+                return n_changed, v
+            except CommitConflict:
+                continue
+        if not redo:
+            break
     raise CommitConflict(f"{operation} on {table_path} lost {max_retries} races")
 
 
@@ -1175,7 +1494,9 @@ def vacuum(
     for v in keep:
         snap = Snapshot(table_path, v, _load_manifest(table_path, v))
         live.update(snap.files)
+        live.update(snap.delete_files)  # MOR tombstone parquets
         live_manifests.update(r["path"] for r in snap.refs if r.get("path"))
+        live_manifests.update(r["path"] for r in snap.delete_refs)
     cutoff = time.time() - retention_seconds
     deleted = 0
     data_root = os.path.join(table_path, _DATA_DIR)

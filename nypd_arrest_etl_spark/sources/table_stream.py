@@ -41,8 +41,11 @@ from nypd_arrest_etl_spark.sinks import manifest as M
 
 
 class FilePartition(InputPartition):
-    def __init__(self, full_path: str):
+    def __init__(self, full_path: str, drop_positions: list[int] | None = None):
         self.full_path = full_path
+        # merge-on-read tombstones scoped to this file (row positions
+        # to mask out); None/empty for tombstone-free files
+        self.drop_positions = drop_positions
 
 
 def _table_schema_ddl(table_path: str) -> str:
@@ -58,11 +61,24 @@ def _arrow_fields(schema) -> list[tuple[str, pa.DataType]]:
     return [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
 
 
-def _read_file_as_batches(full_path: str, fields: list[tuple[str, pa.DataType]]):
+def _read_file_as_batches(
+    full_path: str,
+    fields: list[tuple[str, pa.DataType]],
+    drop_positions: list[int] | None = None,
+):
     """Executor-side file read, padded to the table schema: an old
     file predating an added nullable column yields that column as
-    TYPED nulls (the streaming twin of the mergeSchema read)."""
+    TYPED nulls (the streaming twin of the mergeSchema read). With
+    ``drop_positions``, merge-on-read tombstoned rows are masked out
+    by file row position before the batch is emitted."""
     tbl = pq.read_table(full_path)
+    if drop_positions:
+        import numpy as np
+
+        mask = np.ones(len(tbl), dtype=bool)
+        idx = np.asarray(drop_positions, dtype="int64")
+        mask[idx[idx < len(tbl)]] = False
+        tbl = tbl.filter(pa.array(mask))
     cols = []
     for name, typ in fields:
         if name in tbl.column_names:
@@ -121,10 +137,25 @@ class ManifestBatchReader(DataSourceReader):
         files = (
             snap.prune(self.skip_filters) if self.skip_filters else snap.files
         )
-        return [FilePartition(os.path.join(self.table_path, f)) for f in files]
+        # Merge-on-read tombstones: load the (small) position sets
+        # driver-side and hand each partition its file's mask, so the
+        # executor read stays a single-file operation.
+        tombs: dict[str, list[int]] = {}
+        for dfile in snap.delete_files:
+            dt = pq.read_table(os.path.join(self.table_path, dfile))
+            for df_file, df_pos in zip(
+                dt.column("_df_file").to_pylist(), dt.column("_df_pos").to_pylist()
+            ):
+                tombs.setdefault(df_file, []).append(df_pos)
+        return [
+            FilePartition(os.path.join(self.table_path, f), tombs.get(f))
+            for f in files
+        ]
 
     def read(self, partition: FilePartition):
-        yield from _read_file_as_batches(partition.full_path, self.fields)
+        yield from _read_file_as_batches(
+            partition.full_path, self.fields, partition.drop_positions
+        )
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -166,7 +197,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 M.Snapshot(self.table_path, v, manifest).files
             )
             op = manifest.get("operation")
-            if op in ("delete", "update"):
+            if op in ("delete", "update", "delete_mor"):
                 # A delete REMOVES rows this stream already emitted; a
                 # row-add feed cannot express the retraction. Fail loud
                 # so the consumer re-baselines past it (startingVersion).
@@ -175,7 +206,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "insert-only streaming cannot express retractions — "
                     f"restart the stream with startingVersion={v}"
                 )
-            if op in ("cluster", "compact"):
+            if op in ("cluster", "compact", "materialize"):
                 # Data-preserving rewrite: its added files re-pack rows
                 # already emitted by earlier versions — skip them, but
                 # advance the baseline so the NEXT diff is correct.

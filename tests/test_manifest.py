@@ -860,3 +860,119 @@ def test_update_where_transforms_only_matching_rows(spark, tmp_path):
     assert lo_files <= set(snap.files)  # non-candidate file untouched
     with pytest.raises(ValueError, match="re-baseline"):
         M.read_changes(spark, t, 0)
+
+
+def test_mor_delete_tombstones_without_rewriting_files(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.append(spark, _df(spark, [("c", 3), ("d", 4)]), t)
+    files_before = M.snapshot(t).files
+    n, v = M.delete_where_mor(spark, t, [("arrest_key", "=", "b")])
+    assert (n, v) == (1, 2)
+    snap = M.snapshot(t)
+    # zero data files rewritten: the file list is IDENTICAL
+    assert snap.files == files_before
+    assert len(snap.delete_refs) == 1
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == [
+        "a",
+        "c",
+        "d",
+    ]
+    # pruned reads apply tombstones too
+    got = snap.read(spark, filters=[("v", "<=", 2)]).collect()
+    assert sorted(r["arrest_key"] for r in got) == ["a"]
+    # the DataSource batch path masks tombstoned positions as well
+    register_manifest_table(spark)
+    ds = spark.read.format("manifest_table").option("path", t).load()
+    assert sorted(r["arrest_key"] for r in ds.collect()) == ["a", "c", "d"]
+    # time travel BEFORE the delete still sees the row
+    old = M.snapshot(t, version=1)
+    assert sorted(r["arrest_key"] for r in old.read(spark).collect()) == [
+        "a",
+        "b",
+        "c",
+        "d",
+    ]
+
+
+def test_mor_delete_is_idempotent_and_stacks(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    n1, v1 = M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    assert (n1, v1) == (1, 1)
+    # same predicate again: already tombstoned -> no-op, no new version
+    n2, v2 = M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    assert (n2, v2) == (0, 1)
+    # a second delete STACKS with the first
+    n3, _ = M.delete_where_mor(spark, t, [("v", ">=", 3)])
+    assert n3 == 1
+    snap = M.snapshot(t)
+    assert len(snap.delete_refs) == 2
+    assert [r["arrest_key"] for r in snap.read(spark).collect()] == ["b"]
+
+
+def test_mor_tombstones_survive_cow_update_and_merge(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "b")])
+    # COW update on ANOTHER row must not resurrect the tombstoned one
+    n, _ = M.update_where(spark, t, [("arrest_key", "=", "c")], {"v": 30})
+    assert n == 1
+    got = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert got == {"a": 1, "c": 30}
+    # the merge's anti-join sees the key as absent: re-insert allowed
+    ins, _ = M.merge_insert_if_absent_txn(spark, _df(spark, [("b", 99)]), t)
+    assert ins == 1
+    got = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert got == {"a": 1, "b": 99, "c": 30}
+
+
+def test_materialize_deletes_folds_tombstones_into_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.append(spark, _df(spark, [("c", 3)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    v = M.materialize_deletes(spark, t)
+    snap = M.snapshot(t)
+    assert snap.version == v and snap.operation == "materialize"
+    assert snap.delete_refs == []
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == ["b", "c"]
+    # only the tombstoned file was rewritten; the ("c") file survived
+    assert any("deletes-" not in f for f in snap.files)
+    # nothing to fold -> no new version
+    assert M.materialize_deletes(spark, t) == v
+    # after the fold, tombstone parquets are vacuum-able orphans
+    deleted = M.vacuum(t, keep_versions=1, retention_seconds=0.0)
+    assert deleted > 0
+    assert sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect()) == [
+        "b",
+        "c",
+    ]
+
+
+def test_compact_applies_and_clears_mor_tombstones(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.append(spark, _df(spark, [("c", 3)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "b")])
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    snap = M.snapshot(t)
+    assert snap.delete_refs == []
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == ["a", "c"]
+
+
+def test_mor_delete_breaks_change_feeds_and_stream(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    M.append(spark, _df(spark, [("b", 2)]), t)
+    with _pytest.raises(ValueError, match="delete_mor"):
+        M.read_changes(spark, t, from_version=0)
+    # materialize IS data-preserving: read_changes refuses (re-baseline)
+    M.materialize_deletes(spark, t)
+    with _pytest.raises(ValueError, match="materialize"):
+        M.read_changes(spark, t, from_version=1)
