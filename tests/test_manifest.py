@@ -720,7 +720,8 @@ def test_random_walk_matches_model(spark, tmp_path):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "merge", "merge_dup", "compact", "cluster", "delete", "update"]
+            ["append", "merge", "merge_dup", "compact", "cluster", "delete",
+             "update", "delete_mor", "materialize"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
@@ -757,6 +758,18 @@ def test_random_walk_matches_model(spark, tmp_path):
                 appended[i] = (appended[i][0], cut + 1000)
             for k in mkeys:
                 model[k] = cut + 1000
+        elif op == "delete_mor" and M.snapshot(t) is not None:
+            cut = rng.randrange(100)
+            n, _ = M.delete_where_mor(spark, t, [("v", "<", cut)])
+            gone_a = [r for r in appended if r[1] < cut]
+            gone_m = {k for k, v in model.items() if v < cut}
+            assert n == len(gone_a) + len(gone_m)
+            appended[:] = [r for r in appended if r[1] >= cut]
+            for k in gone_m:
+                del model[k]
+        elif op == "materialize" and M.snapshot(t) is not None:
+            M.materialize_deletes(spark, t)
+            assert M.snapshot(t).delete_refs == []
         elif op in ("compact", "cluster") and M.snapshot(t) is not None:
             if op == "compact":
                 M.compact_table(spark, t, target_file_bytes=1 << 30)
