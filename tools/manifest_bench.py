@@ -103,6 +103,64 @@ def bench_two_level(existing_n: int, trigger_compaction: bool = False) -> tuple[
         shutil.rmtree(d)
 
 
+def bench_delete_modes(n_files: int = 40, rows_per_file: int = 20_000) -> None:
+    """COW vs MOR delete cost on a real table (needs Spark): a thin
+    predicate slice (~0.5% of rows) spread across EVERY file — the
+    takedown shape where copy-on-write degenerates to a full-table
+    rewrite while merge-on-read writes O(matched rows). Reports wall
+    time and data bytes written by each mode."""
+    from nypd_arrest_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="delete-bench", shuffle_partitions=n_files)
+
+    def _du(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dd, fs in os.walk(os.path.join(d, "data"))
+            for f in fs
+        )
+
+    def build(d: str) -> None:
+        df = (
+            spark.range(n_files * rows_per_file)
+            .selectExpr("cast(id as string) as arrest_key", "id % 200 as v")
+            .repartition(n_files)
+        )
+        M.append(spark, df, d)
+
+    results = []
+    for mode, fn in (
+        ("copy-on-write", lambda d: M.delete_where(spark, d, [("v", "=", 7)])),
+        ("merge-on-read", lambda d: M.delete_where_mor(spark, d, [("v", "=", 7)])),
+    ):
+        d = tempfile.mkdtemp()
+        try:
+            build(d)
+            before = _du(d)
+            t0 = time.perf_counter()
+            n, _v = fn(d)
+            dt = time.perf_counter() - t0
+            written = _du(d) - before
+            t0 = time.perf_counter()
+            got = M.snapshot(d).read(spark).count()
+            read_dt = time.perf_counter() - t0
+            assert got == n_files * rows_per_file - n
+            results.append((mode, n, dt, written, read_dt))
+        finally:
+            shutil.rmtree(d)
+    print(
+        f"\nDelete modes ({n_files} files x {rows_per_file:,} rows, "
+        "predicate hits every file):"
+    )
+    print("| mode | rows deleted | delete wall | bytes written | post-delete read |")
+    print("|---|---|---|---|---|")
+    for mode, n, dt, written, read_dt in results:
+        print(
+            f"| {mode} | {n:,} | {dt:.2f} s | {written:,} | {read_dt:.2f} s |",
+            flush=True,
+        )
+
+
 def main() -> None:
     print(
         "| table files | flat commit | two-level commit "
@@ -122,3 +180,5 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    if "--deletes" in sys.argv:
+        bench_delete_modes()
