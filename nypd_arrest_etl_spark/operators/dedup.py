@@ -394,6 +394,44 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 2,
+) -> DataFrame:
+    """(doc_id, band_key) rows — one md5 string key per LSH band,
+    hashing (band index, band signature slice). Two docs share a
+    band_key iff they band-collide under the same banding
+    ``minhash_lsh_pairs`` uses, so a band-key equi-join reproduces its
+    candidate generation — but as a STRING key that can live in a
+    persistent index table (the incremental-curation shape: new docs
+    probe the accumulated index instead of self-joining the corpus).
+    Docs with fewer than ``n`` tokens emit no keys (no shingles)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(with_shingles(df, id_col, text_col, n), num_perm)
+    band_arr = F.array(
+        *[
+            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.filter(F.col("n_sh") > 0)
+        .select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_sig"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",", F.col("band_idx"), F.array_join("band_sig", "-")
+                )
+            ).alias("band_key"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

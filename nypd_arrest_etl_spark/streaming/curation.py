@@ -70,3 +70,171 @@ def curate_incremental(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_incremental_neardup(
+    spark: SparkSession,
+    raw_table: str,
+    curated_table: str,
+    index_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 2,
+):
+    """Incremental NEAR-duplicate curation: the MinHash-LSH dedup a
+    training pipeline runs continuously, with the accumulated corpus's
+    LSH index persisted as a second manifest table so each microbatch
+    probes an index instead of re-joining history.
+
+    Per microbatch, in order:
+
+    1. exact stage — canonical fingerprint; in-batch first-writer
+       collapse; anti-join against curated fingerprints.
+    2. near-dup vs HISTORY — band keys of the surviving docs probe the
+       ``index_table`` (band_key -> curated fingerprint); candidates
+       are verified with exact n-gram Jaccard against the curated
+       docs' TEXT (read by fingerprint from the curated table), so
+       band collisions alone never drop a doc.
+    3. near-dup WITHIN the batch — banded self-join + Jaccard verify;
+       the lower doc_id of each verified pair survives.
+    4. commit index FIRST, curated second, both via the serializable
+       fingerprint-keyed merge. Crash between the two leaves phantom
+       index rows (bands of a doc not yet curated) — harmless: the
+       verify join resolves candidates against curated TEXT, so a
+       phantom can never veto a real insert, and the replay re-lands
+       the curated row. Index rows are keyed md5(band_key ||
+       fingerprint), so replays merge to no-ops — end-to-end
+       exactly-once on BOTH tables from at-least-once batches.
+
+    Scale: the probe is an equi-join on uniformly-hashed band keys
+    (index grows O(corpus x bands), bucketable/clusterable like any
+    manifest table — `cluster_table(index, ["key"])` keeps the merge's
+    anti-join key-range-pruned); verify cost is bounded by true
+    candidate mass, the same contract as ``minhash_lsh_pairs``.
+    """
+    from nypd_arrest_etl_spark.operators.dedup import (
+        minhash_band_keys,
+        with_shingles,
+    )
+    from nypd_arrest_etl_spark.sinks.manifest import snapshot
+
+    register_manifest_table(spark)
+
+    def _jaccard_ok(pairs: DataFrame) -> DataFrame:
+        """pairs: (doc_id, sh1, fp/sh2 shingle arrays) -> verified."""
+        inter = F.size(F.array_intersect("sh1", "sh2"))
+        jac = inter / (F.size("sh1") + F.size("sh2") - inter)
+        return pairs.filter(F.round(jac, 6) >= threshold)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        fp = batch_df.withColumn("fingerprint", canonical_fingerprint(text_col))
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        fresh = (
+            fp.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        cur = snapshot(curated_table)
+        if cur is not None and cur.n_files:
+            fresh = fresh.join(
+                cur.read(spark).select("fingerprint"), "fingerprint", "left_anti"
+            )
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.head(1):
+            return
+
+        keys = minhash_band_keys(
+            fresh, "doc_id", text_col, num_perm, bands, n
+        ).localCheckpoint(eager=True)
+        new_sh = with_shingles(fresh, "doc_id", text_col, n).withColumnRenamed(
+            "shingles", "sh1"
+        )
+
+        # 2: candidates vs the persisted index, verified on text
+        idx = snapshot(index_table)
+        if idx is not None and idx.n_files:
+            cand = (
+                keys.join(
+                    idx.read(spark).select(
+                        F.col("band_key"),
+                        F.col("fingerprint").alias("cand_fp"),
+                    ),
+                    "band_key",
+                )
+                .select("doc_id", "cand_fp")
+                .distinct()
+            )
+            cur_sh = with_shingles(
+                cur.read(spark).select("fingerprint", text_col),
+                "fingerprint",
+                text_col,
+                n,
+            ).select(
+                F.col("doc_id").alias("cand_fp"), F.col("shingles").alias("sh2")
+            )
+            dup_ids = _jaccard_ok(
+                cand.join(new_sh.select("doc_id", "sh1"), "doc_id").join(
+                    cur_sh, "cand_fp"
+                )
+            ).select("doc_id")
+            fresh = fresh.join(dup_ids, "doc_id", "left_anti")
+            keys = keys.join(dup_ids, "doc_id", "left_anti")
+
+        # 3: near-dups within the batch (lower id survives)
+        a = keys.select(F.col("doc_id").alias("id1"), "band_key")
+        b = keys.select(F.col("doc_id").alias("id2"), "band_key")
+        in_batch = (
+            a.join(b, "band_key")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        losers = (
+            _jaccard_ok(
+                in_batch.join(
+                    new_sh.select(F.col("doc_id").alias("id1"), "sh1"), "id1"
+                ).join(
+                    new_sh.select(
+                        F.col("doc_id").alias("id2"), F.col("sh1").alias("sh2")
+                    ),
+                    "id2",
+                )
+            )
+            .select(F.col("id2").alias("doc_id"))
+            .distinct()
+        )
+        survivors = fresh.join(losers, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if not survivors.head(1):
+            return
+
+        # 4: index first (phantom-safe), curated second
+        idx_rows = (
+            keys.join(losers, "doc_id", "left_anti")
+            .join(survivors.select("doc_id", "fingerprint"), "doc_id")
+            .select(
+                F.md5(F.concat_ws("|", "band_key", "fingerprint")).alias("key"),
+                "band_key",
+                "fingerprint",
+            )
+        )
+        merge_insert_if_absent_txn(spark, idx_rows, index_table, key="key")
+        merge_insert_if_absent_txn(
+            spark, survivors, curated_table, key="fingerprint"
+        )
+
+    return (
+        spark.readStream.format("manifest_table")
+        .option("path", raw_table)
+        .load()
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

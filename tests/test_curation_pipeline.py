@@ -96,3 +96,106 @@ def test_incremental_curation_quality_gate(spark, tmp_path):
     q.awaitTermination(120)
     # the short doc is rejected batch-side and never reaches the table
     assert _curated_texts(spark, curated) == ["one two three four"]
+
+
+def _neardup_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_curation_across_and_within_batches(spark, tmp_path):
+    from nypd_arrest_etl_spark.streaming.curation import curate_incremental_neardup
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # high bigram overlap
+    far = "completely different words about spark manifests and parquet files"
+
+    # batch 1: base + an IN-BATCH near-dup of it + one distinct doc
+    M.append(
+        spark, _neardup_docs(spark, [(1, base), (2, near), (3, far)]), raw
+    )
+    run = lambda: curate_incremental_neardup(
+        spark, raw, curated, index, ckpt, threshold=0.6
+    ).awaitTermination(180)
+    run()
+    kept = sorted(
+        r["doc_id"] for r in M.snapshot(curated).read(spark).collect()
+    )
+    assert kept == [1, 3]  # 2 lost the in-batch tie to the lower id
+
+    # batch 2: a CROSS-BATCH near-dup of doc 1, an exact dup of doc 3,
+    # and one genuinely new doc
+    near2 = base.replace("again and again", "again & again &")
+    M.append(
+        spark,
+        _neardup_docs(
+            spark,
+            [(10, near2), (11, far), (12, "entirely novel content with unique tokens")],
+        ),
+        raw,
+    )
+    run()
+    kept = sorted(
+        r["doc_id"] for r in M.snapshot(curated).read(spark).collect()
+    )
+    assert kept == [1, 3, 12]
+    # replaying the whole history against a FRESH checkpoint must
+    # change nothing: both merges are content-keyed no-ops
+    v_cur = M.snapshot(curated).version
+    v_idx = M.snapshot(index).version
+    curate_incremental_neardup(
+        spark, raw, curated, index, str(tmp_path / "ckpt2"), threshold=0.6
+    ).awaitTermination(180)
+    assert M.snapshot(curated).version == v_cur
+    assert M.snapshot(index).version == v_idx
+    kept2 = sorted(
+        r["doc_id"] for r in M.snapshot(curated).read(spark).collect()
+    )
+    assert kept2 == [1, 3, 12]
+
+
+def test_neardup_band_collision_alone_never_drops(spark, tmp_path):
+    """A band collision with NO real text overlap must be vetoed by the
+    Jaccard verify (phantom-index safety path)."""
+    from nypd_arrest_etl_spark.operators.dedup import minhash_band_keys
+    from nypd_arrest_etl_spark.streaming.curation import curate_incremental_neardup
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    index = str(tmp_path / "index")
+    M.append(
+        spark,
+        _neardup_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")]),
+        raw,
+    )
+    curate_incremental_neardup(
+        spark, raw, curated, index, str(tmp_path / "c1")
+    ).awaitTermination(180)
+    # plant a PHANTOM: index rows for a doc that is not in curated
+    phantom = _neardup_docs(spark, [(99, "unrelated text about data engines")])
+    from pyspark.sql import functions as F
+
+    rows = (
+        minhash_band_keys(phantom)
+        .select(
+            F.md5(F.concat_ws("|", "band_key", F.lit("phantom-fp"))).alias("key"),
+            "band_key",
+            F.lit("phantom-fp").alias("fingerprint"),
+        )
+    )
+    M.merge_insert_if_absent_txn(spark, rows, index, key="key")
+    # a new doc band-colliding with the phantom must still be inserted
+    M.append(
+        spark,
+        _neardup_docs(spark, [(2, "unrelated text about data engines")]),
+        raw,
+    )
+    curate_incremental_neardup(
+        spark, raw, curated, index, str(tmp_path / "c1")
+    ).awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in M.snapshot(curated).read(spark).collect())
+    assert kept == [1, 2]
