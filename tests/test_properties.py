@@ -210,3 +210,43 @@ def test_quality_top_frac_count_bound(spark, rows, frac):
         per_src_out[r["source"]] = per_src_out.get(r["source"], 0) + 1
     for src, n_in in per_src_in.items():
         assert per_src_out.get(src, 0) == math.ceil(n_in * frac)
+
+
+words_st = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=20
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(words_st, min_size=1, max_size=5))
+def test_span_trim_invariants(spark, corpora):
+    """For ANY corpus: (1) every input doc comes back exactly once;
+    (2) the kept spans over the whole corpus are exactly the DISTINCT
+    span multiset collapsed to one occurrence (global count of kept
+    spans == number of distinct spans); (3) each trimmed text is a
+    concatenation of a subset of that doc's original spans in order."""
+    from nypd_arrest_etl_spark.operators.dedup import span_dedup_trim
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup_trim(df, span_words=3).collect()}
+    assert sorted(out) == list(range(len(rows)))  # (1)
+
+    def spans_of(ws):
+        n = max(1, -(-len(ws) // 3))
+        return [" ".join(ws[i * 3 : i * 3 + 3]) for i in range(n)]
+
+    all_spans = [s for ws in corpora for s in spans_of(ws)]
+    assert sum(r["kept_spans"] for r in out.values()) == len(set(all_spans))  # (2)
+    for i, ws in enumerate(corpora):  # (3)
+        doc_spans = spans_of(ws)
+        trimmed = out[i]["trimmed_text"]
+        kept = [s for s in doc_spans if s]
+        # trimmed text must be reproducible by deleting whole spans
+        pieces = []
+        rest = trimmed
+        for s in kept:
+            if rest == s or rest.startswith(s + " "):
+                pieces.append(s)
+                rest = rest[len(s):].lstrip()
+        assert rest == ""
