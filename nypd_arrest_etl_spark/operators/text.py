@@ -523,6 +523,53 @@ def ngram_lm_score(
     )
 
 
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    language, split documents into perplexity terciles — ``head``
+    (most fluent), ``middle``, ``tail`` — the partition CCNet uses to
+    pick which slice of a crawl to train on.
+
+    Deviation from the paper, documented: the LM is the repo's
+    corpus-wide bigram model (:func:`ngram_lm_score`), not per-language
+    KenLM — the BUCKETING (per-lang ntile over the fluency score, total
+    order with doc_id tiebreak so the split is engine-exact) is the
+    CCNet mechanism; swap the score column for real KenLM perplexities
+    when a model is available. Docs with no bigrams (< 2 tokens) have
+    no score and are excluded, same as the score op.
+
+    Scale: the score op's shuffles plus ONE per-lang window sort; the
+    window partitions by language (bounded cardinality), so skew
+    follows corpus language mix — the same sort any per-lang
+    stratification pays.
+    """
+    from pyspark.sql import Window
+
+    scores = ngram_lm_score(df, id_col, text_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_log2p").desc(), F.col("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_log2p",
+            F.when(bucket == 1, "head")
+            .when(bucket == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus vocabulary (tokenizer prep / frequency analysis)
 # ---------------------------------------------------------------------------

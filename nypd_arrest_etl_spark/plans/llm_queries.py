@@ -1489,6 +1489,39 @@ ORDER BY source
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language."""
+    return TX.ccnet_perplexity_buckets(t(spark, sf_dir, "documents"))
+
+
+# The LM CTE is ORACLE_TEXT_LM_SCORE verbatim; the bucketing is a
+# per-lang ntile over the rounded score with doc_id tiebreak.
+ORACLE_CCNET_BUCKETS = """
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split(lower(trim(text)), ' '),
+                                 t -> t <> '') AS l
+              FROM documents),
+post AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) t),
+big AS (SELECT g, count(*) AS c2 FROM post GROUP BY g),
+marg AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2) AS c1 FROM big GROUP BY 1),
+probs AS (SELECT g, log2(c2 * 1.0 / c1) AS lp
+          FROM big JOIN marg ON split_part(big.g, ' ', 1) = marg.w1),
+scores AS (SELECT doc_id, round(avg(lp), 6) AS avg_log2p
+           FROM post JOIN probs USING (g) GROUP BY doc_id),
+ranked AS (
+  SELECT d.doc_id, d.lang, s.avg_log2p,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_log2p DESC, d.doc_id) AS b
+  FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, avg_log2p,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM ranked
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1538,4 +1571,5 @@ LLM_OPS: dict[str, tuple] = {
     "sample_importance_dsir": (q_dsir_sample, ORACLE_DSIR_SAMPLE),
     "dedup_semantic": (q_semantic_dedup, None),
     "mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
+    "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
 }

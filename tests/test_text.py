@@ -321,3 +321,30 @@ def test_containment_max_df_cap_consistent_denominators(spark):
     # passage pair survives, with containment on the capped universe
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)]["containment"] >= 0.5
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    from nypd_arrest_etl_spark.operators.text import ccnet_perplexity_buckets
+
+    # 6 'en' docs: 4 made of one repeated fluent phrase, 2 of rare
+    # transitions; 3 'de' docs. Terciles are per-language.
+    fluent = "the cat sat on the mat"
+    rows = (
+        [(i, "en", fluent) for i in range(4)]
+        + [(4, "en", "mat the on sat cat zz"), (5, "en", "zz qq pp mat cat on")]
+        + [(10, "de", "der hund lief schnell"), (11, "de", "der hund lief schnell"),
+           (12, "de", "schnell lief hund der")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in ccnet_perplexity_buckets(df).collect()}
+    for lang, ids in (("en", range(6)), ("de", (10, 11, 12))):
+        buckets = [out[i]["ppl_bucket"] for i in ids]
+        assert buckets.count("head") >= 1 and buckets.count("tail") >= 1
+    # fluent docs rank head-ward of the scrambled ones
+    assert out[0]["ppl_bucket"] == "head"
+    assert out[5]["ppl_bucket"] == "tail"
+    assert out[0]["avg_log2p"] >= out[5]["avg_log2p"]
+    # short doc with no bigrams is absent
+    df2 = df.union(spark.createDataFrame([(99, "en", "solo")], df.schema))
+    out2 = ccnet_perplexity_buckets(df2).collect()
+    assert 99 not in {r["doc_id"] for r in out2}
