@@ -989,3 +989,65 @@ def test_mor_delete_breaks_change_feeds_and_stream(spark, tmp_path):
     M.materialize_deletes(spark, t)
     with _pytest.raises(ValueError, match="materialize"):
         M.read_changes(spark, t, from_version=1)
+
+
+def test_concurrent_mor_deletes_both_land(spark, tmp_path):
+    """Two threads tombstone DISJOINT predicates concurrently: the
+    commit-race loser retries (its referenced files are still live),
+    so both delete sets apply and stack."""
+    t = str(tmp_path / "tbl")
+    M.append(
+        spark, _df(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]), t
+    )
+    errors = []
+
+    def worker(filters):
+        try:
+            M.delete_where_mor(spark, t, filters)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=worker, args=([("v", "=", 1)],)),
+        threading.Thread(target=worker, args=([("v", "=", 4)],)),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errors
+    snap = M.snapshot(t)
+    assert len(snap.delete_refs) == 2  # both tombstone sets live
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == [
+        "b",
+        "c",
+    ]
+
+
+def test_mor_delete_recomputes_when_rewrite_replaces_its_file(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction that lands between the MOR delete's read and its
+    commit replaces the tombstoned file — committing stale positions
+    would silently UNdelete. The validity check must recompute."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    real_carry = M._carry_refs
+    fired = {"done": False}
+
+    def carry_with_race(snap):
+        # injected once, inside delete_where_mor's commit loop: compact
+        # the table right before the delete commits, so its version
+        # claim conflicts AND its tombstoned file leaves the table
+        if not fired["done"]:
+            fired["done"] = True
+            M.compact_table(spark, t, target_file_bytes=1 << 30)
+        return real_carry(snap)
+
+    monkeypatch.setattr(M, "_carry_refs", carry_with_race)
+    n, _ = M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    monkeypatch.undo()
+    assert n == 1
+    assert sorted(
+        r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
+    ) == ["b"]
