@@ -641,13 +641,16 @@ def _commit_refs(
     schema: list[dict] | None = None,
     partition_spec: list | None = None,
     delete_refs: list[dict] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """The atomic claim, manifest-list form: version N+1 = these
     content-manifest refs. ``partition_spec`` carries the table's
     declared ``(col, transform)`` forward so the layout contract is
     self-describing metadata, like Iceberg's partition spec.
     ``delete_refs`` are the version's live merge-on-read delete
-    manifests (omitted key when empty)."""
+    manifests (omitted key when empty). ``txn`` is an idempotence
+    marker ({stream_id, batch_id}, the Delta txn-appId protocol) the
+    streaming sink uses to recognize replayed microbatches."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     new_version = 0 if base_version is None else base_version + 1
@@ -662,6 +665,8 @@ def _commit_refs(
         manifest["partition_spec"] = list(partition_spec)
     if delete_refs:
         manifest["delete_manifests"] = list(delete_refs)
+    if txn is not None:
+        manifest["txn"] = dict(txn)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f)

@@ -3,6 +3,7 @@
 
     spark.read.format("manifest_table").option("path", t).load()
     spark.readStream.format("manifest_table").option("path", t).load()
+    df.writeStream.format("manifest_table").option("path", t)...  # txn sink
 
 The STREAMING half is the point (Delta's "table as a stream source",
 reference checkpoint/resume behavior S6 generalized): offsets are
@@ -15,6 +16,12 @@ commits) re-add already-streamed ROWS in new files; the planner skips
 those versions wholesale (they are data-preserving by construction —
 the same reason Delta CDF skips OPTIMIZE commits), which is strictly
 stronger than ``read_changes``'s refuse-and-re-baseline contract.
+
+The WRITE half (``ManifestStreamWriter``) closes the loop: an
+exactly-once transactional streaming sink via the Delta txn protocol —
+every committed version carries {streamId, batchId}, so a replayed
+microbatch is recognized and skipped; task retries leave only
+unreferenced orphans for vacuum.
 
 Scale shape: planning is metadata-only on the driver (version-file
 diff -> file list); each input partition is ONE parquet file read
@@ -33,8 +40,10 @@ import pyarrow.parquet as pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from nypd_arrest_etl_spark.sinks import manifest as M
@@ -228,10 +237,121 @@ class ManifestStreamReader(DataSourceStreamReader):
         pass
 
 
+class StreamWriteMessage(WriterCommitMessage):
+    def __init__(self, rel_file: str | None, rows: int):
+        self.rel_file = rel_file
+        self.rows = rows
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming SINK for the manifest table (the write
+    half of the DataSource — the read half streams by version offset).
+
+    Each microbatch: executors write their Arrow batches as immutable
+    parquet under data/ and return the file paths as commit messages;
+    the driver commits ONE manifest version referencing them, stamped
+    with a ``txn`` marker ``{stream_id, batch_id}`` — Delta's
+    txn/appId idempotence protocol. A microbatch REPLAY (crash after
+    sink commit, before checkpoint commit) walks recent versions, sees
+    its own stream's last committed batch_id >= the replayed id, and
+    commits nothing — exactly-once end-to-end from Spark's
+    at-least-once epochs. Task retries/speculation leave orphan files
+    that no manifest references (vacuum reclaims) — commit messages
+    only flow from the task attempt Spark declares successful.
+
+    Multiple DIFFERENT streams may write one table concurrently by
+    setting distinct ``streamId`` options (commit races resolve by
+    optimistic retry, same as every other writer); a single stream is
+    serialized by its own checkpoint."""
+
+    def __init__(self, schema, options: dict):
+        self.fields = [
+            (f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields
+        ]
+        self.arrow_fields = _arrow_fields(schema)
+        self.table_path = options["path"]
+        self.stream_id = options.get("streamid", "default")
+
+    def write(self, iterator):
+        sub = os.path.join("data", "stream-" + __import__("uuid").uuid4().hex)
+        out_dir = os.path.join(self.table_path, sub)
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in self.arrow_fields]
+        )
+        writer = None
+        rows = 0
+        rel = os.path.join(sub, "part-0.parquet")
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(out_dir, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    os.path.join(self.table_path, rel), arrow_schema
+                )
+            writer.write_table(pa.Table.from_batches([batch], arrow_schema))
+            rows += batch.num_rows
+        if writer is None:
+            return StreamWriteMessage(None, 0)
+        writer.close()
+        return StreamWriteMessage(rel, rows)
+
+    def _last_committed_batch(self) -> int | None:
+        v = M.current_version(self.table_path)
+        while v is not None and v >= 0:
+            txn = M._load_manifest(self.table_path, v).get("txn")
+            if txn and txn.get("stream_id") == self.stream_id:
+                return txn["batch_id"]
+            v -= 1
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        last = self._last_committed_batch()
+        if last is not None and last >= batchId:
+            return  # replayed microbatch: already durable, commit nothing
+        files = [m.rel_file for m in messages if m is not None and m.rel_file]
+        if not files:
+            return  # empty batch: nothing to version (replay is harmless)
+        stats = {
+            f: M._collect_file_stats(os.path.join(self.table_path, f))
+            for f in files
+        }
+        ref = M._write_content_manifest(self.table_path, files, stats)
+        schema_entry = [
+            {"name": n, "type": t, "nullable": b} for n, t, b in self.fields
+        ]
+        for _ in range(10):
+            snap = M.snapshot(self.table_path)
+            M._check_schema_evolution(
+                snap.schema if snap else None, schema_entry
+            )
+            try:
+                M._commit_refs(
+                    self.table_path,
+                    M._next_refs(self.table_path, snap, ref),
+                    snap.version if snap is not None else None,
+                    "stream_append",
+                    schema=schema_entry,
+                    partition_spec=snap.partition_spec if snap else None,
+                    delete_refs=snap.delete_refs if snap is not None else None,
+                    txn={"stream_id": self.stream_id, "batch_id": batchId},
+                )
+                return
+            except M.CommitConflict:
+                continue
+        raise M.CommitConflict(
+            f"stream_append to {self.table_path} lost 10 races"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        # written files are unreferenced by construction; vacuum reclaims
+        pass
+
+
 class ManifestTableDataSource(DataSource):
     """Registered as ``manifest_table``; requires option ``path``.
     Batch extras: ``versionAsOf`` (time travel). Streaming extras:
-    ``startingVersion``."""
+    ``startingVersion`` (source) / ``streamId`` (sink txn identity)."""
 
     @classmethod
     def name(cls) -> str:
@@ -247,6 +367,9 @@ class ManifestTableDataSource(DataSource):
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestStreamWriter:
+        return ManifestStreamWriter(schema, dict(self.options))
 
 
 def register_manifest_table(spark) -> None:

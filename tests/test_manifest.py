@@ -1051,3 +1051,81 @@ def test_mor_delete_recomputes_when_rewrite_replaces_its_file(
     assert sorted(
         r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
     ) == ["b"]
+
+
+def test_manifest_table_stream_sink_end_to_end(spark, tmp_path):
+    """writeStream.format('manifest_table'): version-offset source piped
+    into the transactional sink; each microbatch commits one
+    stream_append version and incremental reruns move only new rows."""
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), src)
+
+    def run():
+        q = (
+            spark.readStream.format("manifest_table")
+            .option("path", src)
+            .load()
+            .writeStream.format("manifest_table")
+            .option("path", dst)
+            .option("streamId", "s1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    snap = M.snapshot(dst)
+    assert snap.operation == "stream_append"
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == ["a", "b"]
+    M.append(spark, _df(spark, [("c", 3)]), src)
+    run()
+    assert sorted(
+        r["arrest_key"] for r in M.snapshot(dst).read(spark).collect()
+    ) == ["a", "b", "c"]
+    # rerun with no new source versions: no new sink version
+    v = M.snapshot(dst).version
+    run()
+    assert M.snapshot(dst).version == v
+
+
+def test_manifest_table_stream_sink_replay_is_exactly_once(spark, tmp_path):
+    """Driver-level replay of the SAME batchId (crash between sink
+    commit and checkpoint commit) must commit nothing the second time —
+    the txn {stream_id, batch_id} watermark recognizes it."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.table_stream import ManifestStreamWriter
+
+    t = str(tmp_path / "tbl")
+    schema = StructType(
+        [StructField("arrest_key", StringType()), StructField("v", LongType())]
+    )
+    w = ManifestStreamWriter(schema, {"path": t, "streamid": "s1"})
+    batch = pa.record_batch({"arrest_key": ["x", "y"], "v": [1, 2]})
+    msg = w.write(iter([batch]))
+    w.commit([msg], 0)
+    assert M.snapshot(t).version == 0
+    # REPLAY batch 0 (fresh files written, same batch id) -> no-op
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], 0)
+    assert M.snapshot(t).version == 0
+    rows = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
+    assert rows == ["x", "y"]
+    # next batch commits normally
+    msg3 = w.write(iter([pa.record_batch({"arrest_key": ["z"], "v": [9]})]))
+    w.commit([msg3], 1)
+    assert M.snapshot(t).version == 1
+    assert sorted(
+        r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
+    ) == ["x", "y", "z"]
+    # empty batch: no version
+    w.commit([w.write(iter([]))], 2)
+    assert M.snapshot(t).version == 1
