@@ -721,7 +721,7 @@ def test_random_walk_matches_model(spark, tmp_path):
     for step in range(14):
         op = rng.choice(
             ["append", "merge", "merge_dup", "compact", "cluster", "delete",
-             "update", "delete_mor", "materialize"]
+             "update", "delete_mor", "materialize", "stream_append"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
@@ -758,6 +758,30 @@ def test_random_walk_matches_model(spark, tmp_path):
                 appended[i] = (appended[i][0], cut + 1000)
             for k in mkeys:
                 model[k] = cut + 1000
+        elif op == "stream_append":
+            import pyarrow as _pa
+
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            from nypd_arrest_etl_spark.sources.table_stream import (
+                ManifestStreamWriter,
+            )
+
+            rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 2))]
+            sch = StructType(
+                [StructField("arrest_key", StringType()), StructField("v", LongType())]
+            )
+            sw = ManifestStreamWriter(sch, {"path": t, "streamid": "walk"})
+            batch = _pa.record_batch(
+                {"arrest_key": [k for k, _ in rows], "v": [v for _, v in rows]}
+            )
+            sw.commit([sw.write(iter([batch]))], step)  # step = unique batch id
+            appended.extend(rows)
         elif op == "delete_mor" and M.snapshot(t) is not None:
             cut = rng.randrange(100)
             n, _ = M.delete_where_mor(spark, t, [("v", "<", cut)])
