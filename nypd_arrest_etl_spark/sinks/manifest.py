@@ -1432,12 +1432,47 @@ def _rewrite_rows_where(
     raise CommitConflict(f"{operation} on {table_path} lost {max_retries} races")
 
 
+def row_count(table_path: str, version: int | None = None) -> int:
+    """COUNT(*) answered from METADATA — no Spark job, no data scan
+    (the Iceberg/Delta stats fast path): data-file row totals come
+    from the manifest aggregates; live merge-on-read tombstones are
+    subtracted by reading the (small) delete parquets driver-side.
+    Tombstones pointing at files no longer in the snapshot are inert
+    and excluded; positions are never double-tombstoned
+    (``delete_where_mor`` filters already-deleted rows before
+    matching), so the subtraction is exact. Matches
+    ``snapshot().read(spark).count()`` by construction."""
+    snap = snapshot(table_path, version)
+    if snap is None:
+        return 0
+    total = sum(
+        r.get("rows", 0)
+        if "_inline" not in r
+        else sum(st.get("rows", 0) for st in r["_inline"].get("stats", {}).values())
+        for r in snap.refs
+    )
+    if snap.delete_refs:
+        import pyarrow.parquet as pq
+
+        live = set(snap.files)
+        for f in snap.delete_files:
+            t = pq.read_table(
+                os.path.join(table_path, f), columns=["_df_file"]
+            )
+            total -= sum(
+                1 for x in t.column("_df_file").to_pylist() if x in live
+            )
+    return total
+
+
 def history(table_path: str) -> list[dict]:
     """DESCRIBE HISTORY: one entry per surviving version, newest
     first — version, operation, commit time, file/row deltas vs the
     previous version, and the partition spec in force. Metadata-only
     (reads version files + ref aggregates; content manifests are
-    opened only when a version still carries legacy inline metadata)."""
+    opened only when a version still carries legacy inline metadata).
+    ``n_rows`` counts DATA-FILE rows (pre-tombstone); use
+    :func:`row_count` for the tombstone-adjusted live count."""
     latest = current_version(table_path)
     if latest is None:
         return []

@@ -1153,3 +1153,22 @@ def test_manifest_table_stream_sink_replay_is_exactly_once(spark, tmp_path):
     # empty batch: no version
     w.commit([w.write(iter([]))], 2)
     assert M.snapshot(t).version == 1
+
+
+def test_row_count_from_metadata_matches_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    assert M.row_count(t) == 3
+    M.delete_where_mor(spark, t, [("v", ">=", 2)])
+    assert M.row_count(t) == 1  # tombstones subtracted, no scan
+    assert M.row_count(t) == M.snapshot(t).read(spark).count()
+    # time travel counts the pre-delete version
+    assert M.row_count(t, version=0) == 3
+    # materialize folds tombstones; count unchanged
+    M.materialize_deletes(spark, t)
+    assert M.row_count(t) == 1
+    # stale tombstones after a rewrite are inert in the count too
+    M.append(spark, _df(spark, [("d", 4)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "d")])
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    assert M.row_count(t) == M.snapshot(t).read(spark).count() == 1
