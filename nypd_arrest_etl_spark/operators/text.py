@@ -550,7 +550,9 @@ def ccnet_perplexity_buckets(
     from pyspark.sql import Window
 
     scores = ngram_lm_score(df, id_col, text_col)
-    w = Window.partitionBy(lang_col).orderBy(
+    # partition by the ALIASED name: the joined frame below carries
+    # lang_col as "lang" whatever it was called upstream
+    w = Window.partitionBy("lang").orderBy(
         F.col("avg_log2p").desc(), F.col("doc_id")
     )
     bucket = F.ntile(3).over(w)

@@ -963,6 +963,14 @@ def _rewrite_commit(
                 # reclaims) and redo the rewrite on the fresh snapshot.
                 redo = True
                 break
+            if not rewritten_paths <= {r.get("path") for r in snap.refs}:
+                # A concurrent REF-REPLACING commit (COW delete/update,
+                # another rewrite, metadata compaction) superseded a
+                # manifest we re-packed: committing our copy alongside
+                # its replacement would duplicate rows (and resurrect
+                # any the replacement removed). Redo from fresh.
+                redo = True
+                break
             # Concurrent appends since the base: their manifests are not
             # in rewritten_paths, so they survive the replacement
             # untouched. Pathless (legacy inline) refs can only be the
@@ -1241,6 +1249,7 @@ def delete_where_mor(
         }
         del_files = _write_delete_files(matches, table_path)
         del_ref = _write_delete_manifest(table_path, del_files, data_files)
+        base_delete_paths = {r["path"] for r in base.delete_refs}
         redo = False
         for _ in range(max_retries):
             snap = snapshot(table_path)
@@ -1248,6 +1257,15 @@ def delete_where_mor(
                 # A concurrent rewrite replaced a tombstoned file: our
                 # positions point at a dead file while the replacement
                 # re-contains the rows. Recompute against it.
+                redo = True
+                break
+            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+                # A concurrent MOR delete with an OVERLAPPING predicate
+                # may have tombstoned some of our (file, pos) pairs
+                # already — committing ours too would double-tombstone
+                # them (reads stay right, but the reported delete count
+                # and the metadata row_count would both be wrong).
+                # Recompute: the fresh pass excludes its tombstones.
                 redo = True
                 break
             try:
@@ -1319,6 +1337,14 @@ def materialize_deletes(
             snap = snapshot(table_path)
             if {r["path"] for r in snap.delete_refs} != base_delete_paths:
                 redo = True  # new tombstones arrived; fold those too
+                break
+            if not base_paths <= {r.get("path") for r in snap.refs}:
+                # Concurrent ref-replacing commit (COW delete/update,
+                # layout rewrite, metadata compaction) superseded a
+                # base manifest — committing our stripped copy would
+                # duplicate its replacement's rows and resurrect rows
+                # it removed. Redo against the fresh snapshot.
+                redo = True
                 break
             later = [
                 r
@@ -1403,6 +1429,14 @@ def _rewrite_rows_where(
                 # Concurrent MOR delete since our read: its tombstones
                 # may hit candidate files we re-packed without honoring
                 # it. Recompute from the fresh snapshot.
+                redo = True
+                break
+            if not base_paths <= {r.get("path") for r in snap.refs}:
+                # A concurrent ref-replacing commit (another COW
+                # rewrite, layout rewrite, metadata compaction)
+                # superseded a base manifest: our stripped copy of it
+                # would duplicate rows against the replacement (and
+                # resurrect rows the replacement removed). Redo.
                 redo = True
                 break
             later = [

@@ -273,7 +273,9 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         self.stream_id = options.get("streamid", "default")
 
     def write(self, iterator):
-        sub = os.path.join("data", "stream-" + __import__("uuid").uuid4().hex)
+        import uuid
+
+        sub = os.path.join(M._DATA_DIR, "stream-" + uuid.uuid4().hex)
         out_dir = os.path.join(self.table_path, sub)
         arrow_schema = pa.schema(
             [pa.field(n, t) for n, t in self.arrow_fields]
@@ -297,9 +299,18 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         return StreamWriteMessage(rel, rows)
 
     def _last_committed_batch(self) -> int | None:
+        """Walk back from the head until this stream's latest txn
+        marker. Stops at the vacuum horizon (vacuumed version files
+        are legitimately gone — any marker below it predates every
+        surviving batch, so "no marker" is the correct answer) and is
+        O(versions since this stream's last commit) — one read per
+        version, and an active stream's marker is near the head."""
         v = M.current_version(self.table_path)
         while v is not None and v >= 0:
-            txn = M._load_manifest(self.table_path, v).get("txn")
+            try:
+                txn = M._load_manifest(self.table_path, v).get("txn")
+            except FileNotFoundError:
+                return None  # vacuumed prefix
             if txn and txn.get("stream_id") == self.stream_id:
                 return txn["batch_id"]
             v -= 1

@@ -141,8 +141,19 @@ def curate_incremental_neardup(
         )
         cur = snapshot(curated_table)
         if cur is not None and cur.n_files:
+            # key-range prune: the curated read only opens files whose
+            # fingerprint stats overlap the batch (same trick as the
+            # txn merge), so history cost tracks batch span, not corpus
+            b = fp.agg(F.min("fingerprint"), F.max("fingerprint")).first()
+            flt = (
+                [("fingerprint", ">=", b[0]), ("fingerprint", "<=", b[1])]
+                if b[0] is not None
+                else None
+            )
             fresh = fresh.join(
-                cur.read(spark).select("fingerprint"), "fingerprint", "left_anti"
+                cur.read(spark, filters=flt).select("fingerprint"),
+                "fingerprint",
+                "left_anti",
             )
         fresh = fresh.localCheckpoint(eager=True)
         if not fresh.head(1):
@@ -155,9 +166,12 @@ def curate_incremental_neardup(
             "shingles", "sh1"
         )
 
-        # 2: candidates vs the persisted index, verified on text
+        # 2: candidates vs the persisted index, verified on text.
+        # cur None (crash between index and curated commits on the
+        # FIRST batch) is the documented phantom case: with no curated
+        # docs there is nothing to verify against — skip the branch.
         idx = snapshot(index_table)
-        if idx is not None and idx.n_files:
+        if idx is not None and idx.n_files and cur is not None and cur.n_files:
             cand = (
                 keys.join(
                     idx.read(spark).select(
@@ -167,10 +181,20 @@ def curate_incremental_neardup(
                     "band_key",
                 )
                 .select("doc_id", "cand_fp")
+                .localCheckpoint(eager=True)
                 .distinct()
             )
+            # candidate-fingerprint range prunes the curated TEXT read
+            # — each batch re-shingles only files holding candidates,
+            # not the whole corpus
+            cb = cand.agg(F.min("cand_fp"), F.max("cand_fp")).first()
+            cflt = (
+                [("fingerprint", ">=", cb[0]), ("fingerprint", "<=", cb[1])]
+                if cb[0] is not None
+                else None
+            )
             cur_sh = with_shingles(
-                cur.read(spark).select("fingerprint", text_col),
+                cur.read(spark, filters=cflt).select("fingerprint", text_col),
                 "fingerprint",
                 text_col,
                 n,

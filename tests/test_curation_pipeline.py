@@ -199,3 +199,44 @@ def test_neardup_band_collision_alone_never_drops(spark, tmp_path):
     ).awaitTermination(180)
     kept = sorted(r["doc_id"] for r in M.snapshot(curated).read(spark).collect())
     assert kept == [1, 2]
+
+
+def test_neardup_recovers_from_crash_between_index_and_curated(spark, tmp_path):
+    """Crash after the FIRST batch's index commit, before the curated
+    commit: curated table does not exist yet but the index does. The
+    replay must not crash and must land the doc."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.dedup import (
+        canonical_fingerprint,
+        minhash_band_keys,
+    )
+    from nypd_arrest_etl_spark.streaming.curation import curate_incremental_neardup
+
+    raw = str(tmp_path / "raw")
+    curated = str(tmp_path / "curated")
+    index = str(tmp_path / "index")
+    doc = (1, "alpha beta gamma delta epsilon zeta eta theta")
+    M.append(spark, _neardup_docs(spark, [doc]), raw)
+    # simulate the half-committed state: index rows exist, curated none
+    d = _neardup_docs(spark, [doc]).withColumn(
+        "fingerprint", canonical_fingerprint("text")
+    )
+    rows = (
+        minhash_band_keys(d)
+        .join(d.select("doc_id", "fingerprint"), "doc_id")
+        .select(
+            F.md5(F.concat_ws("|", "band_key", "fingerprint")).alias("key"),
+            "band_key",
+            "fingerprint",
+        )
+    )
+    M.merge_insert_if_absent_txn(spark, rows, index, key="key")
+    assert M.snapshot(curated) is None
+    curate_incremental_neardup(
+        spark, raw, curated, index, str(tmp_path / "ck")
+    ).awaitTermination(180)
+    kept = [r["doc_id"] for r in M.snapshot(curated).read(spark).collect()]
+    assert kept == [1]
+    # the replayed index merge was a no-op (content-keyed)
+    assert M.snapshot(index).version == 0

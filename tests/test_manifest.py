@@ -1172,3 +1172,92 @@ def test_row_count_from_metadata_matches_read(spark, tmp_path):
     M.delete_where_mor(spark, t, [("arrest_key", "=", "d")])
     M.compact_table(spark, t, target_file_bytes=1 << 30)
     assert M.row_count(t) == M.snapshot(t).read(spark).count() == 1
+
+
+def test_overlapping_concurrent_mor_deletes_keep_count_exact(spark, tmp_path):
+    """OVERLAPPING predicates from two threads: the loser must detect
+    the winner's new delete manifest and recompute, so no (file, pos)
+    is tombstoned twice and the metadata row_count stays exact."""
+    t = str(tmp_path / "tbl")
+    M.append(
+        spark, _df(spark, [("a", 1), ("b", 2), ("c", 2), ("d", 3)]), t
+    )
+    results, errors = [], []
+
+    def worker(filters):
+        try:
+            results.append(M.delete_where_mor(spark, t, filters))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [
+        threading.Thread(target=worker, args=([("v", "<=", 2)],)),
+        threading.Thread(target=worker, args=([("v", "=", 2)],)),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errors
+    snap = M.snapshot(t)
+    remaining = sorted(r["arrest_key"] for r in snap.read(spark).collect())
+    assert remaining == ["d"]
+    # reported deletions sum to rows actually removed (no double count)
+    assert sum(n for n, _ in results) == 3
+    # metadata count agrees with the scan
+    assert M.row_count(t) == 1
+
+
+def test_materialize_redoes_when_cow_delete_races(spark, tmp_path, monkeypatch):
+    """A COW delete that lands between materialize's read and commit
+    replaces base manifests — committing stale stripped copies would
+    duplicate rows and resurrect the COW-deleted ones. The ref-subset
+    check must force a redo."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    real_strip_marker = M._write_content_manifest
+    fired = {"done": False}
+
+    def manifest_with_race(table_path, files, stats):
+        # first content-manifest write inside materialize: inject a
+        # concurrent COW delete of 'c' before materialize commits
+        if not fired["done"]:
+            fired["done"] = True
+            ref = real_strip_marker(table_path, files, stats)
+            M.delete_where(spark, t, [("arrest_key", "=", "c")])
+            return ref
+        return real_strip_marker(table_path, files, stats)
+
+    monkeypatch.setattr(M, "_write_content_manifest", manifest_with_race)
+    M.materialize_deletes(spark, t)
+    monkeypatch.undo()
+    got = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
+    # 'a' stays MOR-deleted (materialized), 'c' stays COW-deleted,
+    # 'b' appears exactly once
+    assert got == ["b"]
+    assert M.snapshot(t).delete_refs == []
+    assert M.row_count(t) == 1
+
+
+def test_stream_sink_commits_after_vacuum_dropped_old_versions(spark, tmp_path):
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.table_stream import ManifestStreamWriter
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        M.append(spark, _df(spark, [(f"k{i}", i)]), t)
+    M.vacuum(t, keep_versions=1, retention_seconds=0.0)  # v0, v1 gone
+    schema = StructType(
+        [StructField("arrest_key", StringType()), StructField("v", LongType())]
+    )
+    w = ManifestStreamWriter(schema, {"path": t, "streamid": "fresh"})
+    # the txn walk hits the vacuum horizon and treats it as "no marker"
+    msg = w.write(iter([pa.record_batch({"arrest_key": ["z"], "v": [9]})]))
+    w.commit([msg], 0)
+    assert sorted(
+        r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
+    ) == ["k0", "k1", "k2", "z"]

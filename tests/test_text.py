@@ -348,3 +348,12 @@ def test_ccnet_buckets_terciles_per_lang(spark):
     df2 = df.union(spark.createDataFrame([(99, "en", "solo")], df.schema))
     out2 = ccnet_perplexity_buckets(df2).collect()
     assert 99 not in {r["doc_id"] for r in out2}
+
+
+def test_ccnet_buckets_respects_custom_lang_col(spark):
+    from nypd_arrest_etl_spark.operators.text import ccnet_perplexity_buckets
+
+    rows = [(1, "xx", "a b a b a b"), (2, "xx", "b a b a b a"), (3, "yy", "c d c d")]
+    df = spark.createDataFrame(rows, "doc_id long, language string, text string")
+    out = ccnet_perplexity_buckets(df, lang_col="language").collect()
+    assert {r["lang"] for r in out} == {"xx", "yy"}
