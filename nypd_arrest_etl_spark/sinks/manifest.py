@@ -76,6 +76,10 @@ the Delta Lake VLDB'20 paper and the Iceberg spec):
   ``materialize_deletes`` folds them eagerly by rewriting only the
   tombstoned files. Tombstones on files that leave the table are
   inert by construction (position keys reference dead paths).
+- **UPSERT merge** (round 4): ``merge_upsert_txn`` — Delta ``MERGE
+  WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT``, composed from MOR
+  tombstones + new data files in ONE atomic commit; matched-row scan
+  key-range-pruned like the insert-only merge.
 - **Layout management** (round 4): ``cluster_table`` (OPTIMIZE ZORDER)
   and ``compact_table``, with Iceberg RewriteFiles conflict resolution
   against concurrent appenders; ``history()`` (DESCRIBE HISTORY);
@@ -1082,7 +1086,8 @@ def read_changes(
         raise ValueError(f"bad version range [{from_version}, {to_v}]")
     for v in range(from_version + 1, to_v + 1):
         op = _load_manifest(table_path, v).get("operation")
-        if op in ("cluster", "compact", "delete", "update", "delete_mor", "materialize"):
+        if op in ("cluster", "compact", "delete", "update", "delete_mor",
+                  "materialize", "upsert"):
             raise ValueError(
                 f"version {v} is a {op} commit; file-diff changes are only "
                 "valid across append/merge commits — re-baseline from "
@@ -1284,6 +1289,119 @@ def delete_where_mor(
         if not redo:
             break
     raise CommitConflict(f"delete_mor on {table_path} lost {max_retries} races")
+
+
+def merge_upsert_txn(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_path: str,
+    key: str = "arrest_key",
+    max_retries: int = 5,
+) -> tuple[int, int, int]:
+    """Full UPSERT merge (Delta ``MERGE WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT``): existing rows with incoming keys are
+    replaced by the incoming payload, new keys are inserted — in ONE
+    atomic version. The matched rows are removed as merge-on-read
+    tombstones and the full incoming batch lands as new data files;
+    both the delete manifest and the data manifest ride the same
+    commit, so readers see the old row or the new row, never both and
+    never neither.
+
+    In-batch duplicate keys collapse first-writer-wins (same
+    deterministic rule as the insert-only merge); a key duplicated in
+    the TABLE (possible via raw appends) has every copy tombstoned.
+    Replaying the same batch advances a version but leaves identical
+    data (the old copy of each row is re-tombstoned, the same payload
+    re-inserted) — pair with the streaming sink's txn marker when
+    exactly-once replay matters. ``read_changes`` and the streaming
+    source refuse ``upsert`` ranges (it retracts rows, like deletes).
+
+    Scale shape: the matched-row scan is key-range-pruned to the
+    incoming batch exactly like the insert-only merge's anti-join;
+    tombstone bytes are O(matched rows); write bytes are O(batch).
+    Returns (rows_updated, rows_inserted, version)."""
+    from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
+
+    deduped = dedup_first_writer_wins(incoming, key).localCheckpoint(eager=True)
+    schema = _schema_entry(deduped)
+    n_incoming = deduped.count()
+    bounds = deduped.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    key_filters = (
+        [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
+        if bounds["lo"] is not None
+        else None
+    )
+    for _ in range(max_retries):
+        base = snapshot(table_path)
+        _check_schema_evolution(base.schema if base else None, schema)
+        del_ref: list[dict] = []
+        data_files: set[str] = set()
+        n_updated = 0
+        if base is not None and base.n_files:
+            cand = base.prune(key_filters) if key_filters else base.files
+            if cand:
+                prefix_len = len(_file_uri_prefix(table_path))
+                keyed = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(table_path, f) for f in sorted(cand)]
+                )
+                keyed = keyed.select(
+                    F.col(key),
+                    F.col("_metadata.file_path")
+                    .substr(F.lit(prefix_len + 1), F.lit(4096))
+                    .alias("_df_file"),
+                    F.col("_metadata.row_index").alias("_df_pos"),
+                )
+                if base.delete_refs:
+                    tomb = spark.read.parquet(
+                        *[os.path.join(table_path, f) for f in base.delete_files]
+                    )
+                    keyed = keyed.join(tomb, ["_df_file", "_df_pos"], "left_anti")
+                matches = keyed.join(
+                    deduped.select(key), key, "left_semi"
+                ).localCheckpoint(eager=True)
+                # updated = distinct matched KEYS (a key duplicated in
+                # the table tombstones several rows but is one update)
+                n_updated = matches.select(key).distinct().count()
+                if matches.head(1):
+                    data_files = {
+                        r["_df_file"]
+                        for r in matches.select("_df_file").distinct().collect()
+                    }
+                    del_files = _write_delete_files(
+                        matches.select("_df_file", "_df_pos"), table_path
+                    )
+                    del_ref = [
+                        _write_delete_manifest(table_path, del_files, data_files)
+                    ]
+        new_files, new_stats = _write_data_files(deduped, table_path)
+        new_ref = _write_content_manifest(table_path, new_files, new_stats)
+        base_delete_paths = {r["path"] for r in (base.delete_refs if base else [])}
+        redo = False
+        for _ in range(max_retries):
+            snap = snapshot(table_path)
+            if not data_files <= set(snap.files):
+                redo = True  # a rewrite replaced a matched file
+                break
+            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+                redo = True  # concurrent tombstones; re-scan matches
+                break
+            spec = snap.partition_spec if snap is not None else None
+            try:
+                v = _commit_refs(
+                    table_path,
+                    _next_refs(table_path, snap, new_ref),
+                    snap.version if snap is not None else None,
+                    "upsert",
+                    schema=schema,
+                    partition_spec=spec,
+                    delete_refs=(snap.delete_refs if snap else []) + del_ref,
+                )
+                return n_updated, n_incoming - n_updated, v
+            except CommitConflict:
+                continue
+        if not redo:
+            break
+    raise CommitConflict(f"upsert into {table_path} lost {max_retries} races")
 
 
 def materialize_deletes(

@@ -1261,3 +1261,56 @@ def test_stream_sink_commits_after_vacuum_dropped_old_versions(spark, tmp_path):
     assert sorted(
         r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
     ) == ["k0", "k1", "k2", "z"]
+
+
+def test_merge_upsert_updates_and_inserts_atomically(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    # duplicate of key 'a' in the TABLE via a second raw append
+    M.append(spark, _df(spark, [("a", 10), ("c", 3)]), t)
+    upd, ins, v = M.merge_upsert_txn(
+        spark, _df(spark, [("a", 100), ("d", 4), ("d", 9)]), t
+    )
+    # 'a' is ONE updated key (both table copies tombstoned); 'd' is one
+    # insert (in-batch dup collapsed first-writer-wins)
+    assert (upd, ins) == (1, 1)
+    got = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert got == {"a": 100, "b": 2, "c": 3, "d": 4}
+    # ONE version carries both the tombstones and the new data
+    assert M.snapshot(t).version == v and M.snapshot(t).operation == "upsert"
+    assert len(M.snapshot(t).delete_refs) == 1
+    # metadata count stays exact through the upsert
+    assert M.row_count(t) == 4
+    # an upsert of only-existing keys updates without inserting
+    upd2, ins2, _ = M.merge_upsert_txn(spark, _df(spark, [("b", 20)]), t)
+    assert (upd2, ins2) == (1, 0)
+    assert {
+        r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()
+    }["b"] == 20
+
+
+def test_upsert_breaks_change_feed_and_stream(spark, tmp_path):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    M.merge_upsert_txn(spark, _df(spark, [("a", 2)]), t)
+    with _pytest.raises(ValueError, match="upsert"):
+        M.read_changes(spark, t, from_version=0)
+    register_manifest_table(spark)
+    sink = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("manifest_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="upsert"):
+        q.awaitTermination(120)
+        raise RuntimeError("stream should have failed on the upsert commit")
