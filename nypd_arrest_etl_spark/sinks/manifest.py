@@ -233,6 +233,14 @@ def _file_may_match(stats: dict | None, filters) -> bool:
         rng = cols.get(name)
         if rng is None:
             continue
+        if op == "in":
+            vs = [_normalize_filter_value(x) for x in value]
+            try:
+                if not any(rng["min"] <= x <= rng["max"] for x in vs):
+                    return False
+            except TypeError:
+                pass  # incomparable types: keep the file
+            continue
         lo, hi, v = rng["min"], rng["max"], _normalize_filter_value(value)
         try:
             if op == "=" and not (lo <= v <= hi):
@@ -256,6 +264,10 @@ _OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # value is a LIST — the takedown-by-id-set shape. Bounded by what
+    # fits in a plan literal (~thousands); for huge key sets use
+    # merge_upsert_txn's join-based matched scan instead.
+    "in": lambda c, v: c.isin(*v),
 }
 
 
@@ -264,7 +276,9 @@ def _filters_to_column(filters) -> Column:
     for name, op, value in filters:
         if op not in _OPS:
             raise ValueError(f"unsupported filter op {op!r}; use one of {sorted(_OPS)}")
-        cond = cond & _OPS[op](F.col(name), F.lit(value))
+        # "in" takes the raw value LIST (isin builds its own literals)
+        rhs = value if op == "in" else F.lit(value)
+        cond = cond & _OPS[op](F.col(name), rhs)
     return cond
 
 

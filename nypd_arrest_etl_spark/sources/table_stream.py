@@ -119,6 +119,7 @@ class ManifestBatchReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -129,12 +130,14 @@ class ManifestBatchReader(DataSourceReader):
             GreaterThanOrEqual: ">=",
             LessThan: "<",
             LessThanOrEqual: "<=",
+            In: "in",
         }
         for flt in filters:
             attr = getattr(flt, "attribute", None)
             op = ops.get(type(flt))
             if op is not None and attr is not None and len(attr) == 1:
-                self.skip_filters.append((attr[0], op, flt.value))
+                val = list(flt.value) if op == "in" else flt.value
+                self.skip_filters.append((attr[0], op, val))
         # report ALL as unsupported: the engine rechecks row-level, so
         # stats-based skipping can never change results
         return filters

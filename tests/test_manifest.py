@@ -1314,3 +1314,42 @@ def test_upsert_breaks_change_feed_and_stream(spark, tmp_path):
     with _pytest.raises(Exception, match="upsert"):
         q.awaitTermination(120)
         raise RuntimeError("stream should have failed on the upsert commit")
+
+
+def test_in_filter_prunes_reads_and_drives_key_set_takedown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    low = spark.createDataFrame(
+        [(f"k{i:03d}", i) for i in range(10)], "arrest_key string, v long"
+    )
+    high = spark.createDataFrame(
+        [(f"z{i:03d}", 1000 + i) for i in range(10)], "arrest_key string, v long"
+    )
+    M.append(spark, low.coalesce(1), t)
+    M.append(spark, high.coalesce(1), t)
+    snap = M.snapshot(t)
+    # IN whose values all miss the low file's range prunes it
+    kept = snap.prune([("arrest_key", "in", ["z001", "z007"])])
+    assert len(kept) == 1
+    got = snap.read(spark, filters=[("arrest_key", "in", ["z001", "k002"])])
+    assert sorted(r["arrest_key"] for r in got.collect()) == ["k002", "z001"]
+    # takedown by id SET through the MOR path
+    n, _ = M.delete_where_mor(
+        spark, t, [("arrest_key", "in", ["k001", "z003", "missing"])]
+    )
+    assert n == 2
+    assert M.row_count(t) == 18
+    remaining = {r["arrest_key"] for r in M.snapshot(t).read(spark).collect()}
+    assert "k001" not in remaining and "z003" not in remaining
+    # the DataSource batch path pushes In into partition planning
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    df = (
+        spark.read.format("manifest_table")
+        .option("path", t)
+        .load()
+        .filter(F.col("arrest_key").isin("z005", "z006"))
+    )
+    assert sorted(r["arrest_key"] for r in df.collect()) == ["z005", "z006"]
