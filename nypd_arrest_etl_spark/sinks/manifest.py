@@ -1339,6 +1339,11 @@ def merge_upsert_txn(
     deduped = dedup_first_writer_wins(incoming, key).localCheckpoint(eager=True)
     schema = _schema_entry(deduped)
     n_incoming = deduped.count()
+    if n_incoming == 0:
+        # No-op upsert must not burn a version: an 'upsert' commit
+        # force-re-baselines every change feed and stream reader.
+        v = current_version(table_path)
+        return 0, 0, v if v is not None else -1
     bounds = deduped.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     key_filters = (
         [(key, ">=", bounds["lo"]), (key, "<=", bounds["hi"])]
@@ -1387,17 +1392,46 @@ def merge_upsert_txn(
                     del_ref = [
                         _write_delete_manifest(table_path, del_files, data_files)
                     ]
-        new_files, new_stats = _write_data_files(deduped, table_path)
+        # Honor the table's hidden-partitioning spec like the
+        # insert-only merge: upserted rows land transform-aligned so
+        # per-file stats stay tight for pruning.
+        spec0 = base.partition_spec if base is not None else None
+        to_write, partition_col = deduped, None
+        if spec0 is not None and spec0[1] in PARTITION_TRANSFORMS:
+            partition_col = "__pt"
+            to_write = deduped.withColumn(
+                partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
+            )
+        new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
         new_ref = _write_content_manifest(table_path, new_files, new_stats)
         base_delete_paths = {r["path"] for r in (base.delete_refs if base else [])}
+        base_ref_paths = {r.get("path") for r in (base.refs if base else [])}
         redo = False
         for _ in range(max_retries):
             snap = snapshot(table_path)
-            if not data_files <= set(snap.files):
+            snap_files = set(snap.files) if snap is not None else set()
+            snap_del = snap.delete_refs if snap is not None else []
+            if not data_files <= snap_files:
                 redo = True  # a rewrite replaced a matched file
                 break
-            if {r["path"] for r in snap.delete_refs} != base_delete_paths:
+            if {r["path"] for r in snap_del} != base_delete_paths:
                 redo = True  # concurrent tombstones; re-scan matches
+                break
+            # A concurrent ROW-ADDING commit (merge/append/upsert) may
+            # have inserted one of our keys after the matched scan —
+            # committing without tombstoning it would leave duplicate
+            # keys. Metadata-only check: redo iff any NEW ref's
+            # aggregate key range can overlap the incoming batch.
+            new_since_base = [
+                r
+                for r in (snap.refs if snap is not None else [])
+                if r.get("path") not in base_ref_paths
+            ]
+            if any(
+                "_inline" in r or _ref_may_match(r, key_filters or [])
+                for r in new_since_base
+            ):
+                redo = True
                 break
             spec = snap.partition_spec if snap is not None else None
             try:
@@ -1728,7 +1762,20 @@ def vacuum(
     for f in os.listdir(mdir):
         if f.startswith("v") and f.endswith(".json"):
             if int(f[1 : 1 + _VERSION_DIGITS]) < keep.start:
-                os.remove(os.path.join(mdir, f))
+                # Same retention guard as data files: a version file
+                # younger than the window may carry a streaming sink's
+                # txn marker whose query is mid-crash-replay — dropping
+                # it would make the replay re-commit (duplicate rows).
+                # The operational contract: vacuum retention must
+                # exceed the longest possible replay gap, which the
+                # 7-day default does by orders of magnitude.
+                full = os.path.join(mdir, f)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                except OSError:
+                    continue
+                os.remove(full)
         elif f.startswith("m-") and f.endswith(".json") and f not in live_manifests:
             # Unreferenced content manifest: superseded by compaction or
             # orphaned by a lost commit race. Same retention guard as

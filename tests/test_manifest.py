@@ -1353,3 +1353,85 @@ def test_in_filter_prunes_reads_and_drives_key_set_takedown(spark, tmp_path):
         .filter(F.col("arrest_key").isin("z005", "z006"))
     )
     assert sorted(r["arrest_key"] for r in df.collect()) == ["z005", "z006"]
+
+
+def test_upsert_into_new_and_with_empty_batch(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # first-ever write to the table via upsert: pure insert
+    upd, ins, v = M.merge_upsert_txn(spark, _df(spark, [("a", 1)]), t)
+    assert (upd, ins, v) == (0, 1, 0)
+    # empty incoming batch: no-op, NO poison 'upsert' version burned
+    upd, ins, v2 = M.merge_upsert_txn(spark, _df(spark, []).limit(0), t)
+    assert (upd, ins, v2) == (0, 0, 0)
+    assert M.current_version(t) == 0
+    M.append(spark, _df(spark, [("b", 2)]), t)
+    # change feed works across the whole history (no upsert marker for
+    # the no-op)
+    assert M.read_changes(spark, t, from_version=0).count() == 1
+
+
+def test_upsert_racing_insert_of_same_key_never_duplicates(spark, tmp_path):
+    """A merge inserting key k lands between the upsert's matched scan
+    and its commit: the overlap check must force a re-scan so exactly
+    one row with k survives (serializable as merge-then-upsert)."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("seed", 0)]), t)
+    real_write = M._write_content_manifest
+    fired = {"done": False}
+
+    def write_with_race(table_path, files, stats):
+        ref = real_write(table_path, files, stats)
+        # inject AFTER the upsert has written its own content manifest
+        # (first call from inside merge_upsert_txn's loop body)
+        if not fired["done"] and any("stream" not in f for f in files):
+            fired["done"] = True
+            M.merge_insert_if_absent_txn(spark, _df(spark, [("k", 1)]), t)
+        return ref
+
+    import unittest.mock as mock
+
+    with mock.patch.object(M, "_write_content_manifest", write_with_race):
+        upd, ins, _ = M.merge_upsert_txn(spark, _df(spark, [("k", 99)]), t)
+    rows = [r for r in M.snapshot(t).read(spark).collect() if r["arrest_key"] == "k"]
+    assert len(rows) == 1, f"duplicate key rows: {rows}"
+    # serializable as merge-then-upsert: the upsert's payload wins
+    assert rows[0]["v"] == 99
+    assert (upd, ins) == (1, 0)
+
+
+def test_upsert_honors_partition_spec(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", "2024-01-15"), ("b", "2025-06-01")],
+        "arrest_key string, d string",
+    ).select("arrest_key", F.col("d").cast("date").alias("d"))
+    M.append(spark, df, t, partition_by=("d", "year"))
+    more = spark.createDataFrame(
+        [("a", "2023-03-03"), ("c", "2026-09-09")], "arrest_key string, d string"
+    ).select("arrest_key", F.col("d").cast("date").alias("d"))
+    M.merge_upsert_txn(spark, more, t, key="arrest_key")
+    snap = M.snapshot(t)
+    # upserted rows landed hive-partitioned by the inherited spec
+    assert any("__pt=2023" in f for f in snap.files)
+    assert any("__pt=2026" in f for f in snap.files)
+    got = {r["arrest_key"]: str(r["d"]) for r in snap.read(spark).collect()}
+    assert got == {"a": "2023-03-03", "b": "2025-06-01", "c": "2026-09-09"}
+
+
+def test_vacuum_retention_spares_young_version_files(spark, tmp_path):
+    """Version files inside the retention window survive vacuum — a
+    streaming sink's txn marker must outlive any crash-replay gap."""
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        M.append(spark, _df(spark, [(f"k{i}", i)]), t)
+    M.vacuum(t, keep_versions=1)  # default 7-day retention
+    # all version files (and their txn-marker potential) still present
+    for v in range(3):
+        assert M.snapshot(t, version=v) is not None
+    M.vacuum(t, keep_versions=1, retention_seconds=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        M.snapshot(t, version=0)
