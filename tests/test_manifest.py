@@ -707,6 +707,8 @@ def test_random_walk_matches_model(spark, tmp_path):
         got = sorted((r["arrest_key"], r["v"]) for r in snap.read(spark).collect())
         want = sorted(appended + list(model.items()))
         assert got == want
+        # metadata COUNT(*) always agrees with the scan
+        assert M.row_count(t) == len(want)
         if history:  # gapless chain, all versions readable (pre-vacuum)
             for v in range(snap.version + 1):
                 assert M.snapshot(t, version=v) is not None
@@ -721,7 +723,7 @@ def test_random_walk_matches_model(spark, tmp_path):
     for step in range(14):
         op = rng.choice(
             ["append", "merge", "merge_dup", "compact", "cluster", "delete",
-             "update", "delete_mor", "materialize", "stream_append"]
+             "update", "delete_mor", "materialize", "stream_append", "upsert"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
@@ -758,6 +760,19 @@ def test_random_walk_matches_model(spark, tmp_path):
                 appended[i] = (appended[i][0], cut + 1000)
             for k in mkeys:
                 model[k] = cut + 1000
+        elif op == "upsert" and (model or appended):
+            # re-offer one existing key with a new value + one fresh key
+            existing = [k for k, _ in appended] + list(model)
+            hit = rng.choice(existing)
+            (new_k,) = fresh_keys(1)
+            rows = [(hit, 777), (new_k, rng.randrange(100))]
+            upd, ins, _ = M.merge_upsert_txn(spark, _df(spark, rows), t)
+            # a key duplicated in the table still counts as ONE update
+            assert (upd, ins) == (1, 1)
+            appended[:] = [r for r in appended if r[0] != hit]
+            model.pop(hit, None)
+            model[hit] = 777
+            model[new_k] = rows[1][1]
         elif op == "stream_append":
             import pyarrow as _pa
 
