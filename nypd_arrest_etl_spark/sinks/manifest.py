@@ -1101,7 +1101,7 @@ def read_changes(
     for v in range(from_version + 1, to_v + 1):
         op = _load_manifest(table_path, v).get("operation")
         if op in ("cluster", "compact", "delete", "update", "delete_mor",
-                  "materialize", "upsert"):
+                  "materialize", "upsert", "restore"):
             raise ValueError(
                 f"version {v} is a {op} commit; file-diff changes are only "
                 "valid across append/merge commits — re-baseline from "
@@ -1630,6 +1630,37 @@ def _rewrite_rows_where(
         if not redo:
             break
     raise CommitConflict(f"{operation} on {table_path} lost {max_retries} races")
+
+
+def restore(table_path: str, version: int, max_retries: int = 5) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back to an
+    earlier version by committing that version's manifest refs (and
+    delete manifests and partition spec) as a NEW version. History is
+    preserved (the bad versions stay readable for forensics until
+    vacuum); data files are shared by reference, so the restore is a
+    metadata-only O(refs) commit no matter the table size. The target
+    version must still exist (not vacuumed). Restores can remove rows
+    later versions added, so ``read_changes`` and the streaming source
+    refuse ranges crossing one — re-baseline, as with deletes."""
+    target = snapshot(table_path, version)
+    if target is None:
+        raise ValueError(f"version {version} of {table_path} does not exist")
+    refs = _carry_refs(target)
+    for _ in range(max_retries):
+        head = current_version(table_path)
+        try:
+            return _commit_refs(
+                table_path,
+                refs,
+                head,
+                "restore",
+                schema=target.schema,
+                partition_spec=target.partition_spec,
+                delete_refs=target.delete_refs,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"restore of {table_path} lost {max_retries} races")
 
 
 def row_count(table_path: str, version: int | None = None) -> int:

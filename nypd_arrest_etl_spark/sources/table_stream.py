@@ -209,7 +209,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 M.Snapshot(self.table_path, v, manifest).files
             )
             op = manifest.get("operation")
-            if op in ("delete", "update", "delete_mor", "upsert"):
+            if op in ("delete", "update", "delete_mor", "upsert", "restore"):
                 # A delete REMOVES rows this stream already emitted; a
                 # row-add feed cannot express the retraction. Fail loud
                 # so the consumer re-baselines past it (startingVersion).

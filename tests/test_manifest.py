@@ -1450,3 +1450,32 @@ def test_vacuum_retention_spares_young_version_files(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         M.snapshot(t, version=0)
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)  # v0
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])  # v1
+    M.append(spark, _df(spark, [("c", 3)]), t)  # v2
+    files_before = set(M.snapshot(t).files)
+    v = M.restore(t, 0)
+    snap = M.snapshot(t)
+    assert snap.version == v and snap.operation == "restore"
+    # back to v0's contents: 'a' resurrected, 'c' gone, tombstones gone
+    assert sorted(r["arrest_key"] for r in snap.read(spark).collect()) == ["a", "b"]
+    assert snap.delete_refs == []
+    assert M.row_count(t) == 2
+    # metadata-only: no new data files were written
+    assert set(snap.files) <= files_before
+    # the rolled-back history is still readable for forensics
+    assert sorted(
+        r["arrest_key"] for r in M.snapshot(t, version=2).read(spark).collect()
+    ) == ["b", "c"]
+    # change feeds refuse ranges crossing the restore
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restore"):
+        M.read_changes(spark, t, from_version=2)
+    # and the table keeps working normally afterwards
+    M.append(spark, _df(spark, [("d", 4)]), t)
+    assert M.row_count(t) == 3
