@@ -92,10 +92,14 @@ def _wav_samples(payload: bytes):
     with wave.open(io.BytesIO(payload)) as w:
         nch, width, frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
         raw = w.readframes(frames)
-    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    # 8-bit PCM WAV is UNSIGNED (0-255, silence at 128) per the RIFF
+    # spec; 16/32-bit are signed two's-complement.
+    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
     if dt is None:
         raise NotImplementedError(f"{width * 8}-bit WAV needs an audio library")
     arr = np.frombuffer(raw, dtype=dt).astype("float32")
+    if width == 1:
+        arr -= 128.0
     if nch > 1:
         arr = arr[: len(arr) - len(arr) % nch].reshape(-1, nch).mean(axis=1)
     peak = float(1 << (width * 8 - 1))

@@ -590,9 +590,18 @@ class Snapshot:
             raise ValueError("empty snapshot has no schema; guard with files check")
         files = self.files if not filters else self.prune(filters)
         if not files:
-            # All files skipped: empty result with the full-scan schema.
-            full = self._scan(spark, self.files)
-            return full.filter(F.lit(False))
+            # All files skipped: empty result whose schema comes from
+            # the RECORDED manifest schema — a metadata-only answer.
+            # (A full mergeSchema scan here would load every content
+            # manifest and parquet footer just to name the columns —
+            # the O(total files) cost pruning exists to avoid.)
+            if self.schema:
+                ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in self.schema)
+                return spark.createDataFrame([], ddl)
+            # Legacy manifest without a recorded schema: one file per
+            # ref (mergeSchema across generations), not the full list.
+            sample = [self._body(i)["files"][0] for i in range(len(self.refs))]
+            return self._scan(spark, sample).filter(F.lit(False))
         df = self._apply_deletes(spark, self._scan(spark, files))
         if filters:
             df = df.filter(_filters_to_column(filters))
@@ -754,8 +763,18 @@ def _carry_refs(snap: Snapshot | None) -> list[dict]:
     for i, ref in enumerate(snap.refs):
         if "_inline" in ref:
             body = snap._body(i)
+            # One-time upgrade: legacy flat manifests may predate
+            # per-file stats — harvest footers now so the materialized
+            # content manifest carries real rows/ranges (keeps the
+            # metadata row_count fast path exact from here on).
+            stats = dict(body.get("stats", {}))
+            for f in body["files"]:
+                if f not in stats:
+                    stats[f] = _collect_file_stats(
+                        os.path.join(snap.table_path, f)
+                    )
             out.append(
-                _write_content_manifest(snap.table_path, body["files"], body.get("stats", {}))
+                _write_content_manifest(snap.table_path, body["files"], stats)
             )
         else:
             out.append(ref)
@@ -834,6 +853,18 @@ def append(
         snap = snapshot(table_path)
         base = snap.version if snap is not None else None
         _check_schema_evolution(snap.schema if snap else None, schema)
+        # An INHERITING append (partition_by=None) must commit the spec
+        # from the snapshot it actually commits against, not the
+        # pre-loop one: a concurrent writer may have evolved (or first
+        # declared) the spec since base0, and recording the stale spec
+        # would silently revert the evolution for every later writer.
+        # Our data files keep the base0 layout — legal under spec
+        # evolution (old-layout files are exactly what evolution
+        # leaves behind). An EXPLICIT partition_by always commits
+        # itself (that is the evolution).
+        commit_spec = partition_by if partition_by is not None else (
+            snap.partition_spec if snap is not None else spec
+        )
         try:
             return _commit_refs(
                 table_path,
@@ -841,7 +872,7 @@ def append(
                 base,
                 "append",
                 schema=schema,
-                partition_spec=spec,
+                partition_spec=commit_spec,
                 delete_refs=snap.delete_refs if snap is not None else None,
             )
         except CommitConflict:
@@ -1663,6 +1694,32 @@ def restore(table_path: str, version: int, max_retries: int = 5) -> int:
     raise CommitConflict(f"restore of {table_path} lost {max_retries} races")
 
 
+def _snapshot_data_rows(snap: Snapshot) -> int:
+    """Pre-tombstone data-file row total. Two-level refs answer from
+    their aggregate; legacy flat manifests written before per-file
+    stats existed have files but no stats — for those, fall back to
+    the parquet footer's num_rows (O(legacy files) footer reads, once;
+    never silently 0 for a non-empty snapshot)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for r in snap.refs:
+        if "_inline" not in r:
+            total += r.get("rows", 0)
+            continue
+        body = r["_inline"]
+        stats = body.get("stats", {})
+        for f in body.get("files", []):
+            st = stats.get(f)
+            if st and "rows" in st:
+                total += st["rows"]
+            else:
+                total += pq.ParquetFile(
+                    os.path.join(snap.table_path, f)
+                ).metadata.num_rows
+    return total
+
+
 def row_count(table_path: str, version: int | None = None) -> int:
     """COUNT(*) answered from METADATA — no Spark job, no data scan
     (the Iceberg/Delta stats fast path): data-file row totals come
@@ -1676,12 +1733,7 @@ def row_count(table_path: str, version: int | None = None) -> int:
     snap = snapshot(table_path, version)
     if snap is None:
         return 0
-    total = sum(
-        r.get("rows", 0)
-        if "_inline" not in r
-        else sum(st.get("rows", 0) for st in r["_inline"].get("stats", {}).values())
-        for r in snap.refs
-    )
+    total = _snapshot_data_rows(snap)
     if snap.delete_refs:
         import pyarrow.parquet as pq
 
@@ -1714,14 +1766,7 @@ def history(table_path: str) -> list[dict]:
             snap = Snapshot(table_path, v, _load_manifest(table_path, v))
         except FileNotFoundError:  # vacuumed-away prefix
             continue
-        rows = sum(
-            r.get("rows", 0)
-            if "_inline" not in r
-            else sum(
-                st.get("rows", 0) for st in r["_inline"].get("stats", {}).values()
-            )
-            for r in snap.refs
-        )
+        rows = _snapshot_data_rows(snap)
         entry = {
             "version": v,
             "operation": snap.operation,

@@ -188,13 +188,28 @@ class ManifestStreamReader(DataSourceStreamReader):
         v = M.current_version(self.table_path)
         return {"version": v if v is not None else self.starting_version}
 
+    def _load_version(self, version: int) -> dict:
+        """Load one version manifest, translating a vacuumed-away file
+        into the same re-baseline contract the retraction case gets: a
+        lagging stream whose unread versions aged past the vacuum
+        retention window should see a clear recovery instruction, not a
+        raw FileNotFoundError."""
+        try:
+            return M._load_manifest(self.table_path, version)
+        except FileNotFoundError:
+            head = M.current_version(self.table_path)
+            raise ValueError(
+                f"version {version} of {self.table_path} was vacuumed away "
+                "(stream lagged past the retention window) — restart the "
+                f"stream with startingVersion={head} (current head) or "
+                "re-baseline from a full snapshot read"
+            ) from None
+
     def _files_at(self, version: int) -> set[str]:
         if version < 0:
             return set()
         return set(
-            M.Snapshot(
-                self.table_path, version, M._load_manifest(self.table_path, version)
-            ).files
+            M.Snapshot(self.table_path, version, self._load_version(version)).files
         )
 
     def partitions(self, start: dict, end: dict):
@@ -204,7 +219,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         added: list[str] = []
         prev = self._files_at(lo)
         for v in range(lo + 1, hi + 1):
-            manifest = M._load_manifest(self.table_path, v)
+            manifest = self._load_version(v)
             cur = set(
                 M.Snapshot(self.table_path, v, manifest).files
             )

@@ -1479,3 +1479,111 @@ def test_restore_rolls_back_metadata_only(spark, tmp_path):
     # and the table keeps working normally afterwards
     M.append(spark, _df(spark, [("d", 4)]), t)
     assert M.row_count(t) == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_inheriting_append_commits_spec_declared_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """An inheriting append (partition_by=None) that races a writer who
+    DECLARES the partition spec must commit the fresh spec, not the
+    stale pre-loop None — otherwise the evolution silently reverts for
+    every later writer."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)  # v0, no spec
+    real_wdf = M._write_data_files
+    state = {"fired": False}
+
+    def hooked(df, table_path, partition_col=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent writer declares the spec between the inheriting
+            # append's base0 resolution and its commit loop
+            M.append(
+                spark, _df(spark, [("spec", 9)]), t, partition_by=("v", "identity")
+            )
+        return real_wdf(df, table_path, partition_col)
+
+    monkeypatch.setattr(M, "_write_data_files", hooked)
+    M.append(spark, _df(spark, [("b", 2)]), t)  # inheriting
+    snap = M.snapshot(t)
+    assert snap.partition_spec == ("v", "identity")
+    # and the NEXT inheriting writer still sees (and re-commits) it
+    monkeypatch.setattr(M, "_write_data_files", real_wdf)
+    M.append(spark, _df(spark, [("c", 3)]), t)
+    assert M.snapshot(t).partition_spec == ("v", "identity")
+
+
+def test_pruned_to_empty_read_answers_schema_from_metadata(spark, tmp_path):
+    """When stats pruning eliminates every file, the empty result's
+    schema comes from the recorded manifest schema — no content
+    manifest and no parquet footer is opened."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.append(spark, _df(spark, [("c", 3)]), t)
+    snap = M.snapshot(t)
+    out = snap.read(spark, filters=[("v", ">", 10_000)])
+    assert out.columns == ["arrest_key", "v"]
+    assert out.count() == 0
+    assert snap.manifests_opened == 0  # metadata-only, both levels
+
+
+def test_row_count_and_history_on_legacy_flat_manifest_without_stats(
+    spark, tmp_path
+):
+    """A flat manifest written before per-file stats existed (files,
+    no stats) must fall back to parquet footers, not report 0."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    snap = M.snapshot(t)
+    legacy = {
+        "version": 1,
+        "operation": "legacy",
+        "files": snap.files,  # flat layout: inline list, NO stats
+    }
+    with open(M._version_path(t, 1), "w") as f:
+        json.dump(legacy, f)
+    assert M.row_count(t) == 3
+    hist = M.history(t)
+    assert hist[0]["version"] == 1 and hist[0]["n_rows"] == 3
+    assert M.snapshot(t).read(spark).count() == 3
+    # an append on top materializes the inline ref WITH harvested stats
+    M.append(spark, _df(spark, [("d", 4)]), t)
+    assert M.row_count(t) == 4
+    head = M.snapshot(t)
+    assert all("_inline" not in r for r in head.refs)
+    assert sum(r.get("rows", 0) for r in head.refs) == 4
+
+
+def test_lagging_stream_past_vacuum_horizon_gets_rebaseline_error(
+    spark, tmp_path
+):
+    """A stream whose unread versions were vacuumed away must get the
+    clear re-baseline ValueError, not a raw FileNotFoundError."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.table_stream import ManifestStreamReader
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        M.append(spark, _df(spark, [(f"k{i}", i)]), t)
+    M.vacuum(t, keep_versions=1, retention_seconds=0.0)  # v0-v2 gone
+    schema = StructType(
+        [StructField("arrest_key", StringType()), StructField("v", LongType())]
+    )
+    r = ManifestStreamReader(schema, {"path": t})
+    with _pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": 0}, {"version": 3})
+    # restarting at the advertised head works
+    head = M.current_version(t)
+    r2 = ManifestStreamReader(schema, {"path": t, "startingversion": str(head)})
+    assert r2.initialOffset() == {"version": head}

@@ -202,3 +202,33 @@ def test_real_bmp_resize_nearest_neighbor(spark):
     assert px[9:12] == b"\x00\xff\x00"  # top-right green
     assert px[36:39] == b"\x00\x00\xff"  # bottom-left blue
     assert px[45:48] == b"\t\t\t"  # bottom-right gray
+
+
+def test_wav_8bit_is_unsigned_pcm():
+    """8-bit PCM WAV stores UNSIGNED samples (silence at 128); decoding
+    as signed int8 bias-flips everything. A constant-silence 8-bit file
+    must decode to ~zero RMS."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from nypd_arrest_etl_spark.operators.multimodal import _wav_samples
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 1000))  # pure silence, unsigned midpoint
+    arr = _wav_samples(buf.getvalue())
+    assert float(np.abs(arr).max()) == 0.0
+    # and a full-scale square wave hits ±1 within 8-bit quantization
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([255, 0] * 500))
+    arr2 = _wav_samples(buf2.getvalue())
+    assert 0.95 <= float(np.abs(arr2).max()) <= 1.0
