@@ -316,15 +316,28 @@ def _aggregate_ranges(files: list[str], stats: dict) -> dict:
     return {"rows": rows, "columns": {n: agg[n] for n in sorted(keep)}}
 
 
-def _write_content_manifest(table_path: str, files: list[str], stats: dict) -> dict:
+def _write_content_manifest(
+    table_path: str, files: list[str], stats: dict, seqs: dict | None = None
+) -> dict:
     """Write an immutable level-2 manifest and return its manifest-list
     ref (path + aggregate ranges). Like data files, the manifest is not
     part of the table until a version file references it — an orphaned
-    one is reclaimed by vacuum after the retention window."""
+    one is reclaimed by vacuum after the retention window.
+
+    Data SEQUENCE numbers (the Iceberg ordering that scopes equality
+    deletes): a manifest of NEW files gets ``added_at: None`` — a
+    sentinel ``_commit_refs`` stamps with the version actually claimed,
+    so the seq always reflects true commit order even across retries.
+    A manifest REWRITTEN from existing files (compaction, COW strip)
+    passes ``seqs`` — the per-file original sequence numbers, preserved
+    in the body so re-packed metadata never makes old rows look new
+    (which would stop older equality deletes from applying to them)."""
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     name = f"m-{uuid.uuid4().hex}.json"
     body = {"files": sorted(files), "stats": stats}
+    if seqs:
+        body["seqs"] = {f: seqs[f] for f in files if f in seqs}
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -337,6 +350,7 @@ def _write_content_manifest(table_path: str, files: list[str], stats: dict) -> d
         "n_files": len(files),
         "rows": agg["rows"],
         "columns": agg["columns"],
+        "added_at": 0 if seqs is not None else None,
     }
 
 
@@ -396,11 +410,18 @@ def _compact_refs(table_path: str, refs: list[dict]) -> list[dict]:
     to_merge, keep = by_size[: len(refs) - keep_n], by_size[len(refs) - keep_n :]
     files: list[str] = []
     stats: dict = {}
+    seqs: dict = {}
     for ref in to_merge:
         body = _load_content_manifest(table_path, ref["path"])
-        files.extend(body["files"])
+        base_seq = ref.get("added_at") or 0
+        body_seqs = body.get("seqs", {})
+        for f in body["files"]:
+            files.append(f)
+            seqs[f] = body_seqs.get(f, base_seq)
         stats.update(body.get("stats", {}))
-    return keep + [_write_content_manifest(table_path, files, stats)]
+    # seqs preserved per file: merging manifests added at different
+    # versions must not change which equality deletes apply to them.
+    return keep + [_write_content_manifest(table_path, files, stats, seqs=seqs)]
 
 
 # ---------------------------------------------------------------------------
@@ -479,6 +500,7 @@ class Snapshot:
         self._files: list[str] | None = None
         self._stats: dict | None = None
         self._delete_bodies: list[dict] | None = None
+        self._file_seqs: dict[str, int] | None = None
 
     def _body(self, i: int) -> dict:
         if i not in self._bodies:
@@ -523,39 +545,135 @@ class Snapshot:
             )
         return sorted(kept)
 
+    @property
+    def pos_delete_refs(self) -> list[dict]:
+        """Positional (file, row-position) delete manifests."""
+        return [r for r in self.delete_refs if r.get("kind") != "eq_deletes"]
+
+    @property
+    def eq_delete_refs(self) -> list[dict]:
+        """Equality-delete manifests (Iceberg v2 shape): key lists that
+        delete every matching row from files with an OLDER data
+        sequence number than the delete's own commit."""
+        return [r for r in self.delete_refs if r.get("kind") == "eq_deletes"]
+
     def _delete_manifest_bodies(self) -> list[dict]:
         if self._delete_bodies is None:
             self._delete_bodies = [
                 _load_content_manifest(self.table_path, r["path"])
-                for r in self.delete_refs
+                for r in self.pos_delete_refs
             ]
         return self._delete_bodies
 
     @property
     def delete_files(self) -> list[str]:
-        """Merge-on-read delete files (parquet of (_df_file, _df_pos))."""
+        """Positional delete files (parquet of (_df_file, _df_pos))."""
         return sorted(
             f for b in self._delete_manifest_bodies() for f in b["files"]
         )
 
     @property
+    def eq_delete_files(self) -> list[str]:
+        """Equality-delete key files (parquet of deleted key values)."""
+        return sorted(
+            f
+            for r in self.eq_delete_refs
+            for f in _load_content_manifest(self.table_path, r["path"])["files"]
+        )
+
+    @property
     def delete_data_files(self) -> set[str]:
-        """Data files that live delete entries point at."""
+        """Data files that live positional delete entries point at."""
         return {
             f for b in self._delete_manifest_bodies() for f in b["data_files"]
         }
 
+    @property
+    def file_seqs(self) -> dict[str, int]:
+        """Data sequence number per file: the version whose commit
+        added it (rewritten manifests preserve originals via per-file
+        ``seqs``; pre-sequence legacy metadata reads as 0 — correctly
+        older than any equality delete). Loads all content manifests,
+        so it is only consulted when equality deletes are live."""
+        if self._file_seqs is None:
+            out: dict[str, int] = {}
+            for i, ref in enumerate(self.refs):
+                base = ref.get("added_at") or 0
+                body = self._body(i)
+                seqs = body.get("seqs", {})
+                for f in body["files"]:
+                    out[f] = seqs.get(f, base)
+            self._file_seqs = out
+        return self._file_seqs
+
+    def _anti_join_deletes(
+        self, spark: SparkSession, df: DataFrame, file_col: str, pos_col: str
+    ) -> DataFrame:
+        """Apply ALL live tombstones to ``df``, which must carry the
+        table-relative file path in ``file_col`` and the row position
+        in ``pos_col``.
+
+        Positional deletes anti-join on (file, position). Equality
+        deletes anti-join on the key column, scoped by sequence
+        number: a delete with seq S removes rows only from files whose
+        data seq < S — never from files of its own commit or later
+        (that is what lets an upsert commit its replacement rows and
+        its delete in one version without scanning anything). The
+        file→seq map is metadata-scale and broadcast; the delete sets
+        are small relative to data (the point of MOR), so AQE plans
+        these joins as broadcasts."""
+        if self.pos_delete_refs:
+            tomb = spark.read.parquet(
+                *[os.path.join(self.table_path, f) for f in self.delete_files]
+            ).select(
+                F.col("_df_file").alias("__t_file"),
+                F.col("_df_pos").alias("__t_pos"),
+            )
+            df = df.join(
+                tomb,
+                (F.col(file_col) == F.col("__t_file"))
+                & (F.col(pos_col) == F.col("__t_pos")),
+                "left_anti",
+            )
+        if self.eq_delete_refs:
+            seq_rows = [(f, s) for f, s in self.file_seqs.items()]
+            seq_df = spark.createDataFrame(
+                seq_rows, "__s_file string, __s_seq long"
+            )
+            df = df.join(
+                F.broadcast(seq_df),
+                F.col(file_col) == F.col("__s_file"),
+                "left",
+            ).drop("__s_file")
+            by_key: dict[str, list[dict]] = {}
+            for r in self.eq_delete_refs:
+                by_key.setdefault(r["key"], []).append(r)
+            for key, refs in by_key.items():
+                eqd = None
+                for r in refs:
+                    body = _load_content_manifest(self.table_path, r["path"])
+                    part = spark.read.parquet(
+                        *[os.path.join(self.table_path, f) for f in body["files"]]
+                    ).select(
+                        F.col(key).alias("__eq_key"),
+                        F.lit(int(r["seq"])).alias("__eq_seq"),
+                    )
+                    eqd = part if eqd is None else eqd.union(part)
+                df = df.join(
+                    eqd,
+                    (F.col(key) == F.col("__eq_key"))
+                    & (F.col("__s_seq") < F.col("__eq_seq")),
+                    "left_anti",
+                )
+            df = df.drop("__s_seq")
+        return df
+
     def _apply_deletes(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        """Drop rows tombstoned by merge-on-read delete files: anti-join
-        on (table-relative file path, row position). ``df`` must come
-        from ``_scan`` so ``_metadata`` is addressable. Delete sets are
-        small relative to data (that is the point of MOR) — AQE plans
-        the anti-join broadcast when they are."""
+        """Drop rows removed by merge-on-read tombstones (positional
+        AND equality). ``df`` must come from ``_scan`` so ``_metadata``
+        is addressable."""
         if not self.delete_refs:
             return df
-        tomb = spark.read.parquet(
-            *[os.path.join(self.table_path, f) for f in self.delete_files]
-        )
         prefix_len = len(_file_uri_prefix(self.table_path))
         keyed = df.withColumns(
             {
@@ -565,12 +683,24 @@ class Snapshot:
                 "__df_pos": F.col("_metadata.row_index"),
             }
         )
-        return keyed.join(
-            tomb,
-            (keyed["__df_file"] == tomb["_df_file"])
-            & (keyed["__df_pos"] == tomb["_df_pos"]),
-            "left_anti",
-        ).drop("__df_file", "__df_pos")
+        return self._anti_join_deletes(spark, keyed, "__df_file", "__df_pos").drop(
+            "__df_file", "__df_pos"
+        )
+
+    def keyed_scan(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Scan ``files`` with explicit (_df_file, _df_pos) address
+        columns and ALL live tombstones applied — the shared entry
+        scan for writers that need row addresses (MOR delete, upserts)
+        so they never match rows a prior delete already removed."""
+        prefix_len = len(_file_uri_prefix(self.table_path))
+        df = self._scan(spark, files).select(
+            "*",
+            F.col("_metadata.file_path")
+            .substr(F.lit(prefix_len + 1), F.lit(4096))
+            .alias("_df_file"),
+            F.col("_metadata.row_index").alias("_df_pos"),
+        )
+        return self._anti_join_deletes(spark, df, "_df_file", "_df_pos")
 
     @property
     def n_files(self) -> int:
@@ -681,17 +811,31 @@ def _commit_refs(
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     new_version = 0 if base_version is None else base_version + 1
+    # Stamp sequence sentinels with the version being CLAIMED, on
+    # copies: if this attempt loses the race, the caller retries with
+    # the sentinel intact and the next attempt stamps the next version.
+    # Stamps must track the actually-claimed version — a stale stamp from a
+    # lost attempt would order a concurrent winner's files as "not
+    # older" than this commit's equality deletes and exempt them.
+    stamped_refs = [
+        dict(r, added_at=new_version) if r.get("added_at", 0) is None else r
+        for r in refs
+    ]
+    stamped_deletes = [
+        dict(r, seq=new_version) if r.get("kind") == "eq_deletes" and r.get("seq") is None else r
+        for r in (delete_refs or [])
+    ]
     manifest = {
         "version": new_version,
         "operation": operation,
-        "manifests": refs,
+        "manifests": stamped_refs,
         "schema": schema,
         "committed_at": time.time(),
     }
     if partition_spec is not None:
         manifest["partition_spec"] = list(partition_spec)
-    if delete_refs:
-        manifest["delete_manifests"] = list(delete_refs)
+    if stamped_deletes:
+        manifest["delete_manifests"] = stamped_deletes
     if txn is not None:
         manifest["txn"] = dict(txn)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -773,8 +917,15 @@ def _carry_refs(snap: Snapshot | None) -> list[dict]:
                     stats[f] = _collect_file_stats(
                         os.path.join(snap.table_path, f)
                     )
+            # seq 0: inline refs predate equality deletes, so every
+            # eq delete must keep applying to their files.
             out.append(
-                _write_content_manifest(snap.table_path, body["files"], stats)
+                _write_content_manifest(
+                    snap.table_path,
+                    body["files"],
+                    stats,
+                    seqs={f: 0 for f in body["files"]},
+                )
             )
         else:
             out.append(ref)
@@ -784,11 +935,14 @@ def _carry_refs(snap: Snapshot | None) -> list[dict]:
 def _next_refs(table_path: str, snap: Snapshot | None, new_ref: dict) -> list[dict]:
     """Manifest list for the next version: base refs + the new one,
     compacted into a single manifest when the list exceeds the
-    threshold (metadata rewrite only; data files untouched)."""
-    refs = _carry_refs(snap) + [new_ref]
-    if len(refs) > MANIFEST_COMPACT_THRESHOLD:
+    threshold (metadata rewrite only; data files untouched). Only the
+    CARRIED refs compact — the new ref is still sequence-unstamped
+    (added_at sentinel), and folding it into a rewritten manifest
+    before the claim would lose its commit-order stamp."""
+    refs = _carry_refs(snap)
+    if len(refs) + 1 > MANIFEST_COMPACT_THRESHOLD:
         refs = _compact_refs(table_path, refs)
-    return refs
+    return refs + [new_ref]
 
 
 #: Partition transforms for ``append(partition_by=(col, transform))`` —
@@ -1132,7 +1286,7 @@ def read_changes(
     for v in range(from_version + 1, to_v + 1):
         op = _load_manifest(table_path, v).get("operation")
         if op in ("cluster", "compact", "delete", "update", "delete_mor",
-                  "materialize", "upsert", "restore"):
+                  "materialize", "upsert", "upsert_eq", "restore"):
             raise ValueError(
                 f"version {v} is a {op} commit; file-diff changes are only "
                 "valid across append/merge commits — re-baseline from "
@@ -1270,22 +1424,11 @@ def delete_where_mor(
         if not candidates:
             return 0, base.version
         pred = _filters_to_column(filters)
-        prefix_len = len(_file_uri_prefix(table_path))
-        keyed = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_path, f) for f in candidates]
-        )
-        keyed = keyed.select(
-            "*",
-            F.col("_metadata.file_path")
-            .substr(F.lit(prefix_len + 1), F.lit(4096))
-            .alias("_df_file"),
-            F.col("_metadata.row_index").alias("_df_pos"),
-        )
-        if base.delete_refs:
-            tomb = spark.read.parquet(
-                *[os.path.join(table_path, f) for f in base.delete_files]
-            )
-            keyed = keyed.join(tomb, ["_df_file", "_df_pos"], "left_anti")
+        # keyed_scan applies ALL existing tombstones (positional and
+        # equality) before matching: a row someone already deleted must
+        # not be tombstoned again (reads would stay right, but the
+        # delete count and metadata row_count would double-subtract).
+        keyed = base.keyed_scan(spark, sorted(candidates))
         matches = (
             keyed.filter(F.coalesce(pred, F.lit(False)))
             .select("_df_file", "_df_pos")
@@ -1390,22 +1533,12 @@ def merge_upsert_txn(
         if base is not None and base.n_files:
             cand = base.prune(key_filters) if key_filters else base.files
             if cand:
-                prefix_len = len(_file_uri_prefix(table_path))
-                keyed = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(table_path, f) for f in sorted(cand)]
+                # keyed_scan excludes rows prior tombstones (positional
+                # OR equality) already removed — matching them again
+                # would double-tombstone and skew counts.
+                keyed = base.keyed_scan(spark, sorted(cand)).select(
+                    key, "_df_file", "_df_pos"
                 )
-                keyed = keyed.select(
-                    F.col(key),
-                    F.col("_metadata.file_path")
-                    .substr(F.lit(prefix_len + 1), F.lit(4096))
-                    .alias("_df_file"),
-                    F.col("_metadata.row_index").alias("_df_pos"),
-                )
-                if base.delete_refs:
-                    tomb = spark.read.parquet(
-                        *[os.path.join(table_path, f) for f in base.delete_files]
-                    )
-                    keyed = keyed.join(tomb, ["_df_file", "_df_pos"], "left_anti")
                 matches = keyed.join(
                     deduped.select(key), key, "left_semi"
                 ).localCheckpoint(eager=True)
@@ -1483,6 +1616,110 @@ def merge_upsert_txn(
     raise CommitConflict(f"upsert into {table_path} lost {max_retries} races")
 
 
+def _write_eq_delete_manifest(
+    table_path: str, files: list[str], key: str, lo, hi
+) -> dict:
+    """Write an immutable equality-delete manifest: ``files`` are
+    parquet files holding the deleted KEY VALUES (one column, named
+    ``key``). The ref records the key's min/max so materialization and
+    row_count can stats-prune which data files the delete can touch,
+    and a ``seq: None`` sentinel ``_commit_refs`` stamps with the
+    claimed version — the delete applies only to files with an older
+    data sequence number."""
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.json"
+    body = {"files": sorted(files), "key": key}
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    return {
+        "path": name,
+        "kind": "eq_deletes",
+        "n_files": len(files),
+        "key": key,
+        "lo": _stat_value(lo),
+        "hi": _stat_value(hi),
+        "seq": None,
+    }
+
+
+def merge_upsert_eq_txn(
+    spark: SparkSession,
+    incoming: DataFrame,
+    table_path: str,
+    key: str = "arrest_key",
+    max_retries: int = 10,
+) -> tuple[int, int]:
+    """UPSERT with EQUALITY deletes (Iceberg v2): commit the incoming
+    batch as new data files plus an equality-delete manifest of its
+    keys — O(batch) write and metadata, ZERO table scan. Readers drop
+    any older row whose key the delete lists (sequence-number scoped),
+    so the table shows exactly the newest version of every key: the
+    same MERGE semantics as :func:`merge_upsert_txn` (reference
+    ``ON CONFLICT DO UPDATE``, load.py:146), minus the per-batch
+    matched scan that one pays to compute positional tombstones.
+
+    This is the hot-upsert-stream shape for a 100 TB table: a
+    microbatch commits in metadata time regardless of table size; the
+    deferred cost is a read-side anti-join that ``materialize_deletes``
+    or any rewrite folds away. Because sequence numbers order commits
+    totally, there are NO redo loops here — a concurrent writer that
+    lands our key first simply gets seq < ours and our delete covers
+    it (serializable as before-us); a writer after us has seq > ours
+    and is untouched. Only the version claim itself retries.
+
+    In-batch duplicate keys collapse first-writer-wins. Updated-vs-
+    inserted split is unknowable without the scan this op exists to
+    avoid — returns (rows_upserted, version)."""
+    from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
+
+    deduped = dedup_first_writer_wins(incoming, key).localCheckpoint(eager=True)
+    schema = _schema_entry(deduped)
+    n = deduped.count()
+    if n == 0:
+        v = current_version(table_path)
+        return 0, v if v is not None else -1
+    bounds = deduped.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    base0 = snapshot(table_path)
+    _check_schema_evolution(base0.schema if base0 else None, schema)
+    spec0 = base0.partition_spec if base0 is not None else None
+    to_write, partition_col = deduped, None
+    if spec0 is not None and spec0[1] in PARTITION_TRANSFORMS:
+        partition_col = "__pt"
+        to_write = deduped.withColumn(
+            partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
+        )
+    new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
+    new_ref = _write_content_manifest(table_path, new_files, new_stats)
+    eq_files = _write_delete_files(deduped.select(key), table_path)
+    eq_ref = _write_eq_delete_manifest(
+        table_path, eq_files, key, bounds["lo"], bounds["hi"]
+    )
+    for _ in range(max_retries):
+        snap = snapshot(table_path)
+        _check_schema_evolution(snap.schema if snap else None, schema)
+        spec = snap.partition_spec if snap is not None else spec0
+        try:
+            v = _commit_refs(
+                table_path,
+                _next_refs(table_path, snap, new_ref),
+                snap.version if snap is not None else None,
+                "upsert_eq",
+                schema=schema,
+                partition_spec=spec,
+                delete_refs=(snap.delete_refs if snap is not None else [])
+                + [eq_ref],
+            )
+            return n, v
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"upsert_eq into {table_path} lost {max_retries} races")
+
+
 def materialize_deletes(
     spark: SparkSession,
     table_path: str,
@@ -1500,7 +1737,30 @@ def materialize_deletes(
         base = snapshot(table_path)
         if base is None or not base.delete_refs:
             return base.version if base is not None else -1
-        affected = sorted(set(base.files) & base.delete_data_files)
+        # Equality deletes can touch any OLDER file whose key range
+        # overlaps the delete's — stats-prune down to those (the lo/hi
+        # recorded per eq manifest makes this metadata-only). Files a
+        # delete cannot reach (newer seq, or disjoint key range) keep
+        # their rows, so dropping the manifest after rewriting only the
+        # affected files is sound.
+        eq_affected: set[str] = set()
+        if base.eq_delete_refs:
+            seqs = base.file_seqs
+            stats = base.stats
+            for r in base.eq_delete_refs:
+                key_range = (
+                    [(r["key"], ">=", r["lo"]), (r["key"], "<=", r["hi"])]
+                    if r.get("lo") is not None
+                    else []
+                )
+                for f in base.files:
+                    if seqs.get(f, 0) < int(r["seq"]) and _file_may_match(
+                        stats.get(f), key_range
+                    ):
+                        eq_affected.add(f)
+        affected = sorted(
+            (set(base.files) & base.delete_data_files) | eq_affected
+        )
         base_delete_paths = {r["path"] for r in base.delete_refs}
         new_ref: list[dict] = []
         if affected:
@@ -1525,7 +1785,17 @@ def materialize_deletes(
             if not keep:
                 return None
             stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
-            return _write_content_manifest(table_path, keep, stats)
+            base_seq = ref.get("added_at") or 0
+            body_seqs = body.get("seqs", {})
+            # kept files keep their ORIGINAL data sequence numbers —
+            # re-stamping them at this commit would exempt them from
+            # any equality delete committed in between.
+            return _write_content_manifest(
+                table_path,
+                keep,
+                stats,
+                seqs={f: body_seqs.get(f, base_seq) for f in keep},
+            )
 
         base_paths = {r["path"] for r in base.refs if r.get("path")}
         stripped = [s for r in _carry_refs(base) if (s := _strip(r)) is not None]
@@ -1614,7 +1884,17 @@ def _rewrite_rows_where(
             if not keep:
                 return None
             stats = {f: s for f, s in body.get("stats", {}).items() if f in keep}
-            return _write_content_manifest(table_path, keep, stats)
+            base_seq = ref.get("added_at") or 0
+            body_seqs = body.get("seqs", {})
+            # preserve original seqs: the carried delete_refs include
+            # live equality deletes that must KEEP applying to the
+            # untouched files this manifest retains.
+            return _write_content_manifest(
+                table_path,
+                keep,
+                stats,
+                seqs={f: body_seqs.get(f, base_seq) for f in keep},
+            )
 
         base_paths = {r["path"] for r in base.refs if r.get("path")}
         base_delete_paths = {r["path"] for r in base.delete_refs}
@@ -1734,18 +2014,64 @@ def row_count(table_path: str, version: int | None = None) -> int:
     if snap is None:
         return 0
     total = _snapshot_data_rows(snap)
-    if snap.delete_refs:
-        import pyarrow.parquet as pq
+    if not snap.delete_refs:
+        return total
+    import pyarrow.parquet as pq
 
-        live = set(snap.files)
-        for f in snap.delete_files:
-            t = pq.read_table(
-                os.path.join(table_path, f), columns=["_df_file"]
+    live = set(snap.files)
+    # positional tombstones, grouped by live target file
+    posdel: dict[str, set[int]] = {}
+    for f in snap.delete_files:
+        t = pq.read_table(os.path.join(table_path, f))
+        for fn, p in zip(
+            t.column("_df_file").to_pylist(), t.column("_df_pos").to_pylist()
+        ):
+            if fn in live:
+                posdel.setdefault(fn, set()).add(p)
+    # equality deletes: (key, seq, keyset, lo, hi) per manifest
+    eqs = []
+    for r in snap.eq_delete_refs:
+        body = _load_content_manifest(table_path, r["path"])
+        keys: set = set()
+        for f in body["files"]:
+            keys.update(
+                pq.read_table(os.path.join(table_path, f))
+                .column(r["key"])
+                .to_pylist()
             )
-            total -= sum(
-                1 for x in t.column("_df_file").to_pylist() if x in live
+        eqs.append((r["key"], int(r["seq"]), keys, r.get("lo"), r.get("hi")))
+    seqs = snap.file_seqs if eqs else {}
+    stats = snap.stats if eqs else {}
+    removed = 0
+    for f in sorted(live):
+        applicable = [
+            e
+            for e in eqs
+            if seqs.get(f, 0) < e[1]
+            and _file_may_match(
+                stats.get(f),
+                [(e[0], ">=", e[3]), (e[0], "<=", e[4])]
+                if e[3] is not None
+                else [],
             )
-    return total
+        ]
+        pos = posdel.get(f, set())
+        if not applicable:
+            removed += len(pos)
+            continue
+        # Equality deletes can overlap positional tombstones on OLDER
+        # files (an eq upsert never scans, so it cannot avoid keys a
+        # positional delete already removed) — count per row so nothing
+        # is subtracted twice. Key-column-pruned driver read; this is
+        # the eq-delete read tax, and materialize_deletes restores the
+        # pure-metadata fast path.
+        keycols = sorted({e[0] for e in applicable})
+        t = pq.read_table(os.path.join(table_path, f), columns=keycols)
+        cols = {c: t.column(c).to_pylist() for c in keycols}
+        for i in range(t.num_rows):
+            if i in pos or any(cols[e[0]][i] in e[2] for e in applicable):
+                removed += 1
+    return total - removed
 
 
 def history(table_path: str) -> list[dict]:
@@ -1808,9 +2134,15 @@ def vacuum(
     live: set[str] = set()
     live_manifests: set[str] = set()
     for v in keep:
-        snap = Snapshot(table_path, v, _load_manifest(table_path, v))
+        try:
+            snap = Snapshot(table_path, v, _load_manifest(table_path, v))
+        except FileNotFoundError:
+            # an earlier, deeper vacuum already dropped this version —
+            # the keep window is a MAXIMUM, not a guarantee
+            continue
         live.update(snap.files)
-        live.update(snap.delete_files)  # MOR tombstone parquets
+        live.update(snap.delete_files)  # MOR positional tombstone parquets
+        live.update(snap.eq_delete_files)  # equality-delete key parquets
         live_manifests.update(r["path"] for r in snap.refs if r.get("path"))
         live_manifests.update(r["path"] for r in snap.delete_refs)
     cutoff = time.time() - retention_seconds

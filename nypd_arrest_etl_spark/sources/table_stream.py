@@ -50,11 +50,19 @@ from nypd_arrest_etl_spark.sinks import manifest as M
 
 
 class FilePartition(InputPartition):
-    def __init__(self, full_path: str, drop_positions: list[int] | None = None):
+    def __init__(
+        self,
+        full_path: str,
+        drop_positions: list[int] | None = None,
+        eq_deletes: list[tuple[str, list[str]]] | None = None,
+    ):
         self.full_path = full_path
         # merge-on-read tombstones scoped to this file (row positions
         # to mask out); None/empty for tombstone-free files
         self.drop_positions = drop_positions
+        # equality deletes applicable to this file (older data seq +
+        # overlapping key range): (key column, [delete parquet paths])
+        self.eq_deletes = eq_deletes
 
 
 def _table_schema_ddl(table_path: str) -> str:
@@ -74,12 +82,16 @@ def _read_file_as_batches(
     full_path: str,
     fields: list[tuple[str, pa.DataType]],
     drop_positions: list[int] | None = None,
+    eq_deletes: list[tuple[str, list[str]]] | None = None,
 ):
     """Executor-side file read, padded to the table schema: an old
     file predating an added nullable column yields that column as
     TYPED nulls (the streaming twin of the mergeSchema read). With
     ``drop_positions``, merge-on-read tombstoned rows are masked out
-    by file row position before the batch is emitted."""
+    by file row position; with ``eq_deletes``, rows whose key appears
+    in an applicable equality-delete file are masked by value (the
+    delete sets are small — that is the MOR contract — so the
+    per-partition re-read is a few KB)."""
     tbl = pq.read_table(full_path)
     if drop_positions:
         import numpy as np
@@ -88,6 +100,13 @@ def _read_file_as_batches(
         idx = np.asarray(drop_positions, dtype="int64")
         mask[idx[idx < len(tbl)]] = False
         tbl = tbl.filter(pa.array(mask))
+    for key, paths in eq_deletes or []:
+        keyset: set = set()
+        for p in paths:
+            keyset.update(pq.read_table(p).column(key).to_pylist())
+        tbl = tbl.filter(
+            pa.array([v not in keyset for v in tbl.column(key).to_pylist()])
+        )
     cols = []
     for name, typ in fields:
         if name in tbl.column_names:
@@ -159,14 +178,49 @@ class ManifestBatchReader(DataSourceReader):
                 dt.column("_df_file").to_pylist(), dt.column("_df_pos").to_pylist()
             ):
                 tombs.setdefault(df_file, []).append(df_pos)
+        # Equality deletes: planned per file, metadata-only — a delete
+        # applies iff the file's data seq is older AND its key stats
+        # overlap the delete's recorded range; executors mask by value.
+        eq_by_file: dict[str, list[tuple[str, list[str]]]] = {}
+        if snap.eq_delete_refs:
+            seqs, stats = snap.file_seqs, snap.stats
+            specs = []
+            for r in snap.eq_delete_refs:
+                body = M._load_content_manifest(self.table_path, r["path"])
+                key_range = (
+                    [(r["key"], ">=", r["lo"]), (r["key"], "<=", r["hi"])]
+                    if r.get("lo") is not None
+                    else []
+                )
+                specs.append(
+                    (
+                        int(r["seq"]),
+                        r["key"],
+                        key_range,
+                        [os.path.join(self.table_path, f) for f in body["files"]],
+                    )
+                )
+            for f in files:
+                app = [
+                    (k, paths)
+                    for s, k, rng, paths in specs
+                    if seqs.get(f, 0) < s and M._file_may_match(stats.get(f), rng)
+                ]
+                if app:
+                    eq_by_file[f] = app
         return [
-            FilePartition(os.path.join(self.table_path, f), tombs.get(f))
+            FilePartition(
+                os.path.join(self.table_path, f), tombs.get(f), eq_by_file.get(f)
+            )
             for f in files
         ]
 
     def read(self, partition: FilePartition):
         yield from _read_file_as_batches(
-            partition.full_path, self.fields, partition.drop_positions
+            partition.full_path,
+            self.fields,
+            partition.drop_positions,
+            partition.eq_deletes,
         )
 
 
@@ -224,7 +278,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 M.Snapshot(self.table_path, v, manifest).files
             )
             op = manifest.get("operation")
-            if op in ("delete", "update", "delete_mor", "upsert", "restore"):
+            if op in ("delete", "update", "delete_mor", "upsert", "upsert_eq", "restore"):
                 # A delete REMOVES rows this stream already emitted; a
                 # row-add feed cannot express the retraction. Fail loud
                 # so the consumer re-baselines past it (startingVersion).

