@@ -36,12 +36,17 @@ the Delta Lake VLDB'20 paper and the Iceberg spec):
   file — the same scan-pruning contract as Iceberg manifest stats /
   Delta data skipping. Pruning is a pure optimization: the surviving
   DataFrame is still filtered exactly.
-- **Schema evolution check** (round 4). Each manifest records the
-  commit's schema; a writer whose schema drops a column or changes a
-  column's type is rejected with ``SchemaEvolutionError`` before any
-  data is written. Adding new nullable columns is allowed (the
-  Iceberg-legal evolution); readers merge schemas across file
-  generations so old files surface the new column as null.
+- **Schema evolution** (round 4, widened round 5). Each manifest
+  records the commit's schema plus a SCHEMA LOG of rename/widen
+  events stamped with their commit version. Legal evolutions: adding
+  nullable columns (old files surface them as null), widening numeric
+  types (``int``→``bigint``, ``float``→``double`` — old files cast up
+  at read; narrow writes into a widened column cast up on write), and
+  explicit ``rename_column`` (metadata-only; readers select the old
+  on-disk name per file generation — the Iceberg field-id contract
+  expressed with per-generation scans grouped by data sequence
+  number). Drops and any other type change are rejected with
+  ``SchemaEvolutionError`` before data is written.
 
 - **Two-level manifests** (round 4, the Iceberg shape). A version file
   is a MANIFEST LIST: refs to immutable content manifests
@@ -131,9 +136,11 @@ class CommitConflict(Exception):
 
 
 class SchemaEvolutionError(Exception):
-    """Incoming schema is not a legal evolution of the table schema
-    (dropped column or changed type). Adding nullable columns is the
-    only allowed change."""
+    """Incoming schema is not a legal evolution of the table schema.
+    Legal: adding nullable columns, widening a numeric type
+    (int->bigint, float->double, ...), writing narrow into an
+    already-widened column, and explicit :func:`rename_column`.
+    Dropping a column or any other type change is rejected."""
 
 
 def _manifest_dir(table_path: str) -> str:
@@ -436,29 +443,89 @@ def _schema_entry(df: DataFrame) -> list[dict]:
     ]
 
 
-def _check_schema_evolution(base: list[dict] | None, incoming: list[dict]) -> None:
-    """Legal evolutions: identical schema, or ADDING nullable columns.
-    Dropping a column or changing a column's type is rejected — the
-    already-committed files cannot be rewritten (immutability), so a
-    type change would make the table unreadable as one schema."""
+#: Safe type widenings (Iceberg's promotion rules): every value of the
+#: narrow type is exactly representable in the wide one, so old files
+#: cast up losslessly at read time.
+_WIDENINGS = {
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _evolve_schema(
+    base: list[dict] | None, incoming: list[dict], allow_widen: bool = True
+) -> tuple[list[dict], list[dict]]:
+    """Merge an incoming writer schema against the committed one.
+
+    Returns ``(schema_to_commit, widen_log_entries)``. Legal:
+    identical schema; ADDING nullable columns; an incoming column
+    WIDER than the committed type (table widens — a log entry records
+    it so readers cast old files up); an incoming column NARROWER
+    than an already-widened committed type (allowed write, the table
+    keeps the wide type and the writer's rows are cast up before
+    hitting disk). Dropping a column or any non-widening type change
+    is rejected — committed files are immutable, so those would make
+    the table unreadable as one schema. RENAMES are never inferred
+    from a writer's schema (they look like drop+add); use
+    :func:`rename_column`."""
     if not base:
-        return
-    base_types = {c["name"]: c["type"] for c in base}
-    new_types = {c["name"]: c["type"] for c in incoming}
-    dropped = sorted(set(base_types) - set(new_types))
+        return incoming, []
+    base_by = {c["name"]: c for c in base}
+    new_names = {c["name"] for c in incoming}
+    dropped = sorted(set(base_by) - new_names)
     if dropped:
         raise SchemaEvolutionError(f"incoming schema drops committed column(s) {dropped}")
-    changed = sorted(
-        n for n, t in base_types.items() if new_types[n] != t
-    )
-    if changed:
-        detail = {n: (base_types[n], new_types[n]) for n in changed}
-        raise SchemaEvolutionError(f"incoming schema changes column type(s) {detail}")
+    out: list[dict] = []
+    widens: list[dict] = []
     for c in incoming:
-        if c["name"] not in base_types and not c["nullable"]:
-            raise SchemaEvolutionError(
-                f"new column {c['name']!r} must be nullable (old files have no values for it)"
+        b = base_by.get(c["name"])
+        if b is None:
+            if not c["nullable"]:
+                raise SchemaEvolutionError(
+                    f"new column {c['name']!r} must be nullable (old files have no values for it)"
+                )
+            out.append(c)
+            continue
+        bt, it = b["type"], c["type"]
+        if it == bt:
+            out.append(c)
+        elif allow_widen and (bt, it) in _WIDENINGS:
+            out.append(c)
+            widens.append(
+                {"op": "widen", "col": c["name"], "from": bt, "to": it, "at": None}
             )
+        elif allow_widen and (it, bt) in _WIDENINGS:
+            # narrow write into an already-wide column: legal, table
+            # keeps the wide type (writer rows are cast up on write)
+            out.append(dict(c, type=bt))
+        else:
+            raise SchemaEvolutionError(
+                f"incoming schema changes column type(s) "
+                f"{{{c['name']!r}: ({bt!r}, {it!r})}}"
+            )
+    return out, widens
+
+
+def _check_schema_evolution(base: list[dict] | None, incoming: list[dict]) -> None:
+    """Strict check (no widening): identical schema or added nullable
+    columns only. Used by writers that cannot re-encode rows to a
+    widened type (the streaming sink's executor-side arrow writes)."""
+    _evolve_schema(base, incoming, allow_widen=False)
+
+
+def _conform_df(df: DataFrame, schema: list[dict]) -> DataFrame:
+    """Cast ``df`` to the committed schema's types so data files are
+    uniformly typed within a generation (mergeSchema cannot reconcile
+    int32/int64 inside one scan group). Identity when types match."""
+    by = {c["name"]: c["type"] for c in schema}
+    current = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if all(current[n] == by.get(n, current[n]) for n in current):
+        return df
+    return df.select(
+        *[F.col(n).cast(by.get(n, t)).alias(n) for n, t in current.items()]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +558,10 @@ class Snapshot:
                 }
             ]
         self.schema = manifest.get("schema")
+        # schema evolution log: rename/widen events with the version
+        # ('at') they were committed — files with data seq < at were
+        # written under the pre-event layout and are mapped at scan
+        self.schema_log = list(manifest.get("schema_log", []))
         self.operation = manifest.get("operation")
         spec = manifest.get("partition_spec")
         self.partition_spec = tuple(spec) if spec else None
@@ -655,7 +726,9 @@ class Snapshot:
                     part = spark.read.parquet(
                         *[os.path.join(self.table_path, f) for f in body["files"]]
                     ).select(
-                        F.col(key).alias("__eq_key"),
+                        # file_key: the parquet column's name at write
+                        # time, before any later rename of the key
+                        F.col(r.get("file_key", key)).alias("__eq_key"),
                         F.lit(int(r["seq"])).alias("__eq_seq"),
                     )
                     eqd = part if eqd is None else eqd.union(part)
@@ -668,38 +741,12 @@ class Snapshot:
             df = df.drop("__s_seq")
         return df
 
-    def _apply_deletes(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        """Drop rows removed by merge-on-read tombstones (positional
-        AND equality). ``df`` must come from ``_scan`` so ``_metadata``
-        is addressable."""
-        if not self.delete_refs:
-            return df
-        prefix_len = len(_file_uri_prefix(self.table_path))
-        keyed = df.withColumns(
-            {
-                "__df_file": F.col("_metadata.file_path").substr(
-                    F.lit(prefix_len + 1), F.lit(4096)
-                ),
-                "__df_pos": F.col("_metadata.row_index"),
-            }
-        )
-        return self._anti_join_deletes(spark, keyed, "__df_file", "__df_pos").drop(
-            "__df_file", "__df_pos"
-        )
-
     def keyed_scan(self, spark: SparkSession, files: list[str]) -> DataFrame:
         """Scan ``files`` with explicit (_df_file, _df_pos) address
         columns and ALL live tombstones applied — the shared entry
         scan for writers that need row addresses (MOR delete, upserts)
         so they never match rows a prior delete already removed."""
-        prefix_len = len(_file_uri_prefix(self.table_path))
-        df = self._scan(spark, files).select(
-            "*",
-            F.col("_metadata.file_path")
-            .substr(F.lit(prefix_len + 1), F.lit(4096))
-            .alias("_df_file"),
-            F.col("_metadata.row_index").alias("_df_pos"),
-        )
+        df = self._scan(spark, files, address=True)
         return self._anti_join_deletes(spark, df, "_df_file", "_df_pos")
 
     @property
@@ -732,16 +779,122 @@ class Snapshot:
             # ref (mergeSchema across generations), not the full list.
             sample = [self._body(i)["files"][0] for i in range(len(self.refs))]
             return self._scan(spark, sample).filter(F.lit(False))
-        df = self._apply_deletes(spark, self._scan(spark, files))
+        df = self.read_files(spark, files)
         if filters:
             df = df.filter(_filters_to_column(filters))
         return df
 
-    def _scan(self, spark: SparkSession, files: list[str]) -> DataFrame:
-        paths = [os.path.join(self.table_path, f) for f in files]
-        # mergeSchema: file generations may differ by added nullable
-        # columns (legal evolution); old files surface them as null.
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+    def read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Scan a file subset with ALL tombstones applied and every
+        schema generation mapped to the current schema."""
+        if not self.delete_refs:
+            return self._scan(spark, files)
+        keyed = self._scan(spark, files, address=True)
+        return self._anti_join_deletes(spark, keyed, "_df_file", "_df_pos").drop(
+            "_df_file", "_df_pos"
+        )
+
+    def _disk_layout(self, seq: int) -> tuple[dict, dict]:
+        """How files with data seq ``seq`` look ON DISK relative to
+        the current schema: ``(name_map {current -> disk name},
+        narrow {current -> disk type})`` derived from the schema log's
+        rename/widen events committed AFTER the file was written.
+        Empty maps mean the file already has the current layout."""
+        names: dict[str, str] = {}
+        narrow: dict[str, str] = {}
+        if not self.schema:
+            return names, narrow
+        later = [e for e in self.schema_log if (e.get("at") or 0) > seq]
+        if not later:
+            return names, narrow
+        renames = sorted(
+            (e for e in later if e["op"] == "rename"), key=lambda e: -e["at"]
+        )
+        for c in self.schema:
+            n = c["name"]
+            for e in renames:  # newest -> oldest: walk the name back
+                if e["to"] == n:
+                    n = e["from"]
+            if n != c["name"]:
+                names[c["name"]] = n
+        for e in sorted(
+            (e for e in later if e["op"] == "widen"), key=lambda e: e["at"]
+        ):
+            # the log records the column's name AT widen time; map it
+            # forward through renames committed after the widen
+            cur = e["col"]
+            for r in sorted(
+                (r for r in self.schema_log if r["op"] == "rename" and r["at"] > e["at"]),
+                key=lambda r: r["at"],
+            ):
+                if r["from"] == cur:
+                    cur = r["to"]
+            # earliest later widen wins: that is the type on disk
+            narrow.setdefault(cur, e["from"])
+        return names, narrow
+
+    def _scan(
+        self, spark: SparkSession, files: list[str], address: bool = False
+    ) -> DataFrame:
+        """Scan files, mapped to the CURRENT schema. Tables whose
+        schema log is empty take the raw mergeSchema fast path; after
+        a rename/widen, files group by their on-disk layout, each
+        group scans+maps independently (old name selected and aliased,
+        narrow type cast up), and the groups union — the Iceberg
+        field-id read contract expressed with per-generation scans.
+        ``address=True`` adds (_df_file, _df_pos) address columns,
+        captured inside each group scan where ``_metadata`` is still
+        addressable."""
+
+        def addr_cols():
+            prefix_len = len(_file_uri_prefix(self.table_path))
+            return [
+                F.col("_metadata.file_path")
+                .substr(F.lit(prefix_len + 1), F.lit(4096))
+                .alias("_df_file"),
+                F.col("_metadata.row_index").alias("_df_pos"),
+            ]
+
+        def raw(fs: list[str]) -> DataFrame:
+            paths = [os.path.join(self.table_path, f) for f in fs]
+            # mergeSchema: file generations may differ by added
+            # nullable columns; old files surface them as null.
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            return df.select("*", *addr_cols()) if address else df
+
+        if not self.schema_log or not self.schema:
+            return raw(files)
+        seqs = self.file_seqs
+        groups: dict[tuple, list[str]] = {}
+        layouts: dict[tuple, tuple[dict, dict]] = {}
+        for f in files:
+            name_map, narrow = self._disk_layout(seqs.get(f, 0))
+            key = (
+                tuple(sorted(name_map.items())),
+                tuple(sorted(narrow.items())),
+            )
+            groups.setdefault(key, []).append(f)
+            layouts[key] = (name_map, narrow)
+        parts = []
+        for key, fs in groups.items():
+            name_map, _narrow = layouts[key]
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.table_path, f) for f in fs]
+            )
+            cols = []
+            for c in self.schema:
+                disk = name_map.get(c["name"], c["name"])
+                if disk in df.columns:
+                    cols.append(F.col(disk).cast(c["type"]).alias(c["name"]))
+                else:  # column added after this generation was written
+                    cols.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+            if address:
+                cols += addr_cols()
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 def snapshot(table_path: str, version: int | None = None) -> Snapshot | None:
@@ -799,6 +952,8 @@ def _commit_refs(
     partition_spec: list | None = None,
     delete_refs: list[dict] | None = None,
     txn: dict | None = None,
+    new_log_entries: list[dict] | None = None,
+    schema_log: list[dict] | None = None,
 ) -> int:
     """The atomic claim, manifest-list form: version N+1 = these
     content-manifest refs. ``partition_spec`` carries the table's
@@ -825,6 +980,19 @@ def _commit_refs(
         dict(r, seq=new_version) if r.get("kind") == "eq_deletes" and r.get("seq") is None else r
         for r in (delete_refs or [])
     ]
+    # Schema evolution log: carried forward from the base version
+    # automatically (so no call site can silently drop it), with this
+    # commit's new rename/widen events appended, stamped at the
+    # claimed version — the same ordering discipline as data seqs.
+    if schema_log is None:
+        schema_log = (
+            _load_manifest(table_path, base_version).get("schema_log", [])
+            if base_version is not None
+            else []
+        )
+    log = list(schema_log) + [
+        dict(e, at=new_version) for e in (new_log_entries or [])
+    ]
     manifest = {
         "version": new_version,
         "operation": operation,
@@ -832,6 +1000,8 @@ def _commit_refs(
         "schema": schema,
         "committed_at": time.time(),
     }
+    if log:
+        manifest["schema_log"] = log
     if partition_spec is not None:
         manifest["partition_spec"] = list(partition_spec)
     if stamped_deletes:
@@ -990,6 +1160,12 @@ def append(
     spec = partition_by if partition_by is not None else (
         base0.partition_spec if base0 is not None else None
     )
+    incoming = _schema_entry(df)
+    schema, widens = _evolve_schema(base0.schema if base0 else None, incoming)
+    # conform BEFORE deriving the partition value: rows land on disk
+    # with the committed types (a narrow write into a widened column
+    # casts up here, keeping each generation's files uniformly typed)
+    df = _conform_df(df, schema)
     partition_col = None
     if spec is not None:
         col, transform = spec
@@ -999,14 +1175,22 @@ def append(
             )
         partition_col = "__pt"
         df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
-    schema = _schema_entry(df.drop(partition_col) if partition_col else df)
-    _check_schema_evolution(base0.schema if base0 else None, schema)
     new_files, new_stats = _write_data_files(df, table_path, partition_col)
     new_ref = _write_content_manifest(table_path, new_files, new_stats)
     for _ in range(max_retries):
         snap = snapshot(table_path)
         base = snap.version if snap is not None else None
-        _check_schema_evolution(snap.schema if snap else None, schema)
+        schema2, widens2 = _evolve_schema(snap.schema if snap else None, incoming)
+        if [c["type"] for c in schema2] != [c["type"] for c in schema]:
+            # a CONCURRENT widen landed after our files were written:
+            # committing them narrow would break the invariant that
+            # files at-or-after a widen event carry the wide type.
+            # Rewrite conformed to the fresh schema (the old files
+            # become orphans; vacuum reclaims).
+            schema, widens = schema2, widens2
+            df = _conform_df(df, schema)
+            new_files, new_stats = _write_data_files(df, table_path, partition_col)
+            new_ref = _write_content_manifest(table_path, new_files, new_stats)
         # An INHERITING append (partition_by=None) must commit the spec
         # from the snapshot it actually commits against, not the
         # pre-loop one: a concurrent writer may have evolved (or first
@@ -1028,6 +1212,7 @@ def append(
                 schema=schema,
                 partition_spec=commit_spec,
                 delete_refs=snap.delete_refs if snap is not None else None,
+                new_log_entries=widens,
             )
         except CommitConflict:
             continue
@@ -1069,7 +1254,7 @@ def merge_insert_if_absent_txn(
     from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
 
     deduped = dedup_first_writer_wins(incoming, key)
-    schema = _schema_entry(deduped)
+    incoming_schema = _schema_entry(deduped)
     bounds = deduped.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
@@ -1080,8 +1265,10 @@ def merge_insert_if_absent_txn(
     )
     for _ in range(max_retries):
         snap = snapshot(table_path)
-        _check_schema_evolution(snap.schema if snap else None, schema)
-        fresh = deduped
+        schema, widens = _evolve_schema(
+            snap.schema if snap else None, incoming_schema
+        )
+        fresh = _conform_df(deduped, schema)
         if snap is not None and snap.n_files:
             fresh = fresh.join(
                 snap.read(spark, filters=key_filters).select(key),
@@ -1119,6 +1306,7 @@ def merge_insert_if_absent_txn(
                 schema=schema,
                 partition_spec=spec,
                 delete_refs=snap.delete_refs if snap is not None else None,
+                new_log_entries=widens,
             )
             return n, v
         except CommitConflict:
@@ -1283,13 +1471,23 @@ def read_changes(
     to_v = current_version(table_path) if to_version is None else to_version
     if to_v is None or to_v < from_version:
         raise ValueError(f"bad version range [{from_version}, {to_v}]")
+    base_log_len = len(
+        _load_manifest(table_path, from_version).get("schema_log", [])
+    )
     for v in range(from_version + 1, to_v + 1):
-        op = _load_manifest(table_path, v).get("operation")
+        m = _load_manifest(table_path, v)
+        op = m.get("operation")
         if op in ("cluster", "compact", "delete", "update", "delete_mor",
-                  "materialize", "upsert", "upsert_eq", "restore"):
+                  "materialize", "upsert", "upsert_eq", "restore", "rename"):
             raise ValueError(
                 f"version {v} is a {op} commit; file-diff changes are only "
                 "valid across append/merge commits — re-baseline from "
+                f"version {v}"
+            )
+        if len(m.get("schema_log", [])) != base_log_len:
+            raise ValueError(
+                f"schema evolved (rename/widen) at version {v}; the raw "
+                "file diff would mix on-disk layouts — re-baseline from "
                 f"version {v}"
             )
     old = Snapshot(table_path, from_version, _load_manifest(table_path, from_version))
@@ -1511,7 +1709,7 @@ def merge_upsert_txn(
     from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
 
     deduped = dedup_first_writer_wins(incoming, key).localCheckpoint(eager=True)
-    schema = _schema_entry(deduped)
+    incoming_schema = _schema_entry(deduped)
     n_incoming = deduped.count()
     if n_incoming == 0:
         # No-op upsert must not burn a version: an 'upsert' commit
@@ -1526,7 +1724,10 @@ def merge_upsert_txn(
     )
     for _ in range(max_retries):
         base = snapshot(table_path)
-        _check_schema_evolution(base.schema if base else None, schema)
+        schema, widens = _evolve_schema(
+            base.schema if base else None, incoming_schema
+        )
+        conformed = _conform_df(deduped, schema)
         del_ref: list[dict] = []
         data_files: set[str] = set()
         n_updated = 0
@@ -1560,10 +1761,10 @@ def merge_upsert_txn(
         # insert-only merge: upserted rows land transform-aligned so
         # per-file stats stay tight for pruning.
         spec0 = base.partition_spec if base is not None else None
-        to_write, partition_col = deduped, None
+        to_write, partition_col = conformed, None
         if spec0 is not None and spec0[1] in PARTITION_TRANSFORMS:
             partition_col = "__pt"
-            to_write = deduped.withColumn(
+            to_write = conformed.withColumn(
                 partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
             )
         new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
@@ -1607,6 +1808,7 @@ def merge_upsert_txn(
                     schema=schema,
                     partition_spec=spec,
                     delete_refs=(snap.delete_refs if snap else []) + del_ref,
+                    new_log_entries=widens,
                 )
                 return n_updated, n_incoming - n_updated, v
             except CommitConflict:
@@ -1678,30 +1880,51 @@ def merge_upsert_eq_txn(
     from nypd_arrest_etl_spark.operators.merge import dedup_first_writer_wins
 
     deduped = dedup_first_writer_wins(incoming, key).localCheckpoint(eager=True)
-    schema = _schema_entry(deduped)
+    incoming_schema = _schema_entry(deduped)
     n = deduped.count()
     if n == 0:
         v = current_version(table_path)
         return 0, v if v is not None else -1
     bounds = deduped.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
     base0 = snapshot(table_path)
-    _check_schema_evolution(base0.schema if base0 else None, schema)
+    schema, widens = _evolve_schema(base0.schema if base0 else None, incoming_schema)
+    conformed = _conform_df(deduped, schema)
     spec0 = base0.partition_spec if base0 is not None else None
-    to_write, partition_col = deduped, None
+    to_write, partition_col = conformed, None
     if spec0 is not None and spec0[1] in PARTITION_TRANSFORMS:
         partition_col = "__pt"
-        to_write = deduped.withColumn(
+        to_write = conformed.withColumn(
             partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
         )
     new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
     new_ref = _write_content_manifest(table_path, new_files, new_stats)
-    eq_files = _write_delete_files(deduped.select(key), table_path)
+    eq_files = _write_delete_files(conformed.select(key), table_path)
     eq_ref = _write_eq_delete_manifest(
         table_path, eq_files, key, bounds["lo"], bounds["hi"]
     )
     for _ in range(max_retries):
         snap = snapshot(table_path)
-        _check_schema_evolution(snap.schema if snap else None, schema)
+        schema2, widens2 = _evolve_schema(
+            snap.schema if snap else None, incoming_schema
+        )
+        if [c["type"] for c in schema2] != [c["type"] for c in schema]:
+            # concurrent widen since our files were written: rewrite
+            # them (and the key file) conformed to the fresh schema
+            schema, widens = schema2, widens2
+            conformed = _conform_df(deduped, schema)
+            to_write = conformed
+            if partition_col is not None:
+                to_write = conformed.withColumn(
+                    partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
+                )
+            new_files, new_stats = _write_data_files(
+                to_write, table_path, partition_col
+            )
+            new_ref = _write_content_manifest(table_path, new_files, new_stats)
+            eq_files = _write_delete_files(conformed.select(key), table_path)
+            eq_ref = _write_eq_delete_manifest(
+                table_path, eq_files, key, bounds["lo"], bounds["hi"]
+            )
         spec = snap.partition_spec if snap is not None else spec0
         try:
             v = _commit_refs(
@@ -1713,6 +1936,7 @@ def merge_upsert_eq_txn(
                 partition_spec=spec,
                 delete_refs=(snap.delete_refs if snap is not None else [])
                 + [eq_ref],
+                new_log_entries=widens,
             )
             return n, v
         except CommitConflict:
@@ -1764,12 +1988,9 @@ def materialize_deletes(
         base_delete_paths = {r["path"] for r in base.delete_refs}
         new_ref: list[dict] = []
         if affected:
-            out_df = base._apply_deletes(
-                spark,
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(table_path, f) for f in affected]
-                ),
-            ).localCheckpoint(eager=True)
+            # read_files: tombstones applied AND schema generations
+            # mapped — the rewritten files land in the current layout
+            out_df = base.read_files(spark, affected).localCheckpoint(eager=True)
             new_files, new_stats = _write_data_files(out_df, table_path)
             if new_files:
                 new_ref = [
@@ -1853,15 +2074,11 @@ def _rewrite_rows_where(
         if not candidates:
             return 0, base.version
         pred = _filters_to_column(filters)
-        # _apply_deletes: rows already tombstoned by merge-on-read
-        # deletes must not be resurrected into the rewritten files
-        # (and must not count as changed).
-        cand_df = base._apply_deletes(
-            spark,
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(table_path, f) for f in sorted(candidates)]
-            ),
-        )
+        # read_files: rows already tombstoned by merge-on-read deletes
+        # must not be resurrected into the rewritten files (and must
+        # not count as changed); old schema generations map to the
+        # current layout so the rewrite migrates them.
+        cand_df = base.read_files(spark, sorted(candidates))
         n_changed = cand_df.filter(F.coalesce(pred, F.lit(False))).count()
         if n_changed == 0:
             return 0, base.version
@@ -2000,6 +2217,64 @@ def _snapshot_data_rows(snap: Snapshot) -> int:
     return total
 
 
+def rename_column(
+    table_path: str, old: str, new: str, max_retries: int = 5
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — METADATA-ONLY (the field-id
+    rename Iceberg does): commits the current refs unchanged with the
+    renamed schema plus a schema-log event. No data file is touched;
+    readers map files written before the event by selecting the old
+    on-disk name and aliasing it (grouped per generation), so old and
+    new files read as one table under the new name. Renames are only
+    ever explicit — a writer whose schema uses a different name is
+    rejected as drop+add, because name matching cannot distinguish a
+    rename from replacing a column with unrelated data.
+
+    Stats-pruning note: per-file min/max recorded under the old name
+    no longer match filters on the new name, so pre-rename files stop
+    pruning (never wrongly prune) until a rewrite migrates them.
+    Equality-delete manifests keyed on the renamed column follow the
+    rename (their on-disk parquet column is remembered as
+    ``file_key``); the partition spec follows too."""
+    for _ in range(max_retries):
+        snap = snapshot(table_path)
+        if snap is None or not snap.schema:
+            raise ValueError(f"{table_path} has no committed schema to rename in")
+        names = [c["name"] for c in snap.schema]
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist (have {names})")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        schema = [
+            dict(c, name=new) if c["name"] == old else c for c in snap.schema
+        ]
+        spec = snap.partition_spec
+        if spec is not None and spec[0] == old:
+            spec = (new, spec[1])
+        dels = [
+            dict(r, key=new, file_key=r.get("file_key", r["key"]))
+            if r.get("kind") == "eq_deletes" and r["key"] == old
+            else r
+            for r in snap.delete_refs
+        ]
+        try:
+            return _commit_refs(
+                table_path,
+                _carry_refs(snap),
+                snap.version,
+                "rename",
+                schema=schema,
+                partition_spec=spec,
+                delete_refs=dels,
+                new_log_entries=[
+                    {"op": "rename", "from": old, "to": new, "at": None}
+                ],
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"rename on {table_path} lost {max_retries} races")
+
+
 def row_count(table_path: str, version: int | None = None) -> int:
     """COUNT(*) answered from METADATA — no Spark job, no data scan
     (the Iceberg/Delta stats fast path): data-file row totals come
@@ -2036,7 +2311,7 @@ def row_count(table_path: str, version: int | None = None) -> int:
         for f in body["files"]:
             keys.update(
                 pq.read_table(os.path.join(table_path, f))
-                .column(r["key"])
+                .column(r.get("file_key", r["key"]))
                 .to_pylist()
             )
         eqs.append((r["key"], int(r["seq"]), keys, r.get("lo"), r.get("hi")))
@@ -2066,8 +2341,12 @@ def row_count(table_path: str, version: int | None = None) -> int:
         # the eq-delete read tax, and materialize_deletes restores the
         # pure-metadata fast path.
         keycols = sorted({e[0] for e in applicable})
-        t = pq.read_table(os.path.join(table_path, f), columns=keycols)
-        cols = {c: t.column(c).to_pylist() for c in keycols}
+        name_map, _narrow = snap._disk_layout(seqs.get(f, 0))
+        t = pq.read_table(
+            os.path.join(table_path, f),
+            columns=[name_map.get(c, c) for c in keycols],
+        )
+        cols = {c: t.column(name_map.get(c, c)).to_pylist() for c in keycols}
         for i in range(t.num_rows):
             if i in pos or any(cols[e[0]][i] in e[2] for e in applicable):
                 removed += 1

@@ -54,15 +54,22 @@ class FilePartition(InputPartition):
         self,
         full_path: str,
         drop_positions: list[int] | None = None,
-        eq_deletes: list[tuple[str, list[str]]] | None = None,
+        eq_deletes: list[tuple[str, str, list[str]]] | None = None,
+        col_map: dict[str, str] | None = None,
     ):
         self.full_path = full_path
         # merge-on-read tombstones scoped to this file (row positions
         # to mask out); None/empty for tombstone-free files
         self.drop_positions = drop_positions
         # equality deletes applicable to this file (older data seq +
-        # overlapping key range): (key column, [delete parquet paths])
+        # overlapping key range):
+        # (key's on-disk name IN THIS FILE, key's name in the delete
+        #  parquet, [delete parquet paths])
         self.eq_deletes = eq_deletes
+        # schema-evolution mapping for this file's generation:
+        # {current column name -> on-disk column name} (renames only;
+        # widened types are auto-cast to the declared arrow type)
+        self.col_map = col_map
 
 
 def _table_schema_ddl(table_path: str) -> str:
@@ -82,11 +89,14 @@ def _read_file_as_batches(
     full_path: str,
     fields: list[tuple[str, pa.DataType]],
     drop_positions: list[int] | None = None,
-    eq_deletes: list[tuple[str, list[str]]] | None = None,
+    eq_deletes: list[tuple[str, str, list[str]]] | None = None,
+    col_map: dict[str, str] | None = None,
 ):
-    """Executor-side file read, padded to the table schema: an old
-    file predating an added nullable column yields that column as
-    TYPED nulls (the streaming twin of the mergeSchema read). With
+    """Executor-side file read, padded and MAPPED to the table schema:
+    an old file predating an added nullable column yields that column
+    as TYPED nulls; a column renamed after the file was written is
+    selected by its on-disk name (``col_map``); a column widened after
+    the write is cast up to the declared arrow type. With
     ``drop_positions``, merge-on-read tombstoned rows are masked out
     by file row position; with ``eq_deletes``, rows whose key appears
     in an applicable equality-delete file are masked by value (the
@@ -100,17 +110,21 @@ def _read_file_as_batches(
         idx = np.asarray(drop_positions, dtype="int64")
         mask[idx[idx < len(tbl)]] = False
         tbl = tbl.filter(pa.array(mask))
-    for key, paths in eq_deletes or []:
+    for data_key, eq_key, paths in eq_deletes or []:
         keyset: set = set()
         for p in paths:
-            keyset.update(pq.read_table(p).column(key).to_pylist())
+            keyset.update(pq.read_table(p).column(eq_key).to_pylist())
         tbl = tbl.filter(
-            pa.array([v not in keyset for v in tbl.column(key).to_pylist()])
+            pa.array([v not in keyset for v in tbl.column(data_key).to_pylist()])
         )
     cols = []
     for name, typ in fields:
-        if name in tbl.column_names:
-            cols.append(tbl.column(name))
+        disk = (col_map or {}).get(name, name)
+        if disk in tbl.column_names:
+            col = tbl.column(disk)
+            if col.type != typ:
+                col = col.cast(typ)  # widened column: lossless up-cast
+            cols.append(col)
         else:
             cols.append(pa.nulls(len(tbl), type=typ))
     yield from pa.table(dict(zip([n for n, _ in fields], cols))).to_batches()
@@ -181,7 +195,16 @@ class ManifestBatchReader(DataSourceReader):
         # Equality deletes: planned per file, metadata-only — a delete
         # applies iff the file's data seq is older AND its key stats
         # overlap the delete's recorded range; executors mask by value.
-        eq_by_file: dict[str, list[tuple[str, list[str]]]] = {}
+        # schema-evolution mapping per file generation (renames only —
+        # widens are handled by the read-side arrow cast)
+        col_maps: dict[str, dict[str, str]] = {}
+        if snap.schema_log:
+            seqs_all = snap.file_seqs
+            for f in files:
+                name_map, _narrow = snap._disk_layout(seqs_all.get(f, 0))
+                if name_map:
+                    col_maps[f] = name_map
+        eq_by_file: dict[str, list[tuple[str, str, list[str]]]] = {}
         if snap.eq_delete_refs:
             seqs, stats = snap.file_seqs, snap.stats
             specs = []
@@ -196,21 +219,27 @@ class ManifestBatchReader(DataSourceReader):
                     (
                         int(r["seq"]),
                         r["key"],
+                        r.get("file_key", r["key"]),
                         key_range,
                         [os.path.join(self.table_path, f) for f in body["files"]],
                     )
                 )
             for f in files:
                 app = [
-                    (k, paths)
-                    for s, k, rng, paths in specs
+                    # the key's on-disk name in THIS data file follows
+                    # the file's generation mapping
+                    (col_maps.get(f, {}).get(k, k), fk, paths)
+                    for s, k, fk, rng, paths in specs
                     if seqs.get(f, 0) < s and M._file_may_match(stats.get(f), rng)
                 ]
                 if app:
                     eq_by_file[f] = app
         return [
             FilePartition(
-                os.path.join(self.table_path, f), tombs.get(f), eq_by_file.get(f)
+                os.path.join(self.table_path, f),
+                tombs.get(f),
+                eq_by_file.get(f),
+                col_maps.get(f),
             )
             for f in files
         ]
@@ -221,6 +250,7 @@ class ManifestBatchReader(DataSourceReader):
             self.fields,
             partition.drop_positions,
             partition.eq_deletes,
+            partition.col_map,
         )
 
 
@@ -272,8 +302,20 @@ class ManifestStreamReader(DataSourceStreamReader):
             return [FilePartition("")]  # no-data batch marker
         added: list[str] = []
         prev = self._files_at(lo)
+        base_log_len = (
+            len(self._load_version(lo).get("schema_log", [])) if lo >= 0 else 0
+        )
         for v in range(lo + 1, hi + 1):
             manifest = self._load_version(v)
+            if len(manifest.get("schema_log", [])) != base_log_len:
+                # rename/widen mid-stream: the stream's output schema
+                # was fixed at start and cannot follow — Delta fails
+                # streams on schema change the same way.
+                raise ValueError(
+                    f"version {v} of {self.table_path} evolved the schema "
+                    "(rename/widen); restart the stream with "
+                    f"startingVersion={v} to adopt the new schema"
+                )
             cur = set(
                 M.Snapshot(self.table_path, v, manifest).files
             )

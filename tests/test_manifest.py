@@ -701,13 +701,17 @@ def test_random_walk_matches_model(spark, tmp_path):
     # committed version -> deep-copied model state, for restore targets
     states: dict[int, tuple[dict, list]] = {}
     vacuumed = [False]
+    vcol = ["v"]  # current name of the value column (rename op evolves it)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, f"arrest_key string, {vcol[0]} long")
 
     def check(history=True):
         snap = M.snapshot(t)
         if snap is None:
             assert not model and not appended
             return
-        got = sorted((r["arrest_key"], r["v"]) for r in snap.read(spark).collect())
+        got = sorted((r["arrest_key"], r[vcol[0]]) for r in snap.read(spark).collect())
         want = sorted(appended + list(model.items()))
         assert got == want
         # metadata COUNT(*) always agrees with the scan
@@ -727,15 +731,15 @@ def test_random_walk_matches_model(spark, tmp_path):
         op = rng.choice(
             ["append", "merge", "merge_dup", "compact", "cluster", "delete",
              "update", "delete_mor", "materialize", "stream_append", "upsert",
-             "upsert_eq", "restore", "vacuum"]
+             "upsert_eq", "restore", "vacuum", "rename"]
         )
         if op == "append":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
-            M.append(spark, _df(spark, rows), t)
+            M.append(spark, mk(rows), t)
             appended.extend(rows)
         elif op == "merge":
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 3))]
-            M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
+            M.merge_insert_if_absent_txn(spark, mk(rows), t)
             # merge keys are fresh and distinct -> all insert
             model.update(dict(rows))
         elif op == "merge_dup" and (model or appended):
@@ -743,11 +747,11 @@ def test_random_walk_matches_model(spark, tmp_path):
             # must reject every one
             existing = [k for k, _ in appended] + list(model)
             rows = [(k, 999) for k in rng.sample(existing, min(2, len(existing)))]
-            n, _ = M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
+            n, _ = M.merge_insert_if_absent_txn(spark, mk(rows), t)
             assert n == 0
         elif op == "delete" and M.snapshot(t) is not None:
             cut = rng.randrange(100)
-            n, _ = M.delete_where(spark, t, [("v", ">=", cut)])
+            n, _ = M.delete_where(spark, t, [(vcol[0], ">=", cut)])
             gone_a = [r for r in appended if r[1] >= cut]
             gone_m = {k for k, v in model.items() if v >= cut}
             assert n == len(gone_a) + len(gone_m)
@@ -756,7 +760,7 @@ def test_random_walk_matches_model(spark, tmp_path):
                 del model[k]
         elif op == "update" and M.snapshot(t) is not None:
             cut = rng.randrange(100)
-            n, _ = M.update_where(spark, t, [("v", "=", cut)], {"v": cut + 1000})
+            n, _ = M.update_where(spark, t, [(vcol[0], "=", cut)], {vcol[0]: cut + 1000})
             hits = [i for i, r in enumerate(appended) if r[1] == cut]
             mkeys = [k for k, v in model.items() if v == cut]
             assert n == len(hits) + len(mkeys)
@@ -770,7 +774,7 @@ def test_random_walk_matches_model(spark, tmp_path):
             hit = rng.choice(existing)
             (new_k,) = fresh_keys(1)
             rows = [(hit, 777), (new_k, rng.randrange(100))]
-            upd, ins, _ = M.merge_upsert_txn(spark, _df(spark, rows), t)
+            upd, ins, _ = M.merge_upsert_txn(spark, mk(rows), t)
             # a key duplicated in the table still counts as ONE update
             assert (upd, ins) == (1, 1)
             appended[:] = [r for r in appended if r[0] != hit]
@@ -793,17 +797,17 @@ def test_random_walk_matches_model(spark, tmp_path):
 
             rows = [(k, rng.randrange(100)) for k in fresh_keys(rng.randint(1, 2))]
             sch = StructType(
-                [StructField("arrest_key", StringType()), StructField("v", LongType())]
+                [StructField("arrest_key", StringType()), StructField(vcol[0], LongType())]
             )
             sw = ManifestStreamWriter(sch, {"path": t, "streamid": "walk"})
             batch = _pa.record_batch(
-                {"arrest_key": [k for k, _ in rows], "v": [v for _, v in rows]}
+                {"arrest_key": [k for k, _ in rows], vcol[0]: [v for _, v in rows]}
             )
             sw.commit([sw.write(iter([batch]))], step)  # step = unique batch id
             appended.extend(rows)
         elif op == "delete_mor" and M.snapshot(t) is not None:
             cut = rng.randrange(100)
-            n, _ = M.delete_where_mor(spark, t, [("v", "<", cut)])
+            n, _ = M.delete_where_mor(spark, t, [(vcol[0], "<", cut)])
             gone_a = [r for r in appended if r[1] < cut]
             gone_m = {k for k, v in model.items() if v < cut}
             assert n == len(gone_a) + len(gone_m)
@@ -820,19 +824,27 @@ def test_random_walk_matches_model(spark, tmp_path):
             hit = rng.choice(existing)
             (new_k,) = fresh_keys(1)
             rows = [(hit, 888), (new_k, rng.randrange(100))]
-            n, _ = M.merge_upsert_eq_txn(spark, _df(spark, rows), t)
+            n, _ = M.merge_upsert_eq_txn(spark, mk(rows), t)
             assert n == 2
             appended[:] = [r for r in appended if r[0] != hit]
             model.pop(hit, None)
             model[hit] = 888
             model[new_k] = rows[1][1]
+        elif op == "rename" and M.snapshot(t) is not None:
+            # evolve op: flip the value column's name; every later
+            # step (filters, updates, streams, reads) uses the new
+            # name while old files keep the old one on disk
+            new_name = "val" if vcol[0] == "v" else "v"
+            M.rename_column(t, vcol[0], new_name)
+            vcol[0] = new_name
         elif op == "restore" and states:
             target = rng.choice(sorted(states))
             M.restore(t, target)
-            m, a = states[target]
+            m, a, vc = states[target]
             model.clear()
             model.update(m)
             appended[:] = list(a)
+            vcol[0] = vc  # restore rolls the schema (and any rename) back
         elif op == "vacuum" and M.snapshot(t) is not None:
             # the walk is single-threaded, so the table is quiesced —
             # retention 0 is the documented safe case
@@ -846,11 +858,11 @@ def test_random_walk_matches_model(spark, tmp_path):
             if op == "compact":
                 M.compact_table(spark, t, target_file_bytes=1 << 30)
             else:
-                M.cluster_table(spark, t, ["v"], n_files=2)
+                M.cluster_table(spark, t, [vcol[0]], n_files=2)
         check(history=not vacuumed[0])
         head = M.current_version(t)
         if head is not None:
-            states[head] = (dict(model), list(appended))
+            states[head] = (dict(model), list(appended), vcol[0])
     M.vacuum(t, keep_versions=1, retention_seconds=0.0)
     check(history=False)  # old versions legitimately dropped
 
@@ -1853,3 +1865,238 @@ def test_upsert_eq_racing_appends_is_serializable(spark, tmp_path):
     assert len(ks) >= 1
     # exactly one of the upsert payloads is the "newest" upsert row
     assert (10 in ks) + (20 in ks) == 1
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution breadth (round 5): rename via schema log, widening
+# ---------------------------------------------------------------------------
+
+
+def test_widen_int_to_bigint_across_generations(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, spark.createDataFrame([("a", 1)], "arrest_key string, v int"), t)
+    assert M.snapshot(t).schema[1]["type"] == "int"
+    # wide write widens the table
+    M.append(
+        spark,
+        spark.createDataFrame([("b", 2**40)], "arrest_key string, v bigint"),
+        t,
+    )
+    snap = M.snapshot(t)
+    assert snap.schema[1]["type"] == "bigint"
+    assert [e["op"] for e in snap.schema_log] == ["widen"]
+    df = snap.read(spark)
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r["arrest_key"]: r["v"] for r in df.collect()} == {"a": 1, "b": 2**40}
+    # narrow write into the widened column: legal, cast up on write
+    M.append(spark, spark.createDataFrame([("c", 3)], "arrest_key string, v int"), t)
+    snap = M.snapshot(t)
+    assert snap.schema[1]["type"] == "bigint"
+    assert len(snap.schema_log) == 1  # no second widen event
+    assert {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()} == {
+        "a": 1, "b": 2**40, "c": 3,
+    }
+    assert M.row_count(t) == 3
+    # float->int is NOT a widening
+    with pytest.raises(M.SchemaEvolutionError):
+        M.append(
+            spark,
+            spark.createDataFrame([("d", 1.5)], "arrest_key string, v double"),
+            t,
+        )
+
+
+def test_rename_column_is_metadata_only_and_maps_old_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)  # v0, on-disk 'v'
+    files_before = set(M.snapshot(t).files)
+    M.rename_column(t, "v", "val")
+    snap = M.snapshot(t)
+    assert set(snap.files) == files_before  # no data rewritten
+    assert [c["name"] for c in snap.schema] == ["arrest_key", "val"]
+    df = snap.read(spark)
+    assert df.columns == ["arrest_key", "val"]
+    assert {r["arrest_key"]: r["val"] for r in df.collect()} == {"a": 1, "b": 2}
+    # post-rename append uses the NEW name; generations mix in one read
+    M.append(
+        spark,
+        spark.createDataFrame([("c", 3)], "arrest_key string, val long"),
+        t,
+    )
+    got = {r["arrest_key"]: r["val"] for r in M.snapshot(t).read(spark).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    assert M.row_count(t) == 3
+    # a writer still using the OLD name is rejected (looks like drop+add)
+    with pytest.raises(M.SchemaEvolutionError):
+        M.append(spark, _df(spark, [("d", 4)]), t)
+    # renaming to an existing name is rejected
+    with pytest.raises(M.SchemaEvolutionError):
+        M.rename_column(t, "val", "arrest_key")
+    # time travel: the pre-rename snapshot still reads under old names
+    old = M.snapshot(t, version=0)
+    assert old.read(spark).columns == ["arrest_key", "v"]
+
+
+def test_rename_chain_maps_through_both_events(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)  # disk: v
+    M.rename_column(t, "v", "w")
+    M.append(spark, spark.createDataFrame([("b", 2)], "arrest_key string, w long"), t)  # disk: w
+    M.rename_column(t, "w", "x")
+    M.append(spark, spark.createDataFrame([("c", 3)], "arrest_key string, x long"), t)  # disk: x
+    snap = M.snapshot(t)
+    got = {r["arrest_key"]: r["x"] for r in snap.read(spark).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+    # filter applies across all three generations
+    got2 = snap.read(spark, filters=[("x", ">=", 2)])
+    assert sorted(r["arrest_key"] for r in got2.collect()) == ["b", "c"]
+
+
+def test_rename_interacts_with_equality_deletes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2)]), t)
+    M.merge_upsert_eq_txn(spark, _df(spark, [("a", 10)]), t)  # eq keyed on arrest_key
+    M.rename_column(t, "arrest_key", "arrest_id")
+    snap = M.snapshot(t)
+    got = {r["arrest_id"]: r["v"] for r in snap.read(spark).collect()}
+    assert got == {"a": 10, "b": 2}
+    assert M.row_count(t) == 2
+    # a post-rename eq upsert keyed on the new name composes
+    M.merge_upsert_eq_txn(
+        spark,
+        spark.createDataFrame([("b", 20), ("c", 30)], "arrest_id string, v long"),
+        t,
+        key="arrest_id",
+    )
+    got = {r["arrest_id"]: r["v"] for r in M.snapshot(t).read(spark).collect()}
+    assert got == {"a": 10, "b": 20, "c": 30}
+    assert M.row_count(t) == 3
+    # materialize folds everything and restores the fast path
+    M.materialize_deletes(spark, t)
+    assert M.snapshot(t).delete_refs == []
+    assert M.row_count(t) == 3
+
+
+def test_rename_then_cow_delete_migrates_rewritten_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1), ("b", 2), ("z", 9)]), t)
+    M.rename_column(t, "v", "val")
+    n, _ = M.delete_where(spark, t, [("val", "=", 9)])
+    assert n == 1
+    snap = M.snapshot(t)
+    got = {r["arrest_key"]: r["val"] for r in snap.read(spark).collect()}
+    assert got == {"a": 1, "b": 2}
+    # the rewrite migrated the surviving rows to the new on-disk name:
+    # stats pruning now works on the new name for the rewritten file
+    pruned = snap.prune([("val", ">=", 100)])
+    assert pruned == []
+
+
+def test_rename_and_widen_break_change_feed_and_stream(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, spark.createDataFrame([("a", 1)], "arrest_key string, v int"), t)
+    M.rename_column(t, "v", "val")
+    M.append(spark, spark.createDataFrame([("b", 2)], "arrest_key string, val int"), t)
+    with pytest.raises(ValueError, match="rename"):
+        M.read_changes(spark, t, from_version=0)
+    # widen mid-range: refused via the schema-log check
+    t2 = str(tmp_path / "tbl2")
+    M.append(spark, spark.createDataFrame([("a", 1)], "arrest_key string, v int"), t2)
+    M.append(
+        spark,
+        spark.createDataFrame([("b", 2**40)], "arrest_key string, v bigint"),
+        t2,
+    )
+    with pytest.raises(ValueError, match="schema evolved"):
+        M.read_changes(spark, t2, from_version=0)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.table_stream import ManifestStreamReader
+
+    schema = StructType(
+        [StructField("arrest_key", StringType()), StructField("v", LongType())]
+    )
+    r = ManifestStreamReader(schema, {"path": t2})
+    with pytest.raises(ValueError, match="evolved the schema"):
+        r.partitions({"version": 0}, {"version": 1})
+
+
+def test_manifest_table_datasource_reads_renamed_and_widened(spark, tmp_path):
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    M.append(spark, spark.createDataFrame([("a", 1)], "arrest_key string, v int"), t)
+    M.append(
+        spark,
+        spark.createDataFrame([("b", 2**40)], "arrest_key string, v bigint"),
+        t,
+    )
+    M.rename_column(t, "v", "val")
+    df = spark.read.format("manifest_table").option("path", t).load()
+    assert dict(df.dtypes)["val"] == "bigint"
+    assert {r["arrest_key"]: r["val"] for r in df.collect()} == {"a": 1, "b": 2**40}
+
+
+def test_partition_spec_evolution_prunes_under_both_specs(spark, tmp_path):
+    """Evolve the partition spec mid-table (Iceberg spec evolution):
+    old files keep the old layout, new files follow the new spec, and
+    stats pruning provably skips at the MANIFEST level under filters
+    aligned with either spec — without opening the other generation's
+    manifests."""
+    t = str(tmp_path / "tbl")
+    # spec 1: identity(v) — one file per v value
+    M.append(
+        spark,
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "arrest_key string, v long"
+        ),
+        t,
+        partition_by=("v", "identity"),
+    )
+    spec1_files = set(M.snapshot(t).files)
+    assert len(spec1_files) == 3  # one file per v under identity(v)
+    # evolve to spec 2: identity(arrest_key)
+    M.append(
+        spark,
+        spark.createDataFrame(
+            [("d", 10), ("e", 20)], "arrest_key string, v long"
+        ),
+        t,
+        partition_by=("arrest_key", "identity"),
+    )
+    snap = M.snapshot(t)
+    assert snap.partition_spec == ("arrest_key", "identity")
+    assert spec1_files <= set(snap.files)  # old files untouched
+    # filter aligned with the OLD spec: the new-spec manifest's v
+    # range [10,20] excludes it — skipped unopened; within the old
+    # manifest exactly one file (v=2) survives. (Fresh snapshot: the
+    # .files access above already loaded every body on `snap`.)
+    snap1 = M.snapshot(t)
+    pruned = snap1.prune([("v", "=", 2)])
+    assert len(pruned) == 1 and pruned[0] in spec1_files
+    assert snap1.manifests_opened == 1
+    # filter aligned with the NEW spec: old manifest's key range
+    # [a,c] excludes 'd' — skipped unopened; one new-spec file matches
+    snap2 = M.snapshot(t)
+    pruned2 = snap2.prune([("arrest_key", "=", "d")])
+    assert len(pruned2) == 1 and pruned2[0] not in spec1_files
+    assert snap2.manifests_opened == 1
+    # an inheriting append now follows the EVOLVED spec: identity on
+    # arrest_key means one file per key
+    M.append(
+        spark,
+        spark.createDataFrame(
+            [("x", 99), ("y", 98)], "arrest_key string, v long"
+        ),
+        t,
+    )
+    snap3 = M.snapshot(t)
+    assert snap3.partition_spec == ("arrest_key", "identity")
+    third_gen = set(snap3.files) - set(snap.files)
+    assert len(third_gen) == 2  # split per arrest_key, not per v
+    # and everything still reads as one table
+    got = {r["arrest_key"]: r["v"] for r in snap3.read(spark).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 10, "e": 20, "x": 99, "y": 98}
+    assert M.row_count(t) == 7
