@@ -50,21 +50,21 @@ _GATE_PRIORITY = [
     "top_customers", "events_clean", "tumbling_hourly", "sliding_daily",
     "sessionize", "props_variant_stats",
     "asof_click_before_purchase", "range_pairs_5min", "median_price",
-    "embedding_centroids", "arrow_group_stats", "pivot_status_by_year",
-    "percentile_prices", "null_semantics", "monthly_revenue_spine",
-    "trailing_week_revenue", "unpivot_measures", "vector_norms",
+    "embedding_centroids", "arrow_group_stats", "ccnet_buckets",
+    "null_semantics", "monthly_revenue_spine",
+    "trailing_week_revenue", "pivot_status_by_year",
     "nation_accounts_reconciliation",
     # event analytics / time series / profiling
     "events_funnel", "retention_cohorts", "status_history_scd2",
-    "resample_hourly", "histogram_chars",
+    "resample_hourly", "mixture_temperature",
     # scale ops
     "salted_revenue", "bloom_pruned_join", "sketch_stats",
     # LLM-pipeline extensions
     "dedup_exact_docs", "dedup_jaccard_pairs", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_embedding_pairs", "dedup_neardup_clusters",
-    "dedup_contamination", "similarity_topk", "similarity_quantized",
-    "text_stats_docs", "text_chunks", "text_lm_score",
-    "sample_fixed_per_source", "curate_corpus",
+    "dedup_contamination", "similarity_topk", "dedup_keep_best",
+    "text_stats_docs", "dedup_span_trim", "text_lm_score",
+    "sample_fixed_per_source", "sample_importance_dsir",
 ]
 
 
