@@ -1,0 +1,365 @@
+"""Per-file Bloom-filter sidecars for the manifest table format.
+
+Min/max range stats (manifest.py) cannot skip files on UNIFORM keys —
+a content fingerprint, a UUID, a hashed user id spreads across the full
+value range in every file, so every point lookup and every
+insert-if-absent merge scans the whole key column of the table. This
+module adds the lakehouse answer (the shape of Iceberg's Puffin blob
+sidecars / Parquet column bloom filters, built from public primitives):
+
+- Each content manifest may carry ONE binary sidecar file
+  (``_manifest/bloom-<hex>.bin``) holding a fixed-width Bloom bitmap
+  per (declared column, data file), referenced by offset from the
+  manifest JSON. Manifests stay small; bitmap bytes live off to the
+  side and are read lazily, a seek+read of ``m/8`` bytes per probed
+  file — planning never loads data.
+- Bitmaps are built EXECUTOR-SIDE in one distributed pass over only
+  the newly written files (``xxhash64`` positions computed in the JVM,
+  bits set in numpy via ``applyInPandas``); the driver collects just
+  ``m/8`` bytes per file.
+- Probing needs NO Spark job: the same hash chain is reimplemented in
+  pure Python (``xxh64`` below, parity-tested against Spark's
+  ``xxhash64`` expression), so ``Snapshot.prune`` can test ``=`` /
+  ``in`` filter values against candidate files entirely driver-side —
+  including from the DataSource planner, where no job may run.
+
+Hash design: position ``i`` of value ``v`` is
+``pmod(xxhash64(cast(v as string), lit(str(i))), m)`` — Spark chains
+multi-argument xxhash64 by feeding each result as the next seed, so
+the Python twin is ``xxh64(str(i), seed=xxh64(utf8(v), 42)) % m``.
+Casting through STRING pins one canonical byte representation on both
+sides; bloom columns are therefore restricted to string / integral
+types, whose casts agree between Spark and ``str()`` (floats, bools,
+dates do not — they are rejected at declaration).
+
+False-positive budget: ``BITS_PER_ROW = 16`` and ``K = 7`` give
+``(1 - e^(-7/16))^7 ~= 7e-4`` per probe — small enough that a
+200-key merge batch keeps a non-matching file with probability
+~0.13, i.e. prunes ~87% of a cold table's files, while costing 2
+bytes of sidecar per row (0.2% of a typical 1 KB row).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BITS_PER_ROW = 16
+K = 7
+MIN_M = 8 * 1024          # floor: tiny files still get a real filter
+MAX_M = 8 * (1 << 20)     # cap: 1 MiB of sidecar per file
+#: types whose Spark cast-to-string matches Python ``str()`` exactly
+BLOOMABLE_TYPES = {"string", "int", "bigint", "smallint", "tinyint", "long"}
+
+_MASK = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK
+    return (_rotl(acc, 31) * _P1) & _MASK
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _MASK
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Pure-Python XXH64 (public xxHash spec) over ``data`` with
+    ``seed``, returned as an UNSIGNED 64-bit int. Parity with Spark's
+    ``xxhash64`` expression is asserted by tests (Spark returns the
+    same value as a signed long)."""
+    seed &= _MASK
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed
+        v4 = (seed - _P1) & _MASK
+        while i <= n - 32:
+            x1, x2, x3, x4 = struct.unpack_from("<QQQQ", data, i)
+            v1, v2, v3, v4 = (
+                _round(v1, x1),
+                _round(v2, x2),
+                _round(v3, x3),
+                _round(v4, x4),
+            )
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _MASK
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i <= n - 8:
+        (x,) = struct.unpack_from("<Q", data, i)
+        h ^= _round(0, x)
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK
+        i += 8
+    if i <= n - 4:
+        (x,) = struct.unpack_from("<I", data, i)
+        h ^= (x * _P1) & _MASK
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def probe_positions(value, m: int) -> list[int] | None:
+    """The K bit positions of ``value`` in an ``m``-bit filter, or
+    ``None`` when the value's type cannot be canonically stringified
+    (caller must then keep the file — never prune on ignorance).
+    Mirrors the Spark-side build chain exactly."""
+    if isinstance(value, bool) or not isinstance(value, (str, int)):
+        return None
+    b = str(value).encode("utf-8")
+    h1 = xxh64(b, 42)
+    return [xxh64(str(i).encode("ascii"), h1) % m for i in range(K)]
+
+
+def _position_cols(value_col, m: int) -> list:
+    """Spark twin of :func:`probe_positions`: K position columns for a
+    STRING column. ``pmod`` of the signed hash equals Python's ``%``
+    on the unsigned value for positive m."""
+    return [
+        F.pmod(F.xxhash64(value_col, F.lit(str(i))), F.lit(m)).alias(f"p{i}")
+        for i in range(K)
+    ]
+
+
+def size_for(avg_rows: float) -> int:
+    """Bitmap width (bits) for an expected per-file row count: the
+    BITS_PER_ROW budget rounded up to a power of two, floored/capped.
+    One width per manifest keeps sidecar offsets implicit-friendly and
+    the probe math uniform."""
+    m = MIN_M
+    target = max(MIN_M, int(avg_rows * BITS_PER_ROW))
+    while m < target and m < MAX_M:
+        m *= 2
+    return m
+
+
+def build_entry(
+    spark: SparkSession,
+    table_path: str,
+    rels: list[str],
+    stats: dict,
+    cols: list[str],
+) -> dict | None:
+    """Compute per-(col, file) Bloom bitmaps for newly written files,
+    write them to ONE sidecar, and return the manifest ``bloom`` entry
+    ``{"cols": {col: {rel: [sidecar, offset, m, k]}}}`` (each file
+    self-describing, so metadata compaction can merge entries from
+    manifests built with different widths without rewriting bitmaps);
+    None when there is nothing to index.
+
+    One distributed pass per column over ONLY the new files (the
+    column is read alone — parquet column pruning), hash positions in
+    the JVM, bitmaps assembled in numpy per file, and ``m/8`` bytes
+    per file collected. O(new data) work and O(new files) driver
+    memory per commit, independent of table size."""
+    if not rels or not cols:
+        return None
+    total_rows = sum(stats[r]["rows"] for r in rels if r in stats)
+    m = size_for(total_rows / max(1, len(rels)))
+    nbytes = m // 8
+
+    import numpy as np
+    import pandas as pd
+
+    def _bitmaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        bs = np.zeros(nbytes, dtype=np.uint8)
+        for i in range(K):
+            idx = pdf[f"p{i}"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bs, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pd.DataFrame({"f": [pdf["f"].iloc[0]], "bm": [bs.tobytes()]})
+
+    # absolute-path suffix -> rel mapping (input_file_name is a URI)
+    by_name = {os.path.join(table_path, r).replace(os.sep, "/"): r for r in rels}
+    paths = [os.path.join(table_path, r) for r in rels]
+    name = f"bloom-{uuid.uuid4().hex}.bin"
+    entry: dict[str, dict] = {}
+    blob = bytearray()
+    for c in cols:
+        src = (
+            spark.read.parquet(*paths)
+            .select(
+                F.input_file_name().alias("f"),
+                F.col(c).cast("string").alias("v"),
+            )
+            .where(F.col("v").isNotNull())
+        )
+        pos = src.select("f", *_position_cols(F.col("v"), m))
+        rows = (
+            pos.groupBy("f")
+            .applyInPandas(_bitmaps, schema="f string, bm binary")
+            .collect()
+        )
+        col_entry: dict[str, list] = {}
+        for r in rows:
+            rel = next(
+                (v for pth, v in by_name.items() if r["f"].endswith(pth)), None
+            )
+            if rel is None:  # unexpected path shape: leave unprunable
+                continue
+            col_entry[rel] = [name, len(blob), m, K]
+            blob.extend(r["bm"])
+        entry[c] = col_entry
+    if not blob:
+        return None
+    mdir = os.path.join(table_path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{name}")
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(blob))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(mdir, name))
+    return {"cols": entry}
+
+
+def merge_entries(entries: list[dict | None]) -> dict | None:
+    """Union bloom entries from manifests being metadata-compacted into
+    one: per-file records are self-describing, so merging is a dict
+    union referencing the ORIGINAL sidecars (no bitmap rewrite — the
+    same carry-by-reference discipline as content manifests)."""
+    cols: dict[str, dict] = {}
+    for e in entries:
+        for c, files in (e or {}).get("cols", {}).items():
+            cols.setdefault(c, {}).update(files)
+    return {"cols": cols} if cols else None
+
+
+def restrict_entry(entry: dict | None, files: list[str]) -> dict | None:
+    """A bloom entry narrowed to ``files`` (metadata compaction drops
+    records for files no longer in the manifest)."""
+    if not entry:
+        return None
+    fs = set(files)
+    cols = {
+        c: kept
+        for c, recs in entry.get("cols", {}).items()
+        if (kept := {f: r for f, r in recs.items() if f in fs})
+    }
+    return {"cols": cols} if cols else None
+
+
+class BloomProber:
+    """Lazy reader over bloom sidecars for one prune call: seek+read
+    ``m/8`` bytes per probed (col, file), with value->positions
+    memoized per (m, k). Conservative everywhere: unknown column,
+    unhashable value, missing or short bitmap all keep the file."""
+
+    def __init__(self, table_path: str):
+        self.mdir = os.path.join(table_path, "_manifest")
+        self._fhs: dict[str, object] = {}
+        self._pos: dict[tuple, list[int] | None] = {}
+
+    def _positions(self, value, m: int, k: int) -> list[int] | None:
+        key = (value, m, k)
+        if key not in self._pos:
+            if isinstance(value, bool) or not isinstance(value, (str, int)):
+                self._pos[key] = None
+            else:
+                b = str(value).encode("utf-8")
+                h1 = xxh64(b, 42)
+                self._pos[key] = [
+                    xxh64(str(i).encode("ascii"), h1) % m for i in range(k)
+                ]
+        return self._pos[key]
+
+    def _may_contain(self, rec: list, value) -> bool:
+        sidecar, off, m, k = rec[0], int(rec[1]), int(rec[2]), int(rec[3])
+        pos = self._positions(value, m, k)
+        if pos is None:
+            return True
+        fh = self._fhs.get(sidecar)
+        if fh is None:
+            try:
+                fh = open(os.path.join(self.mdir, sidecar), "rb")
+            except OSError:
+                self._fhs[sidecar] = False
+                return True
+            self._fhs[sidecar] = fh
+        elif fh is False:
+            return True
+        fh.seek(off)
+        bm = fh.read(m // 8)
+        if len(bm) != m // 8:
+            return True
+        return all(bm[p >> 3] & (1 << (p & 7)) for p in pos)
+
+    def file_passes(self, bloom: dict | None, rel: str, filters) -> bool:
+        """Probe every ``=`` / ``in`` filter whose column this
+        manifest's bloom entry indexes against one file."""
+        if not bloom:
+            return True
+        cols = bloom.get("cols", {})
+        for name, op, value in filters:
+            recs = cols.get(name)
+            if recs is None or rel not in recs:
+                continue
+            rec = recs[rel]
+            if op == "=":
+                if not self._may_contain(rec, value):
+                    return False
+            elif op == "in":
+                probed = [self._positions(v, int(rec[2]), int(rec[3])) for v in value]
+                if any(p is None for p in probed):
+                    continue  # some value unhashable: cannot exclude
+                if not any(self._may_contain(rec, v) for v in value):
+                    return False
+        return True
+
+    def close(self) -> None:
+        for fh in self._fhs.values():
+            if fh not in (None, False):
+                fh.close()
+        self._fhs = {}
+
+
+def validate_bloom_cols(schema: list[dict] | None, cols) -> list[str]:
+    """Declaration-time check: bloom columns must exist with a type
+    whose Spark string-cast is canonical (string / integral). Raises
+    on anything else so a misdeclaration fails loudly at write time,
+    not silently at probe time."""
+    out = list(cols)
+    if schema is None:
+        return out
+    types = {c["name"]: c["type"] for c in schema}
+    for c in out:
+        t = types.get(c)
+        if t is None:
+            raise ValueError(f"bloom column {c!r} not in table schema")
+        if t not in BLOOMABLE_TYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type {t!r}; bloom filters need "
+                f"canonical string casts — one of {sorted(BLOOMABLE_TYPES)}"
+            )
+    return out

@@ -111,6 +111,8 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nypd_arrest_etl_spark.sinks import bloom as _bloom
+
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _VERSION_DIGITS = 12
@@ -128,6 +130,12 @@ MANIFEST_COMPACT_THRESHOLD = 32
 #: are indistinguishable from orphans. Same design as Delta VACUUM's
 #: retention period.
 DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600.0
+
+#: Max distinct batch keys a merge collects to bloom-probe files with;
+#: above this the key-range bounds stand alone. 5k keys is a few
+#: hundred KB of driver memory and stays under Catalyst's isin->InSet
+#: conversion sweet spot for the residual row filter.
+_BLOOM_PROBE_LIMIT = 5000
 
 
 class CommitConflict(Exception):
@@ -324,7 +332,11 @@ def _aggregate_ranges(files: list[str], stats: dict) -> dict:
 
 
 def _write_content_manifest(
-    table_path: str, files: list[str], stats: dict, seqs: dict | None = None
+    table_path: str,
+    files: list[str],
+    stats: dict,
+    seqs: dict | None = None,
+    bloom: dict | None = None,
 ) -> dict:
     """Write an immutable level-2 manifest and return its manifest-list
     ref (path + aggregate ranges). Like data files, the manifest is not
@@ -345,6 +357,12 @@ def _write_content_manifest(
     body = {"files": sorted(files), "stats": stats}
     if seqs:
         body["seqs"] = {f: seqs[f] for f in files if f in seqs}
+    # Per-file Bloom sidecar records (bloom.py): carried in the body so
+    # pruning finds them next to the min/max stats; the bitmaps
+    # themselves live in the referenced sidecar files.
+    bloom = _bloom.restrict_entry(bloom, files)
+    if bloom:
+        body["bloom"] = bloom
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -418,6 +436,7 @@ def _compact_refs(table_path: str, refs: list[dict]) -> list[dict]:
     files: list[str] = []
     stats: dict = {}
     seqs: dict = {}
+    blooms: list[dict | None] = []
     for ref in to_merge:
         body = _load_content_manifest(table_path, ref["path"])
         base_seq = ref.get("added_at") or 0
@@ -426,9 +445,21 @@ def _compact_refs(table_path: str, refs: list[dict]) -> list[dict]:
             files.append(f)
             seqs[f] = body_seqs.get(f, base_seq)
         stats.update(body.get("stats", {}))
+        blooms.append(body.get("bloom"))
     # seqs preserved per file: merging manifests added at different
     # versions must not change which equality deletes apply to them.
-    return keep + [_write_content_manifest(table_path, files, stats, seqs=seqs)]
+    # Bloom records are self-describing [sidecar, offset, m, k] per
+    # file, so the merged manifest keeps referencing the ORIGINAL
+    # sidecars — compaction never rewrites a bitmap.
+    return keep + [
+        _write_content_manifest(
+            table_path,
+            files,
+            stats,
+            seqs=seqs,
+            bloom=_bloom.merge_entries(blooms),
+        )
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -565,6 +596,10 @@ class Snapshot:
         self.operation = manifest.get("operation")
         spec = manifest.get("partition_spec")
         self.partition_spec = tuple(spec) if spec else None
+        bcols = manifest.get("bloom_cols")
+        #: columns with per-file Bloom sidecars (bloom.py); declared
+        #: once via ``append(bloom_cols=...)``, carried by every commit
+        self.bloom_cols = list(bcols) if bcols else None
         self.delete_refs = list(manifest.get("delete_manifests", []))
         self.manifests_opened = 0
         self._bodies: dict[int, dict] = {}
@@ -603,17 +638,35 @@ class Snapshot:
     def prune(self, filters) -> list[str]:
         """Two-level file-skipping: refs whose AGGREGATE ranges exclude
         the filters are skipped without opening their manifest; files
-        inside surviving manifests are then pruned on per-file ranges.
-        Filters are triples ``(col, op, value)``, op in =,<,<=,>,>=."""
+        inside surviving manifests are then pruned on per-file ranges,
+        then on per-file BLOOM bitmaps (``=``/``in`` filters on
+        declared bloom columns — the skip ranges cannot give on
+        uniform keys; bloom.py). Probing is metadata I/O only: a
+        seek+read of ``m/8`` sidecar bytes per candidate file, no
+        Spark job (the hash twin runs in pure Python). Filters are
+        triples ``(col, op, value)``, op in =,<,<=,>,>=,in."""
+        eq_filters = [f for f in filters if f[1] in ("=", "in")]
+        prober: _bloom.BloomProber | None = None
         kept: list[str] = []
-        for i, ref in enumerate(self.refs):
-            if "_inline" not in ref and not _ref_may_match(ref, filters):
-                continue
-            body = self._body(i)
-            stats = body.get("stats", {})
-            kept.extend(
-                f for f in body["files"] if _file_may_match(stats.get(f), filters)
-            )
+        try:
+            for i, ref in enumerate(self.refs):
+                if "_inline" not in ref and not _ref_may_match(ref, filters):
+                    continue
+                body = self._body(i)
+                stats = body.get("stats", {})
+                blm = body.get("bloom") if eq_filters else None
+                for f in body["files"]:
+                    if not _file_may_match(stats.get(f), filters):
+                        continue
+                    if blm is not None:
+                        if prober is None:
+                            prober = _bloom.BloomProber(self.table_path)
+                        if not prober.file_passes(blm, f, eq_filters):
+                            continue
+                    kept.append(f)
+        finally:
+            if prober is not None:
+                prober.close()
         return sorted(kept)
 
     @property
@@ -954,6 +1007,7 @@ def _commit_refs(
     txn: dict | None = None,
     new_log_entries: list[dict] | None = None,
     schema_log: list[dict] | None = None,
+    bloom_cols: list | None = None,
 ) -> int:
     """The atomic claim, manifest-list form: version N+1 = these
     content-manifest refs. ``partition_spec`` carries the table's
@@ -980,16 +1034,22 @@ def _commit_refs(
         dict(r, seq=new_version) if r.get("kind") == "eq_deletes" and r.get("seq") is None else r
         for r in (delete_refs or [])
     ]
-    # Schema evolution log: carried forward from the base version
-    # automatically (so no call site can silently drop it), with this
-    # commit's new rename/widen events appended, stamped at the
-    # claimed version — the same ordering discipline as data seqs.
+    # Schema evolution log and bloom-column declaration: carried
+    # forward from the base version automatically (so no call site can
+    # silently drop them); the log gains this commit's rename/widen
+    # events, stamped at the claimed version — the same ordering
+    # discipline as data seqs. ``bloom_cols`` is only passed explicitly
+    # by the declaring append / rename mapping; pass ``[]`` there to
+    # retire the declaration.
+    base_manifest = (
+        _load_manifest(table_path, base_version)
+        if base_version is not None and (schema_log is None or bloom_cols is None)
+        else {}
+    )
     if schema_log is None:
-        schema_log = (
-            _load_manifest(table_path, base_version).get("schema_log", [])
-            if base_version is not None
-            else []
-        )
+        schema_log = base_manifest.get("schema_log", [])
+    if bloom_cols is None:
+        bloom_cols = base_manifest.get("bloom_cols")
     log = list(schema_log) + [
         dict(e, at=new_version) for e in (new_log_entries or [])
     ]
@@ -1004,6 +1064,8 @@ def _commit_refs(
         manifest["schema_log"] = log
     if partition_spec is not None:
         manifest["partition_spec"] = list(partition_spec)
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
     if stamped_deletes:
         manifest["delete_manifests"] = stamped_deletes
     if txn is not None:
@@ -1136,6 +1198,7 @@ def append(
     table_path: str,
     max_retries: int = 10,
     partition_by: tuple[str, str] | None = None,
+    bloom_cols: tuple | list | None = None,
 ) -> int:
     """Transactional append: data files + their content manifest are
     written once; only the O(n_manifests) claim retries on conflict.
@@ -1155,13 +1218,28 @@ def append(
     automatically — declare the layout once, every writer follows it.
     Passing a different spec evolves it (recorded from that version
     on; existing files keep their old layout, exactly Iceberg spec
-    evolution)."""
+    evolution).
+
+    ``bloom_cols=(col, ...)`` declares per-file Bloom sidecars on
+    string/integral columns (bloom.py): every data file this and later
+    writers commit gets a bitmap per declared column, and ``=``/``in``
+    filters on those columns skip files range stats cannot (uniform
+    keys — fingerprints, UUIDs). Declared once, inherited by every
+    writer like the partition spec; ``bloom_cols=()`` retires the
+    declaration. Files written BEFORE the declaration stay unprunable
+    (safe, never wrongly skipped) until a rewrite
+    (``compact_table``/``cluster_table``) re-indexes them."""
     base0 = snapshot(table_path)
     spec = partition_by if partition_by is not None else (
         base0.partition_spec if base0 is not None else None
     )
     incoming = _schema_entry(df)
     schema, widens = _evolve_schema(base0.schema if base0 else None, incoming)
+    bcols = list(bloom_cols) if bloom_cols is not None else (
+        base0.bloom_cols if base0 is not None else None
+    )
+    if bcols:
+        bcols = _bloom.validate_bloom_cols(schema, bcols)
     # conform BEFORE deriving the partition value: rows land on disk
     # with the committed types (a narrow write into a widened column
     # casts up here, keeping each generation's files uniformly typed)
@@ -1176,7 +1254,14 @@ def append(
         partition_col = "__pt"
         df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
     new_files, new_stats = _write_data_files(df, table_path, partition_col)
-    new_ref = _write_content_manifest(table_path, new_files, new_stats)
+    new_bloom = (
+        _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
+        if bcols
+        else None
+    )
+    new_ref = _write_content_manifest(
+        table_path, new_files, new_stats, bloom=new_bloom
+    )
     for _ in range(max_retries):
         snap = snapshot(table_path)
         base = snap.version if snap is not None else None
@@ -1190,7 +1275,14 @@ def append(
             schema, widens = schema2, widens2
             df = _conform_df(df, schema)
             new_files, new_stats = _write_data_files(df, table_path, partition_col)
-            new_ref = _write_content_manifest(table_path, new_files, new_stats)
+            new_bloom = (
+                _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
+                if bcols
+                else None
+            )
+            new_ref = _write_content_manifest(
+                table_path, new_files, new_stats, bloom=new_bloom
+            )
         # An INHERITING append (partition_by=None) must commit the spec
         # from the snapshot it actually commits against, not the
         # pre-loop one: a concurrent writer may have evolved (or first
@@ -1203,6 +1295,10 @@ def append(
         commit_spec = partition_by if partition_by is not None else (
             snap.partition_spec if snap is not None else spec
         )
+        # Same freshness rule for the bloom declaration: an explicit
+        # bloom_cols commits itself; an inheriting append carries the
+        # snapshot's (auto-carry in _commit_refs handles None).
+        commit_bcols = list(bloom_cols) if bloom_cols is not None else None
         try:
             return _commit_refs(
                 table_path,
@@ -1213,6 +1309,7 @@ def append(
                 partition_spec=commit_spec,
                 delete_refs=snap.delete_refs if snap is not None else None,
                 new_log_entries=widens,
+                bloom_cols=commit_bcols,
             )
         except CommitConflict:
             continue
@@ -1263,6 +1360,28 @@ def merge_insert_if_absent_txn(
         if bounds["lo"] is not None
         else None
     )
+    # Bloom probing: on a bloom-declared key a bounded batch can pass
+    # its exact key set as an ``in`` filter — per-file bitmaps then
+    # skip every file that definitely holds none of the batch's keys,
+    # which range bounds cannot do for uniform keys (fingerprints).
+    # The key list doubles as the residual row filter; above the cap
+    # (driver memory + isin-literal budget) the range bounds stand.
+    base0 = snapshot(table_path)
+    if (
+        key_filters is not None
+        and base0 is not None
+        and base0.bloom_cols
+        and key in base0.bloom_cols
+    ):
+        ks = [
+            r[0]
+            for r in deduped.select(key)
+            .distinct()
+            .limit(_BLOOM_PROBE_LIMIT + 1)
+            .collect()
+        ]
+        if len(ks) <= _BLOOM_PROBE_LIMIT:
+            key_filters = [(key, "in", [k for k in ks if k is not None])]
     for _ in range(max_retries):
         snap = snapshot(table_path)
         schema, widens = _evolve_schema(
@@ -1296,7 +1415,15 @@ def merge_insert_if_absent_txn(
                 partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
             )
         new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
-        new_ref = _write_content_manifest(table_path, new_files, new_stats)
+        bcols = snap.bloom_cols if snap is not None else base0.bloom_cols if base0 else None
+        new_ref = _write_content_manifest(
+            table_path,
+            new_files,
+            new_stats,
+            bloom=_bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
+            if bcols
+            else None,
+        )
         try:
             v = _commit_refs(
                 table_path,
@@ -1343,7 +1470,19 @@ def _rewrite_commit(
         # committed version.
         laid_out = write_df(base.read(spark))
         new_files, new_stats = _write_data_files(laid_out, table_path)
-        new_ref = _write_content_manifest(table_path, new_files, new_stats)
+        # Rewrites re-index the new layout for declared bloom columns —
+        # this is also how files written BEFORE a bloom declaration
+        # gain bitmaps (compact/cluster after declaring).
+        new_ref = _write_content_manifest(
+            table_path,
+            new_files,
+            new_stats,
+            bloom=_bloom.build_entry(
+                spark, table_path, new_files, new_stats, base.bloom_cols
+            )
+            if base.bloom_cols
+            else None,
+        )
         redo = False
         for _ in range(max_retries):
             snap = snapshot(table_path)
@@ -1768,7 +1907,17 @@ def merge_upsert_txn(
                 partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
             )
         new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
-        new_ref = _write_content_manifest(table_path, new_files, new_stats)
+        bcols_up = base.bloom_cols if base is not None else None
+        new_ref = _write_content_manifest(
+            table_path,
+            new_files,
+            new_stats,
+            bloom=_bloom.build_entry(
+                spark, table_path, new_files, new_stats, bcols_up
+            )
+            if bcols_up
+            else None,
+        )
         base_delete_paths = {r["path"] for r in (base.delete_refs if base else [])}
         base_ref_paths = {r.get("path") for r in (base.refs if base else [])}
         redo = False
@@ -1897,7 +2046,15 @@ def merge_upsert_eq_txn(
             partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
         )
     new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
-    new_ref = _write_content_manifest(table_path, new_files, new_stats)
+    bcols0 = base0.bloom_cols if base0 is not None else None
+    new_ref = _write_content_manifest(
+        table_path,
+        new_files,
+        new_stats,
+        bloom=_bloom.build_entry(spark, table_path, new_files, new_stats, bcols0)
+        if bcols0
+        else None,
+    )
     eq_files = _write_delete_files(conformed.select(key), table_path)
     eq_ref = _write_eq_delete_manifest(
         table_path, eq_files, key, bounds["lo"], bounds["hi"]
@@ -1920,7 +2077,16 @@ def merge_upsert_eq_txn(
             new_files, new_stats = _write_data_files(
                 to_write, table_path, partition_col
             )
-            new_ref = _write_content_manifest(table_path, new_files, new_stats)
+            new_ref = _write_content_manifest(
+                table_path,
+                new_files,
+                new_stats,
+                bloom=_bloom.build_entry(
+                    spark, table_path, new_files, new_stats, bcols0
+                )
+                if bcols0
+                else None,
+            )
             eq_files = _write_delete_files(conformed.select(key), table_path)
             eq_ref = _write_eq_delete_manifest(
                 table_path, eq_files, key, bounds["lo"], bounds["hi"]
@@ -1994,7 +2160,16 @@ def materialize_deletes(
             new_files, new_stats = _write_data_files(out_df, table_path)
             if new_files:
                 new_ref = [
-                    _write_content_manifest(table_path, new_files, new_stats)
+                    _write_content_manifest(
+                        table_path,
+                        new_files,
+                        new_stats,
+                        bloom=_bloom.build_entry(
+                            spark, table_path, new_files, new_stats, base.bloom_cols
+                        )
+                        if base.bloom_cols
+                        else None,
+                    )
                 ]
         affected_set = set(affected)
 
@@ -2016,6 +2191,9 @@ def materialize_deletes(
                 keep,
                 stats,
                 seqs={f: body_seqs.get(f, base_seq) for f in keep},
+                # surviving files keep their bitmap records (the
+                # original sidecar stays live through this reference)
+                bloom=body.get("bloom"),
             )
 
         base_paths = {r["path"] for r in base.refs if r.get("path")}
@@ -2085,7 +2263,18 @@ def _rewrite_rows_where(
         out_df = apply_fn(cand_df, pred).localCheckpoint(eager=True)
         new_files, new_stats = _write_data_files(out_df, table_path)
         new_ref = (
-            [_write_content_manifest(table_path, new_files, new_stats)]
+            [
+                _write_content_manifest(
+                    table_path,
+                    new_files,
+                    new_stats,
+                    bloom=_bloom.build_entry(
+                        spark, table_path, new_files, new_stats, base.bloom_cols
+                    )
+                    if base.bloom_cols
+                    else None,
+                )
+            ]
             if new_files
             else []
         )
@@ -2111,6 +2300,9 @@ def _rewrite_rows_where(
                 keep,
                 stats,
                 seqs={f: body_seqs.get(f, base_seq) for f in keep},
+                # surviving files keep their bitmap records (the
+                # original sidecar stays live through this reference)
+                bloom=body.get("bloom"),
             )
 
         base_paths = {r["path"] for r in base.refs if r.get("path")}
@@ -2257,6 +2449,15 @@ def rename_column(
             else r
             for r in snap.delete_refs
         ]
+        # The bloom declaration follows the rename; bitmaps recorded
+        # under the old name stop probing (filters use the new name —
+        # never wrongly prune) until a rewrite re-indexes, exactly
+        # like the min/max stats note above.
+        bcols = (
+            [new if c == old else c for c in snap.bloom_cols]
+            if snap.bloom_cols
+            else None
+        )
         try:
             return _commit_refs(
                 table_path,
@@ -2266,6 +2467,7 @@ def rename_column(
                 schema=schema,
                 partition_spec=spec,
                 delete_refs=dels,
+                bloom_cols=bcols,
                 new_log_entries=[
                     {"op": "rename", "from": old, "to": new, "at": None}
                 ],
@@ -2424,6 +2626,11 @@ def vacuum(
         live.update(snap.eq_delete_files)  # equality-delete key parquets
         live_manifests.update(r["path"] for r in snap.refs if r.get("path"))
         live_manifests.update(r["path"] for r in snap.delete_refs)
+        # Bloom sidecars referenced by any live content manifest
+        # (snap.files above already loaded every body)
+        for i in range(len(snap.refs)):
+            for recs in snap._body(i).get("bloom", {}).get("cols", {}).values():
+                live_manifests.update(rec[0] for rec in recs.values())
     cutoff = time.time() - retention_seconds
     deleted = 0
     data_root = os.path.join(table_path, _DATA_DIR)
@@ -2463,11 +2670,14 @@ def vacuum(
                 except OSError:
                     continue
                 os.remove(full)
-        elif f.startswith("m-") and f.endswith(".json") and f not in live_manifests:
-            # Unreferenced content manifest: superseded by compaction or
-            # orphaned by a lost commit race. Same retention guard as
-            # data files — an in-flight writer stages its manifest
-            # before the version claim.
+        elif (
+            (f.startswith("m-") and f.endswith(".json"))
+            or (f.startswith("bloom-") and f.endswith(".bin"))
+        ) and f not in live_manifests:
+            # Unreferenced content manifest or bloom sidecar:
+            # superseded by compaction or orphaned by a lost commit
+            # race. Same retention guard as data files — an in-flight
+            # writer stages these before the version claim.
             full = os.path.join(mdir, f)
             try:
                 if os.path.getmtime(full) > cutoff:

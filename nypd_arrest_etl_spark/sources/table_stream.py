@@ -441,7 +441,25 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             f: M._collect_file_stats(os.path.join(self.table_path, f))
             for f in files
         }
-        ref = M._write_content_manifest(self.table_path, files, stats)
+        # Declared bloom columns index this batch's files too (O(batch)
+        # work, same as any writer). commit() runs on the stream's
+        # driver, so a session is normally active; without one the
+        # files simply stay unprunable — never wrong, just unskippable.
+        bloom_entry = None
+        snap0 = M.snapshot(self.table_path)
+        if snap0 is not None and snap0.bloom_cols:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                from nypd_arrest_etl_spark.sinks import bloom as _bloom
+
+                bloom_entry = _bloom.build_entry(
+                    active, self.table_path, files, stats, snap0.bloom_cols
+                )
+        ref = M._write_content_manifest(
+            self.table_path, files, stats, bloom=bloom_entry
+        )
         schema_entry = [
             {"name": n, "type": t, "nullable": b} for n, t, b in self.fields
         ]

@@ -1,0 +1,257 @@
+"""Per-file Bloom sidecars (sinks/bloom.py): hash parity with Spark,
+file skipping on uniform keys, merge integration, rewrite re-indexing,
+metadata-compaction carry, vacuum liveness, rename safety."""
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.sinks import bloom as B
+from nypd_arrest_etl_spark.sinks import manifest as M
+
+
+def _fp(i) -> str:
+    return hashlib.sha256(str(i).encode()).hexdigest()
+
+
+def _keys_df(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.sha2(F.col("id").cast("string"), 256).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(parts)
+    )
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 1000), t, bloom_cols=("k",))
+    M.append(spark, _keys_df(spark, 1000, 2000), t)  # inherits declaration
+    M.append(spark, _keys_df(spark, 2000, 3000), t)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# hash parity: the pure-Python probe twin must equal Spark's xxhash64
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_matches_spark_all_tail_lengths(spark):
+    # lengths 0..40 cover every tail path (32-byte stripes, 8-, 4-,
+    # 1-byte remainders); unicode exercises multi-byte UTF-8
+    vals = ["x" * n for n in range(41)] + ["héllo ☃ wörld", "", "0", str(2**62)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v string")
+        .select(
+            "v",
+            F.xxhash64("v").alias("h1"),
+            F.xxhash64("v", F.lit("5")).alias("h5"),
+        )
+        .collect()
+    )
+    for r in rows:
+        b = r["v"].encode("utf-8")
+        u1 = B.xxh64(b, 42)
+        assert u1 - (1 << 64) * (u1 >> 63) == r["h1"]
+        u5 = B.xxh64(b"5", u1)
+        assert u5 - (1 << 64) * (u5 >> 63) == r["h5"]
+
+
+def test_probe_positions_reject_uncanonical_types():
+    assert B.probe_positions(1.5, 8192) is None
+    assert B.probe_positions(True, 8192) is None
+    assert B.probe_positions(None, 8192) is None
+    assert B.probe_positions("s", 8192) is not None
+    assert B.probe_positions(7, 8192) == B.probe_positions("7", 8192)
+
+
+# ---------------------------------------------------------------------------
+# declaration + skipping
+# ---------------------------------------------------------------------------
+
+
+def test_point_lookup_skips_files_range_stats_cannot(spark, bloom_table):
+    snap = M.snapshot(bloom_table)
+    assert snap.bloom_cols == ["k"]
+    total = snap.n_files
+    assert total >= 12
+    present = _fp(123)
+    # range stats are useless on sha256 keys: every file spans ~the
+    # full hex range, so without blooms nothing would prune
+    kept = snap.prune([("k", "=", present)])
+    assert 1 <= len(kept) <= 2  # the holder (+ rare false positive)
+    rows = snap.read(spark, filters=[("k", "=", present)]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 123
+    # absent key: every file bloom-excluded (fp ~7e-4 per file)
+    assert len(snap.prune([("k", "=", _fp(10**9))])) <= 1
+
+
+def test_in_filter_probes_every_value(spark, bloom_table):
+    snap = M.snapshot(bloom_table)
+    keys = [_fp(5), _fp(1500), _fp(2999)]
+    kept = snap.prune([("k", "in", keys)])
+    assert 1 <= len(kept) <= 5
+    got = snap.read(spark, filters=[("k", "in", keys)]).count()
+    assert got == 3
+    # unhashable value in the list -> cannot exclude, keeps all
+    assert len(snap.prune([("k", "in", [1.5])])) == snap.n_files
+
+
+def test_bloom_validation_rejects_bad_columns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    with pytest.raises(ValueError, match="canonical"):
+        M.append(spark, df, t, bloom_cols=("x",))
+    with pytest.raises(ValueError, match="not in table schema"):
+        M.append(spark, df, t, bloom_cols=("missing",))
+
+
+def test_retire_declaration_with_empty_tuple(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 100, parts=2), t, bloom_cols=("k",))
+    M.append(spark, _keys_df(spark, 100, 200, parts=2), t, bloom_cols=())
+    snap = M.snapshot(t)
+    assert snap.bloom_cols is None
+    # earlier files' bitmaps still prune; later files are unprunable
+    kept = snap.prune([("k", "=", _fp(10**9))])
+    assert len(kept) == 2  # only the post-retirement files survive
+
+
+def test_pre_declaration_files_stay_unprunable_until_rewrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 500, parts=3), t)
+    M.append(spark, _keys_df(spark, 500, 1000, parts=3), t, bloom_cols=("k",))
+    snap = M.snapshot(t)
+    absent = _fp(10**9)
+    # first 3 files lack bitmaps -> kept conservatively
+    assert len(snap.prune([("k", "=", absent)])) == 3
+    M.compact_table(spark, t)
+    snap2 = M.snapshot(t)
+    assert len(snap2.prune([("k", "=", absent)])) == 0
+    # and the data still reads exactly
+    assert snap2.read(spark).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# merge + upsert integration
+# ---------------------------------------------------------------------------
+
+
+def test_merge_insert_if_absent_uses_bloom_and_stays_exact(spark, bloom_table):
+    batch = spark.createDataFrame(
+        [(_fp(i), i) for i in range(50)]
+        + [(_fp(i + 10_000_000), i + 10_000_000) for i in range(50)],
+        "k string, v long",
+    )
+    n, _v = M.merge_insert_if_absent_txn(spark, batch, bloom_table, key="k")
+    assert n == 50
+    assert M.row_count(bloom_table) == 3050
+    # idempotent re-run
+    n2, _v2 = M.merge_insert_if_absent_txn(spark, batch, bloom_table, key="k")
+    assert n2 == 0
+    # merged files are themselves indexed: their keys now probe positive
+    snap = M.snapshot(bloom_table)
+    assert len(snap.prune([("k", "=", _fp(10_000_007))])) >= 1
+    assert (
+        snap.read(spark, filters=[("k", "=", _fp(10_000_007))]).count() == 1
+    )
+
+
+def test_upsert_eq_files_are_indexed(spark, bloom_table):
+    batch = spark.createDataFrame([(_fp(3), -3)], "k string, v long")
+    M.merge_upsert_eq_txn(spark, batch, bloom_table, key="k")
+    snap = M.snapshot(bloom_table)
+    rows = snap.read(spark, filters=[("k", "=", _fp(3))]).collect()
+    assert len(rows) == 1 and rows[0]["v"] == -3
+    assert M.row_count(bloom_table) == 3000
+
+
+def test_cow_delete_preserves_bloom_on_survivors(spark, bloom_table):
+    M.delete_where(spark, bloom_table, [("k", "=", _fp(42))])
+    snap = M.snapshot(bloom_table)
+    assert snap.read(spark, filters=[("k", "=", _fp(42))]).count() == 0
+    # untouched keys still bloom-prune to their holder
+    assert 1 <= len(snap.prune([("k", "=", _fp(77))])) <= 2
+    assert snap.read(spark, filters=[("k", "=", _fp(77))]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# metadata lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_compaction_carries_bloom_records(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(M, "MANIFEST_COMPACT_THRESHOLD", 4)
+    t = str(tmp_path / "tbl")
+    for g in range(6):
+        M.append(
+            spark,
+            _keys_df(spark, g * 100, (g + 1) * 100, parts=1),
+            t,
+            bloom_cols=("k",) if g == 0 else None,
+        )
+    snap = M.snapshot(t)
+    assert len(snap.refs) < 6  # compaction actually ran
+    # records merged across manifests still point at original sidecars
+    assert 1 <= len(snap.prune([("k", "=", _fp(437))])) <= 2
+    assert snap.read(spark, filters=[("k", "=", _fp(437))]).count() == 1
+    assert len(snap.prune([("k", "=", _fp(10**9))])) <= 1
+
+
+def test_vacuum_keeps_live_sidecars_reclaims_dead(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 300, parts=3), t, bloom_cols=("k",))
+    M.compact_table(spark, t)  # supersedes the first sidecar's manifest
+    n_before = len(glob.glob(os.path.join(t, "_manifest", "bloom-*.bin")))
+    assert n_before == 2
+    M.vacuum(t, retention_seconds=0)
+    alive = glob.glob(os.path.join(t, "_manifest", "bloom-*.bin"))
+    assert len(alive) == 1  # superseded sidecar reclaimed, live one kept
+    snap = M.snapshot(t)
+    assert 1 <= len(snap.prune([("k", "=", _fp(123))])) <= 2
+    assert snap.read(spark, filters=[("k", "=", _fp(123))]).count() == 1
+
+
+def test_rename_never_wrongly_prunes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 200, parts=2), t, bloom_cols=("k",))
+    M.rename_column(t, "k", "fingerprint")
+    snap = M.snapshot(t)
+    assert snap.bloom_cols == ["fingerprint"]
+    # old bitmaps are keyed by the old name -> no probe, files kept
+    kept = snap.prune([("fingerprint", "=", _fp(3))])
+    assert len(kept) == 2
+    assert (
+        snap.read(spark, filters=[("fingerprint", "=", _fp(3))]).count() == 1
+    )
+    # post-rename writes index under the new name and prune again
+    M.append(
+        spark,
+        _keys_df(spark, 200, 400, parts=2).withColumnRenamed("k", "fingerprint"),
+        t,
+    )
+    snap2 = M.snapshot(t)
+    new_key = _fp(321)
+    kept2 = snap2.prune([("fingerprint", "=", new_key)])
+    assert 3 <= len(kept2) <= 4  # 2 legacy unprunable + the holder (+fp)
+    assert (
+        snap2.read(spark, filters=[("fingerprint", "=", new_key)]).count() == 1
+    )
+
+
+def test_false_positive_rate_within_budget(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 2000, parts=2), t, bloom_cols=("k",))
+    snap = M.snapshot(t)
+    # probe 300 absent keys; expected per-file fp ~7e-4 -> ~0.4
+    # expected survivors over 600 probes-by-file; allow generous slack
+    hits = sum(
+        len(snap.prune([("k", "=", _fp(10**8 + i))])) for i in range(300)
+    )
+    assert hits <= 6

@@ -1442,8 +1442,8 @@ def test_upsert_racing_insert_of_same_key_never_duplicates(spark, tmp_path):
     real_write = M._write_content_manifest
     fired = {"done": False}
 
-    def write_with_race(table_path, files, stats):
-        ref = real_write(table_path, files, stats)
+    def write_with_race(table_path, files, stats, **kw):
+        ref = real_write(table_path, files, stats, **kw)
         # inject AFTER the upsert has written its own content manifest
         # (first call from inside merge_upsert_txn's loop body)
         if not fired["done"] and any("stream" not in f for f in files):
