@@ -4,11 +4,11 @@
 ``queries()`` — every implemented operator from SURVEY.md §2 (plus the
 LLM-data-pipeline extensions), as (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins; omitted only for
-the 4 ops whose semantics are genuinely engine-internal (native
+the 5 ops whose semantics are genuinely engine-internal (native
 HLL/KLL sketches, IVF k-means, iterative BPE, SemDeDup's driver
-k-means cells) — those get the driver's rows-only check. Every
-gate-window entry (first 50) carries a full oracle; 112 of 116
-registry entries do.
+k-means cells, PQ codebooks) — those get the driver's rows-only
+check plus exact-guarantee unit tests. Every gate-window entry
+(first 50) carries a full oracle; 115 of 120 registry entries do.
 """
 
 from __future__ import annotations

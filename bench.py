@@ -9,12 +9,15 @@ ONE JSON line:
 Each query is materialized through the noop sink (df.write.format
 ("noop")) so every output column is computed and written, with no
 driver-side collect cost. Session-level warmups amortize JVM startup
-and the Python worker pool; each query then runs three times — an
-untimed sf0.001 PREPASS that compiles its size-independent codegen
-stages (round-5 cold-start fix; disable by pointing
-$SPARK_GRAFT_PREPASS_DIR at $SPARK_GRAFT_SF_DIR), a cold pass (pays
-any remaining AQE-divergent compiles), and steady-state (fresh plan,
-caches cleared in between, compiles nothing).
+and the Python worker pool; each query then runs twice — cold (pays
+its own codegen compile) and steady-state (fresh plan, caches cleared
+in between, compiles nothing). A per-query untimed small-SF prepass
+was tried for cold-start (round 5) and REJECTED on measurement: it
+cut nothing it was supposed to cut and inflated the WHOLE run
+(steady 131 s vs 81 s, dedup family 3-5x) — 117 extra tiny-SF
+executions accumulate block-manager/broadcast state that pushes the
+long session over the GC cliff. Set $SPARK_GRAFT_PREPASS_DIR to a
+small SF dir to re-enable it for experiments.
 
 The HEADLINE value is the steady-state sum — every query's full
 pipeline re-executed with nothing cached, compile cost excluded; no
@@ -86,24 +89,21 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # Each query runs three times: an UNTIMED sf0.001 prepass, a cold
-    # pass at SF_DIR, and a steady-state pass on a freshly built plan
-    # with all operator-internal caches dropped in between (re-executes
-    # the full pipeline, compiles nothing). The prepass compiles the
-    # query's SIZE-INDEPENDENT codegen stages (whole-stage classes are
-    # a function of schema + expressions, not of data volume, so the
-    # scan/project/partial-agg stages generate IDENTICAL source at
-    # both scales and hit the janino class cache); only stages whose
-    # physical strategy AQE re-picks at the larger size (broadcast vs
-    # SMJ flips) still pay their compile in the cold pass. Run
-    # per-query, immediately before its cold pass, so the warmed
-    # classes cannot be LRU-evicted by other queries' compiles. The
-    # headline metric sums the STEADY passes (no run selection); cold
-    # totals and min(cold, steady) total_best2 are in BENCH_DETAIL.json.
-    prepass_dir = os.environ.get(
-        "SPARK_GRAFT_PREPASS_DIR", "/root/testdata/sf0.001"
+    # Each query runs twice: a cold pass (absorbs that query's janino
+    # codegen compile — AQE picks SF-dependent physical plans, so a
+    # tiny-SF prepass cannot pre-compile them all) and a steady-state
+    # pass on a freshly built plan with all operator-internal caches
+    # dropped in between, so the second pass re-executes the full
+    # pipeline but compiles nothing. The headline metric sums the
+    # STEADY passes (no run selection); cold totals and the
+    # min(cold, steady) total_best2 series are in BENCH_DETAIL.json.
+    # A per-query untimed prepass is available behind
+    # $SPARK_GRAFT_PREPASS_DIR but OFF by default — measured round 5,
+    # it degrades the whole session (see module docstring).
+    prepass_dir = os.environ.get("SPARK_GRAFT_PREPASS_DIR", "")
+    do_prepass = (
+        bool(prepass_dir) and os.path.isdir(prepass_dir) and prepass_dir != SF_DIR
     )
-    do_prepass = os.path.isdir(prepass_dir) and prepass_dir != SF_DIR
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     best2: dict[str, float] = {}

@@ -423,3 +423,160 @@ def ann_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _kmeans_l2(sample: "np.ndarray", n_codes: int, iters: int = 10) -> "np.ndarray":
+    """Deterministic Lloyd iterations under EUCLIDEAN distance (the PQ
+    codebook metric — subvectors are not unit vectors, so the cosine
+    variant above would distort cells). Strided init on the id-ordered
+    sample, empty cells keep their previous centroid, no RNG."""
+    n = len(sample)
+    idx = np.linspace(0, n - 1, num=min(n_codes, n), dtype="int64")
+    cents = sample[idx].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ann_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    train_size: int = 2048,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PRODUCT QUANTIZATION (FAISS PQ shape,
+    Spark-native) with exact re-ranking:
+
+    1. TRAIN (driver): split the unit-normalized vector into ``m_sub``
+       subspaces; one deterministic L2 k-means codebook of ``n_codes``
+       centroids per subspace, trained on the first ``train_size``
+       corpus vectors by id (bounded `limit` scan, like IVF).
+    2. ENCODE (map-only): each corpus vector -> ``m_sub`` code bytes
+       (nearest codebook centroid per subspace). At 100 TB this is the
+       point: a 64-dim float corpus compresses 32:1 (8 codes vs 256
+       bytes), so the candidate scan reads code columns only — the
+       full vectors stay on disk until re-rank.
+    3. ADC SCAN: per (query, subspace) the dot products against that
+       subspace's codebook form a lookup table (computed ONCE per
+       query, driver-side — m_sub*n_codes floats); approximate
+       dot(q, x) = sum of table entries at x's codes, evaluated as one
+       vectorized numpy gather per Arrow batch. Top ``refine * k``
+       candidates per query survive.
+    4. RE-RANK: candidates join back to their full vectors; exact
+       cosine with the same rounding and tie rules as the brute-force
+       baseline, so PQ output is a subset-selection of exact scores,
+       never approximate numbers.
+
+    Queries are collected driver-side to build the LUTs — the same
+    bounded-query-batch contract as the broadcast in ``cosine_topk``
+    (a query BATCH is thousands of rows; the corpus is the 100 TB
+    side and is never collected, never shuffled — encode is map-only
+    and the ADC scan is a broadcast join).
+    """
+    spark = corpus.sparkSession
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+
+    def unit(m: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms == 0, 1.0, norms)
+
+    train = unit(
+        np.vstack(
+            c.orderBy("neighbor_id").limit(train_size).toPandas()["cv"].to_numpy()
+        ).astype("float64")
+    )
+    dim = train.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"vector dim {dim} not divisible by m_sub={m_sub}")
+    sub = dim // m_sub
+    books = np.stack(
+        [
+            _kmeans_l2(train[:, s * sub : (s + 1) * sub], n_codes)
+            for s in range(m_sub)
+        ]
+    )  # (m_sub, n_codes, sub)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        m = unit(np.vstack(vs.to_numpy()).astype("float64"))
+        bks = bc_books.value
+        codes = np.empty((len(m), bks.shape[0]), dtype="int32")
+        for s in range(bks.shape[0]):
+            x = m[:, s * sub : (s + 1) * sub]
+            d2 = ((x[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # Per-query ADC lookup tables, built once on the driver: the query
+    # batch is bounded (broadcast-sized) by contract.
+    q_pdf = q.toPandas()
+    qm = unit(np.vstack(q_pdf["qv"].to_numpy()).astype("float64"))
+    luts = np.einsum(
+        "qsd,scd->qsc", qm.reshape(len(qm), m_sub, sub), books
+    )  # (n_queries, m_sub, n_codes)
+    bc_luts = spark.sparkContext.broadcast(luts)
+    qidx = spark.createDataFrame(
+        [(int(r), int(i)) for i, r in enumerate(q_pdf["query_id"])],
+        "query_id long, qidx int",
+    )
+
+    @F.pandas_udf("double")
+    def adc_score(qi: pd.Series, codes: pd.Series) -> pd.Series:
+        lut = bc_luts.value
+        cm = np.vstack(codes.to_numpy()).astype("int64")
+        qv = qi.to_numpy(dtype="int64")
+        s = np.arange(cm.shape[1])[None, :]
+        return pd.Series(lut[qv[:, None], s, cm].sum(axis=1))
+
+    encoded = c.select("neighbor_id", encode("cv").alias("codes"))
+    approx = (
+        encoded.crossJoin(F.broadcast(qidx))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc_score("qidx", "codes"), 6).alias("approx"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        approx.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the surviving candidates only
+    rescored = (
+        cands.join(c, "neighbor_id")
+        .join(
+            F.broadcast(q.withColumnRenamed("qv", "_qv")), "query_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("_qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -782,3 +782,112 @@ def quality_top_frac(
             F.col("src_rank").cast("long").alias("src_rank"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the per-document term
+    weighting a keyword-extraction / topical-routing stage runs before
+    mixture decisions (BM25 above is the query-time dual; this is the
+    corpus-side profile).
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (smoothed, sklearn's form, so
+    corpus-wide terms still score > 0 and nothing divides by zero);
+    score = tf * idf rounded to 6 places with (score DESC, term ASC)
+    row_number ties — a total order, reproducible across engines.
+
+    Scale (100 TB): one shuffle to (term, doc) partials with full
+    map-side combine, one broadcast of the tiny doc-count row, one
+    window partitioned by doc_id (rides the same hash distribution as
+    the per-doc tf aggregate, so the window's sort is within already
+    co-located groups; WindowGroupLimit caps state at k per doc).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.lower(F.col("tok")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def corpus_zipf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """One-row corpus health profile: total/distinct token counts,
+    top-1 token share, and the Zipf slope — the least-squares slope of
+    ln(frequency) on ln(rank) over the ``top_n`` most frequent tokens
+    (natural corpora sit near -1; synthetic or boilerplate-heavy
+    corpora flatten toward 0, so the slope is a cheap drift alarm for
+    a training-data pipeline).
+
+    Rank ties break on token text ascending — a total order, so both
+    engines rank identically. Slope = covar_pop/var_pop, the closed
+    form of the OLS fit (DuckDB's regr_slope twin).
+
+    Scale (100 TB): token counts are ONE shuffle with map-side combine
+    (Zipfian heads pre-aggregate per map task); ranking the top_n is a
+    global top-k (TakeOrderedAndProject), and the regression runs over
+    those top_n rows only — driver-sized, no second pass over data.
+    """
+    toks = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.lower(F.col("tok")).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(top_n)
+    ranked = top.select(
+        "token",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+        .alias("rank"),
+    )
+    totals = counts.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.max("freq").cast("long").alias("top1_freq"),
+    )
+    slope = ranked.select(
+        F.covar_pop(F.log("freq"), F.log("rank")).alias("_c"),
+        F.var_pop(F.log("rank")).alias("_v"),
+    ).select(F.round(F.col("_c") / F.col("_v"), 6).alias("zipf_slope"))
+    return (
+        totals.crossJoin(F.broadcast(slope))
+        .select(
+            "total_tokens",
+            "distinct_tokens",
+            F.round(F.col("top1_freq") / F.col("total_tokens"), 9).alias("top1_share"),
+            "zipf_slope",
+        )
+    )

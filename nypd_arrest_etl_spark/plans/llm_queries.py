@@ -1522,6 +1522,83 @@ FROM ranked
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (approximate by
+    design: codes select refine*k candidates — rows-only check;
+    recall vs the exact baseline is unit-tested in
+    tests/test_similarity.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ann_pq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, m_sub=8, n_codes=16
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn idf)."""
+    return TX.tfidf_topk(t(spark, sf_dir, "documents"), k=3)
+
+
+# Same token pipeline as ORACLE_CORPUS_VOCABULARY; idf is the smoothed
+# sklearn form ln((N+1)/(df+1)) + 1 on per-doc-distinct df.
+ORACLE_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile: token totals, top-1 share, Zipf slope
+    (OLS of ln(freq) on ln(rank) over the top-100 tokens)."""
+    return TX.corpus_zipf(t(spark, sf_dir, "documents"), top_n=100)
+
+
+ORACLE_CORPUS_ZIPF = r"""
+WITH toks AS (
+  SELECT lower(tok) AS token
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), counts AS (
+  SELECT token, count(*)::BIGINT AS freq FROM toks GROUP BY token
+), top AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM counts
+  ORDER BY freq DESC, token ASC
+  LIMIT 100
+), slope AS (
+  SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope FROM top
+), totals AS (
+  SELECT sum(freq)::BIGINT AS total_tokens,
+         count(*)::BIGINT AS distinct_tokens,
+         max(freq)::BIGINT AS top1_freq
+  FROM counts
+)
+SELECT total_tokens, distinct_tokens,
+       round(top1_freq / total_tokens::DOUBLE, 9) AS top1_share,
+       zipf_slope
+FROM totals, slope
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1572,4 +1649,7 @@ LLM_OPS: dict[str, tuple] = {
     "dedup_semantic": (q_semantic_dedup, None),
     "mixture_temperature": (q_mixture_temperature, ORACLE_MIXTURE_TEMPERATURE),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
+    "similarity_ann_pq": (q_ann_pq, None),
+    "text_tfidf_topk": (q_tfidf_topk, ORACLE_TFIDF_TOPK),
+    "corpus_zipf": (q_corpus_zipf, ORACLE_CORPUS_ZIPF),
 }

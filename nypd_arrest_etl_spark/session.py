@@ -58,6 +58,14 @@ def get_spark(
         # 167-250s for the same bench that runs in 65s at 48g. Keep
         # headroom; the host has 128 GiB.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # The generated-class cache defaults to 100 entries; a 120-query
+        # session generates ~1000 whole-stage classes per pass, so
+        # cross-query shared fragments (same scan/project shapes over
+        # the same tables) get LRU-evicted and recompiled — pure janino
+        # time on the cold path. 4096 entries keeps every shape of the
+        # whole registry resident (a class entry is small; heap cost is
+        # negligible next to the 48g heap).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.ui.enabled", "false")
         # keep the Python UDF worker pool alive between queries —
         # re-forking 32 workers (+ numpy import) costs ~12 s

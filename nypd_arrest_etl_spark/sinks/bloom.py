@@ -131,6 +131,13 @@ def xxh64(data: bytes, seed: int) -> int:
     return h
 
 
+def xxh64_long(v: int, seed: int) -> int:
+    """Twin of Spark's ``xxhash64`` over a LONG column: Spark hashes
+    integral types as an 8-byte little-endian long, which is exactly
+    XXH64 over those 8 bytes (parity-tested). Unsigned result."""
+    return xxh64(struct.pack("<q", v), seed)
+
+
 def probe_positions(value, m: int) -> list[int] | None:
     """The K bit positions of ``value`` in an ``m``-bit filter, or
     ``None`` when the value's type cannot be canonically stringified

@@ -414,6 +414,66 @@ def _load_content_manifest(table_path: str, name: str) -> dict:
         return json.load(f)
 
 
+#: integral simpleString() names whose xxhash64 hashes as an 8-byte long
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _bucket_of(value, n: int, col_type: str | None) -> int | None:
+    """Driver-side twin of ``pmod(xxhash64(col), n)`` — the bucket16
+    partition transform — for a filter literal, or None when the
+    literal cannot be hashed exactly as Spark hashes the COLUMN (type
+    mismatch between literal and declared column type → never prune).
+    Spark hashes strings over their UTF-8 bytes and every integral
+    type as an 8-byte little-endian long, both seed 42; parity is
+    asserted in tests/test_bloom.py."""
+    if col_type == "string":
+        if not isinstance(value, str):
+            return None
+        h = _bloom.xxh64(value.encode("utf-8"), 42)
+    elif col_type in _INTEGRAL_TYPES:
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        if not (-(1 << 63) <= value < (1 << 63)):
+            return None
+        h = _bloom.xxh64_long(value, 42)
+    else:
+        return None
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return signed % n  # Python % of a positive modulus == Spark pmod
+
+
+def _pt_may_match(stats: dict | None, eq_filters, types: dict) -> bool:
+    """Partition-transform skip for files that RECORDED the spec they
+    were written under (stats["pt"] = [col, transform, raw_dir_value]).
+    Only bucket16 needs this: identity/year/month/day files already
+    carry exact min==max ranges on the raw column, but a uniform key's
+    range spans every file. Conservative on every unknown: missing
+    record, null partition, renamed column (filter name no longer
+    matches the recorded write-time name), unhashable literal."""
+    pt = (stats or {}).get("pt")
+    if not pt:
+        return True
+    col, transform, raw = pt
+    if transform != "bucket16" or raw in (None, "__HIVE_DEFAULT_PARTITION__"):
+        return True
+    try:
+        file_bucket = int(raw)
+    except (TypeError, ValueError):
+        return True
+    for name, op, value in eq_filters:
+        if name != col:
+            continue
+        if op == "=":
+            b = _bucket_of(value, 16, types.get(col))
+            if b is not None and b != file_bucket:
+                return False
+        elif op == "in":
+            bs = [_bucket_of(v, 16, types.get(col)) for v in value]
+            if bs and all(b is not None for b in bs) and file_bucket not in bs:
+                return False
+    return True
+
+
 def _ref_may_match(ref: dict, filters) -> bool:
     """Manifest-level skip: can ANY file under this ref match? Uses the
     ref's aggregate ranges with the same conservative predicate as
@@ -643,9 +703,15 @@ class Snapshot:
         declared bloom columns — the skip ranges cannot give on
         uniform keys; bloom.py). Probing is metadata I/O only: a
         seek+read of ``m/8`` sidecar bytes per candidate file, no
-        Spark job (the hash twin runs in pure Python). Filters are
-        triples ``(col, op, value)``, op in =,<,<=,>,>=,in."""
+        Spark job (the hash twin runs in pure Python). Between ranges
+        and blooms, files written under a ``bucket16`` partition spec
+        skip ``=``/``in`` filters whose literal hashes to a different
+        bucket (the transform twin runs driver-side; range stats are
+        useless on uniform keys, and this needs no sidecar read at
+        all). Filters are triples ``(col, op, value)``, op in
+        =,<,<=,>,>=,in."""
         eq_filters = [f for f in filters if f[1] in ("=", "in")]
+        types = {c["name"]: c["type"] for c in (self.schema or [])}
         prober: _bloom.BloomProber | None = None
         kept: list[str] = []
         try:
@@ -657,6 +723,10 @@ class Snapshot:
                 blm = body.get("bloom") if eq_filters else None
                 for f in body["files"]:
                     if not _file_may_match(stats.get(f), filters):
+                        continue
+                    if eq_filters and not _pt_may_match(
+                        stats.get(f), eq_filters, types
+                    ):
                         continue
                     if blm is not None:
                         if prober is None:
@@ -817,6 +887,13 @@ class Snapshot:
         surviving rows, so semantics are identical to an unpruned
         read + filter."""
         if not self.n_files:
+            # A table whose every row was deleted still HAS a schema —
+            # the recorded manifest one (same metadata-only answer as
+            # the pruned-to-empty branch below). Only manifests that
+            # predate schema recording cannot answer.
+            if self.schema:
+                ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in self.schema)
+                return spark.createDataFrame([], ddl)
             raise ValueError("empty snapshot has no schema; guard with files check")
         files = self.files if not filters else self.prune(filters)
         if not files:
@@ -1095,7 +1172,10 @@ def _commit_refs(
 
 
 def _write_data_files(
-    df: DataFrame, table_path: str, partition_col: str | None = None
+    df: DataFrame,
+    table_path: str,
+    partition_col: str | None = None,
+    spec: tuple[str, str] | None = None,
 ) -> tuple[list[str], dict]:
     """Write ``df`` as immutable parquet files under a unique subdir of
     data/ and return (table-relative paths, per-file footer stats). The
@@ -1104,7 +1184,16 @@ def _write_data_files(
     column (one directory per value, so each FILE holds exactly one
     value) and the column lives only in the directory name — readers
     scan explicit leaf files, so it never surfaces in the table schema
-    (hidden partitioning)."""
+    (hidden partitioning).
+
+    ``spec=(col, transform)`` — the partition spec that produced
+    ``partition_col`` — is recorded PER FILE in its stats entry
+    (``stats[f]["pt"] = [col, transform, raw_dir_value]``), so pruning
+    can evaluate transform-aware skips (bucket16 point lookups) against
+    exactly the spec each file was written under: spec evolution and
+    manifest compaction can mix files from different specs in one
+    manifest, which is why the spec travels with the file, not the
+    manifest."""
     sub = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     out_dir = os.path.join(table_path, sub)
     w = df.write.mode("error")
@@ -1118,6 +1207,19 @@ def _write_data_files(
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     stats = {rel: _collect_file_stats(os.path.join(table_path, rel)) for rel in rels}
+    if partition_col is not None and spec is not None:
+        marker = f"{partition_col}="
+        for rel, st in stats.items():
+            seg = next(
+                (
+                    s[len(marker):]
+                    for s in rel.replace(os.sep, "/").split("/")
+                    if s.startswith(marker)
+                ),
+                None,
+            )
+            if seg is not None:
+                st["pt"] = [spec[0], spec[1], seg]
     # Zero-row part files (empty write partitions) carry no column
     # stats, so they would blank the manifest's aggregate ranges and
     # defeat two-level pruning — and they contribute no rows. Drop them
@@ -1253,7 +1355,7 @@ def append(
             )
         partition_col = "__pt"
         df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
-    new_files, new_stats = _write_data_files(df, table_path, partition_col)
+    new_files, new_stats = _write_data_files(df, table_path, partition_col, spec=spec)
     new_bloom = (
         _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
         if bcols
@@ -1274,7 +1376,7 @@ def append(
             # become orphans; vacuum reclaims).
             schema, widens = schema2, widens2
             df = _conform_df(df, schema)
-            new_files, new_stats = _write_data_files(df, table_path, partition_col)
+            new_files, new_stats = _write_data_files(df, table_path, partition_col, spec=spec)
             new_bloom = (
                 _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
                 if bcols
@@ -1414,7 +1516,7 @@ def merge_insert_if_absent_txn(
             to_write = fresh.withColumn(
                 partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
             )
-        new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
+        new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec)
         bcols = snap.bloom_cols if snap is not None else base0.bloom_cols if base0 else None
         new_ref = _write_content_manifest(
             table_path,
@@ -1906,7 +2008,7 @@ def merge_upsert_txn(
             to_write = conformed.withColumn(
                 partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
             )
-        new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
+        new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec0)
         bcols_up = base.bloom_cols if base is not None else None
         new_ref = _write_content_manifest(
             table_path,
@@ -2045,7 +2147,7 @@ def merge_upsert_eq_txn(
         to_write = conformed.withColumn(
             partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
         )
-    new_files, new_stats = _write_data_files(to_write, table_path, partition_col)
+    new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec0)
     bcols0 = base0.bloom_cols if base0 is not None else None
     new_ref = _write_content_manifest(
         table_path,

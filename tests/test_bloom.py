@@ -255,3 +255,100 @@ def test_false_positive_rate_within_budget(spark, tmp_path):
         len(snap.prune([("k", "=", _fp(10**8 + i))])) for i in range(300)
     )
     assert hits <= 6
+
+
+# ---------------------------------------------------------------------------
+# bucket16 transform-aware pruning (manifest.py _pt_may_match)
+# ---------------------------------------------------------------------------
+
+
+def test_xxh64_long_matches_spark(spark):
+    vals = [0, 1, -1, 5, 42, 2**31, -(2**31) - 7, 2**62, -(2**63), 2**63 - 1]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        u = B.xxh64_long(r["v"], 42)
+        assert u - (1 << 64) * (u >> 63) == r["h"], r["v"]
+
+
+def test_bucket_of_matches_spark_pmod(spark):
+    from nypd_arrest_etl_spark.sinks.manifest import _bucket_of
+
+    svals = [_fp(i) for i in range(8)] + ["", "héllo"]
+    ivals = [0, 7, -3, 12345678901234, -(2**40)]
+    rows = (
+        spark.createDataFrame([(s,) for s in svals], "v string")
+        .select("v", F.pmod(F.xxhash64("v"), F.lit(16)).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert _bucket_of(r["v"], 16, "string") == r["b"], r["v"]
+    rows = (
+        spark.createDataFrame([(v,) for v in ivals], "v long")
+        .select("v", F.pmod(F.xxhash64("v"), F.lit(16)).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert _bucket_of(r["v"], 16, "bigint") == r["b"], r["v"]
+
+
+@pytest.fixture()
+def bucketed_table(spark, tmp_path):
+    t = str(tmp_path / "btbl")
+    M.append(
+        spark, _keys_df(spark, 0, 600), t, partition_by=("k", "bucket16")
+    )
+    M.append(spark, _keys_df(spark, 600, 1200), t)  # inherits the spec
+    return t
+
+
+def test_bucket16_point_lookup_prunes_to_one_bucket(spark, bucketed_table):
+    snap = M.snapshot(bucketed_table)
+    probe = _fp(123)  # sha256 of "123" — present
+    kept = snap.prune([("k", "=", probe)])
+    # one bucket out of 16, two appends: kept files must all live in
+    # the matching bucket dir and be a small fraction of the table
+    assert 0 < len(kept) <= len(snap.files) // 4
+    got = snap.read(spark, filters=[("k", "=", probe)]).collect()
+    assert len(got) == 1 and got[0]["k"] == probe
+
+
+def test_bucket16_in_filter_prunes_and_reads_exact(spark, bucketed_table):
+    snap = M.snapshot(bucketed_table)
+    probes = [_fp(i) for i in (5, 77, 950)]
+    kept = snap.prune([("k", "in", probes)])
+    assert 0 < len(kept) < len(snap.files)
+    rows = snap.read(spark, filters=[("k", "in", probes)]).collect()
+    assert sorted(r["k"] for r in rows) == sorted(probes)
+
+
+def test_bucket16_prune_is_conservative_on_type_mismatch(spark, bucketed_table):
+    # an int literal on the string column cannot be hashed as Spark
+    # hashes the column: pruning must keep every range-surviving file
+    snap = M.snapshot(bucketed_table)
+    kept = snap.prune([("k", "=", 123)])
+    assert kept == snap.prune([])
+
+
+def test_bucket16_prune_survives_spec_evolution(spark, bucketed_table):
+    # evolve the spec to identity on v: old files keep their bucket16
+    # pt records (still prunable on k), new files record the new spec
+    t = bucketed_table
+    from pyspark.sql import functions as F2
+
+    M.append(
+        spark,
+        _keys_df(spark, 1200, 1300).withColumn("v", F2.col("v")),
+        t,
+        partition_by=("v", "identity"),
+    )
+    snap = M.snapshot(t)
+    probe = _fp(50)  # lives in the bucketed generation
+    kept = snap.prune([("k", "=", probe)])
+    got = snap.read(spark, filters=[("k", "=", probe)]).collect()
+    assert len(got) == 1
+    # old-generation files outside the probe's bucket were pruned
+    assert len(kept) < len(snap.files)

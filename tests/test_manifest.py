@@ -706,6 +706,11 @@ def test_random_walk_matches_model(spark, tmp_path):
     def mk(rows):
         return spark.createDataFrame(rows, f"arrest_key string, {vcol[0]} long")
 
+    # separate stream for point-lookup probes so adding them does not
+    # perturb the op sequence rng draws
+    rng2 = random.Random(99)
+    probe_i = [0]
+
     def check(history=True):
         snap = M.snapshot(t)
         if snap is None:
@@ -716,9 +721,24 @@ def test_random_walk_matches_model(spark, tmp_path):
         assert got == want
         # metadata COUNT(*) always agrees with the scan
         assert M.row_count(t) == len(want)
-        if history:  # gapless chain, all versions readable (pre-vacuum)
-            for v in range(snap.version + 1):
-                assert M.snapshot(t, version=v) is not None
+        # bloom-pruned point lookup (the table declared bloom_cols on
+        # arrest_key at v0): a present key reads exactly its model
+        # rows and an absent key reads empty, through whatever mix of
+        # tombstones, eq-deletes, renames and rewrites the walk built
+        probe_i[0] += 1
+        if want and probe_i[0] % 3 == 0:
+            pk = rng2.choice([k for k, _ in want])
+            got_k = sorted(
+                r[vcol[0]]
+                for r in snap.read(
+                    spark, filters=[("arrest_key", "=", pk)]
+                ).collect()
+            )
+            assert got_k == sorted(v for k2, v in want if k2 == pk)
+            absent = snap.read(
+                spark, filters=[("arrest_key", "=", f"absent-{probe_i[0]}")]
+            )
+            assert absent.count() == 0
 
     next_key = [0]
 
@@ -726,6 +746,14 @@ def test_random_walk_matches_model(spark, tmp_path):
         ks = [f"k{next_key[0] + i}" for i in range(n)]
         next_key[0] += n
         return ks
+
+    # seed commit declares bloom sidecars on the key column, so every
+    # later writer in the walk (merges, upserts, streams, rewrites)
+    # builds bitmaps and every check()'s point lookup probes them
+    seed = [(k, 1) for k in fresh_keys(2)]
+    M.append(spark, mk(seed), t, bloom_cols=("arrest_key",))
+    appended.extend(seed)
+    states[M.current_version(t)] = (dict(model), list(appended), vcol[0])
 
     for step in range(60):
         op = rng.choice(
@@ -1546,7 +1574,7 @@ def test_inheriting_append_commits_spec_declared_mid_flight(
     real_wdf = M._write_data_files
     state = {"fired": False}
 
-    def hooked(df, table_path, partition_col=None):
+    def hooked(df, table_path, partition_col=None, **kw):
         if not state["fired"]:
             state["fired"] = True
             # concurrent writer declares the spec between the inheriting
@@ -1554,7 +1582,7 @@ def test_inheriting_append_commits_spec_declared_mid_flight(
             M.append(
                 spark, _df(spark, [("spec", 9)]), t, partition_by=("v", "identity")
             )
-        return real_wdf(df, table_path, partition_col)
+        return real_wdf(df, table_path, partition_col, **kw)
 
     monkeypatch.setattr(M, "_write_data_files", hooked)
     M.append(spark, _df(spark, [("b", 2)]), t)  # inheriting

@@ -195,3 +195,52 @@ def test_semantic_dedup_partitioning_invariant(spark):
         .collect()
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_ann_pq_high_recall_on_clusters(spark):
+    from nypd_arrest_etl_spark.operators.similarity import ann_pq_topk
+
+    rows = _vectors()
+    df = _df(spark, rows)
+    exact = {qid: set(_brute_topk(rows, qid, 5)) for qid in range(3)}
+    out = ann_pq_topk(df.filter("vec_id < 3"), df, k=5, m_sub=4, n_codes=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # 16 codes per 4-dim subspace easily separate 4 planted clusters
+    recall = np.mean([len(got.get(q, set()) & exact[q]) / 5 for q in range(3)])
+    assert recall >= 0.8, (recall, got)
+
+
+def test_ann_pq_scores_are_exact_cosines(spark):
+    """PQ approximates the CANDIDATE SET only: every reported score
+    must equal the exact rounded cosine (re-rank contract)."""
+    from nypd_arrest_etl_spark.operators.similarity import ann_pq_topk
+
+    rows = _vectors(n=24)
+    df = _df(spark, rows)
+    mat = np.array([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    out = ann_pq_topk(df.filter("vec_id < 2"), df, k=3, m_sub=4, n_codes=8)
+    for r in out.collect():
+        assert r["cosine"] == pytest.approx(
+            sims[r["query_id"], r["neighbor_id"]], abs=1e-6
+        )
+
+
+def test_ann_pq_generous_refine_is_exact(spark):
+    """With refine covering the whole corpus the candidate set is
+    complete, so PQ degenerates to the exact baseline."""
+    from nypd_arrest_etl_spark.operators.similarity import ann_pq_topk
+
+    rows = _vectors(n=20)
+    df = _df(spark, rows)
+    out = ann_pq_topk(
+        df.filter("vec_id < 3"), df, k=5, m_sub=4, n_codes=8, refine=20
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        assert [n for _, n in sorted(got[qid])] == _brute_topk(rows, qid, 5)

@@ -219,6 +219,75 @@ def bench_upsert_modes(batch_rows: int = 2_000) -> None:
         )
 
 
+def bench_bloom_prune(n_files: int = 100_000, keys_per_file: int = 10) -> None:
+    """Planning cost of a bloom-pruned point lookup on a uniform key —
+    the case range stats cannot touch (every file spans the full key
+    range, so range-only pruning keeps ALL of them). Synthesizes one
+    content manifest of ``n_files`` entries, each with a real bitmap in
+    one sidecar (pure-Python build, same bit positions the Spark write
+    path sets), then times ``Snapshot.prune`` on an ``=`` probe.
+
+    What to expect at 100 TB: probing is one hash-chain evaluation for
+    the literal (memoized) plus a seek+read of m/8 bytes per
+    range-surviving file — metadata I/O, no Spark job, no data scan."""
+    from nypd_arrest_etl_spark.sinks import bloom as B
+
+    m, k = 8 * 1024, B.K
+    tmp = tempfile.mkdtemp()
+    try:
+        t = os.path.join(tmp, "tbl")
+        mdir = os.path.join(t, M._MANIFEST_DIR)
+        os.makedirs(mdir)
+        files, stats = _entries(0, n_files)
+        # uniform key: every file's range spans the whole keyspace
+        for f in files:
+            stats[f]["columns"]["k"] = {"min": "0" * 8, "max": "f" * 8}
+        blob = bytearray()
+        recs = {}
+        t0 = time.perf_counter()
+        for i, f in enumerate(files):
+            bm = bytearray(m // 8)
+            for key in range(i * keys_per_file, (i + 1) * keys_per_file):
+                for p in B.probe_positions(f"{key:016x}", m):
+                    bm[p >> 3] |= 1 << (p & 7)
+            recs[f] = ["bloom-bench.bin", len(blob), m, k]
+            blob.extend(bm)
+        build_dt = time.perf_counter() - t0
+        with open(os.path.join(mdir, "bloom-bench.bin"), "wb") as fh:
+            fh.write(bytes(blob))
+        ref = M._write_content_manifest(
+            t, files, stats, bloom={"cols": {"k": recs}}
+        )
+        M._commit_refs(t, [ref], None, "append",
+                       schema=[{"name": "k", "type": "string", "nullable": True}])
+        snap = M.snapshot(t)
+        probe = f"{(n_files // 2) * keys_per_file:016x}"  # lives in one file
+        t0 = time.perf_counter()
+        kept_range = snap.prune([("v", ">=", 0)])  # range-only control
+        range_dt = time.perf_counter() - t0
+        snap2 = M.snapshot(t)  # fresh body cache for a fair probe timing
+        t0 = time.perf_counter()
+        kept = snap2.prune([("k", "=", probe)])
+        probe_dt = time.perf_counter() - t0
+        miss = f"{n_files * keys_per_file + 99:016x}"
+        t0 = time.perf_counter()
+        kept_miss = M.snapshot(t).prune([("k", "=", miss)])
+        miss_dt = time.perf_counter() - t0
+        print(
+            f"\nBloom point lookup at {n_files:,} files (uniform key, "
+            f"{m // 8} B bitmap/file, {len(blob) / 1e6:.0f} MB sidecar):\n"
+            f"| build (python twin) | range-only plan | bloom probe hit "
+            f"| bloom probe miss | files kept hit/miss/range |\n|---|---|---|---|---|\n"
+            f"| {build_dt:.1f} s | {range_dt * 1000:.0f} ms "
+            f"| {probe_dt * 1000:.0f} ms | {miss_dt * 1000:.0f} ms "
+            f"| {len(kept)}/{len(kept_miss)}/{len(kept_range):,} |",
+            flush=True,
+        )
+        assert len(kept) <= 2 and len(kept_miss) <= 1, (len(kept), len(kept_miss))
+    finally:
+        shutil.rmtree(tmp)
+
+
 def main() -> None:
     print(
         "| table files | flat commit | two-level commit "
@@ -234,6 +303,8 @@ def main() -> None:
             f"| {cdt * 1000:.1f} ms | {fb:,} | {tb:,} |",
             flush=True,
         )
+    bench_bloom_prune(10_000)
+    bench_bloom_prune(100_000)
 
 
 if __name__ == "__main__":
