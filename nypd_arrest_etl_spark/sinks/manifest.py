@@ -1424,6 +1424,7 @@ def merge_insert_if_absent_txn(
     table_path: str,
     key: str = "arrest_key",
     max_retries: int = 5,
+    bloom_cols: tuple | list | None = None,
 ) -> tuple[int, int]:
     """SERIALIZABLE insert-if-absent merge (K4 with concurrency).
 
@@ -1447,6 +1448,12 @@ def merge_insert_if_absent_txn(
     100 TB table instead of all of them; on an unclustered table the
     bounds simply prune nothing. One tiny agg on the (already reduced)
     deduped batch buys the skip.
+
+    ``bloom_cols`` declares Bloom sidecars exactly like
+    ``append(bloom_cols=...)`` — useful because this merge is how
+    incremental pipelines CREATE their table (streaming/curation.py),
+    and its own matched scan is the biggest beneficiary of the
+    bitmaps on later batches. None inherits any existing declaration.
 
     Returns (inserted_rowcount, committed_version).
     """
@@ -1517,7 +1524,12 @@ def merge_insert_if_absent_txn(
                 partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
             )
         new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec)
-        bcols = snap.bloom_cols if snap is not None else base0.bloom_cols if base0 else None
+        bcols = list(bloom_cols) if bloom_cols is not None else (
+            snap.bloom_cols if snap is not None
+            else base0.bloom_cols if base0 else None
+        )
+        if bcols:
+            bcols = _bloom.validate_bloom_cols(schema, bcols)
         new_ref = _write_content_manifest(
             table_path,
             new_files,
@@ -1536,6 +1548,7 @@ def merge_insert_if_absent_txn(
                 partition_spec=spec,
                 delete_refs=snap.delete_refs if snap is not None else None,
                 new_log_entries=widens,
+                bloom_cols=list(bloom_cols) if bloom_cols is not None else None,
             )
             return n, v
         except CommitConflict:

@@ -57,8 +57,16 @@ def curate_incremental(
         fingerprinted = batch.withColumn(
             "fingerprint", canonical_fingerprint(text_col)
         )
+        # bloom_cols: the curated table's key is a uniform content
+        # fingerprint, so every later batch's first-writer-wins scan
+        # prunes to the files its own key set may touch (bitmaps built
+        # O(batch) per commit) instead of the whole key column.
         merge_insert_if_absent_txn(
-            spark, fingerprinted, curated_table, key="fingerprint"
+            spark,
+            fingerprinted,
+            curated_table,
+            key="fingerprint",
+            bloom_cols=("fingerprint",),
         )
 
     return (
@@ -172,9 +180,21 @@ def curate_incremental_neardup(
         # docs there is nothing to verify against — skip the branch.
         idx = snapshot(index_table)
         if idx is not None and idx.n_files and cur is not None and cur.n_files:
+            # batch band keys probe the index's bloom sidecars: the
+            # per-batch index read opens only files that may hold one
+            # of THIS batch's band keys — bounded by the batch, not by
+            # the (corpus-sized) index. Above the literal cap the
+            # unfiltered join stands (correct, just unpruned).
+            bkeys = [
+                r[0]
+                for r in keys.select("band_key").distinct().limit(5001).collect()
+            ]
+            iflt = (
+                [("band_key", "in", bkeys)] if 0 < len(bkeys) <= 5000 else None
+            )
             cand = (
                 keys.join(
-                    idx.read(spark).select(
+                    idx.read(spark, filters=iflt).select(
                         F.col("band_key"),
                         F.col("fingerprint").alias("cand_fp"),
                     ),
@@ -187,12 +207,22 @@ def curate_incremental_neardup(
             # candidate-fingerprint range prunes the curated TEXT read
             # — each batch re-shingles only files holding candidates,
             # not the whole corpus
-            cb = cand.agg(F.min("cand_fp"), F.max("cand_fp")).first()
-            cflt = (
-                [("fingerprint", ">=", cb[0]), ("fingerprint", "<=", cb[1])]
-                if cb[0] is not None
-                else None
-            )
+            cfps = [
+                r[0]
+                for r in cand.select("cand_fp").distinct().limit(5001).collect()
+            ]
+            if 0 < len(cfps) <= 5000:
+                # exact candidate set -> bloom-pruned to the files that
+                # may hold a candidate (fingerprints are uniform, so
+                # the range fallback below prunes nearly nothing)
+                cflt = [("fingerprint", "in", cfps)]
+            else:
+                cb = cand.agg(F.min("cand_fp"), F.max("cand_fp")).first()
+                cflt = (
+                    [("fingerprint", ">=", cb[0]), ("fingerprint", "<=", cb[1])]
+                    if cb[0] is not None
+                    else None
+                )
             cur_sh = with_shingles(
                 cur.read(spark, filters=cflt).select("fingerprint", text_col),
                 "fingerprint",
@@ -248,9 +278,22 @@ def curate_incremental_neardup(
                 "fingerprint",
             )
         )
-        merge_insert_if_absent_txn(spark, idx_rows, index_table, key="key")
+        # both tables key on uniform hashes -> both declare blooms
         merge_insert_if_absent_txn(
-            spark, survivors, curated_table, key="fingerprint"
+            spark,
+            idx_rows,
+            index_table,
+            key="key",
+            # band_key carries a bitmap too: the per-batch index
+            # lookup above probes on it
+            bloom_cols=("key", "band_key"),
+        )
+        merge_insert_if_absent_txn(
+            spark,
+            survivors,
+            curated_table,
+            key="fingerprint",
+            bloom_cols=("fingerprint",),
         )
 
     return (

@@ -352,3 +352,36 @@ def test_bucket16_prune_survives_spec_evolution(spark, bucketed_table):
     assert len(got) == 1
     # old-generation files outside the probe's bucket were pruned
     assert len(kept) < len(snap.files)
+
+
+def test_merge_declares_blooms_and_later_batches_inherit(spark, tmp_path):
+    """merge_insert_if_absent_txn(bloom_cols=...) declares sidecars at
+    table creation (the curation-loop path); later merge batches
+    inherit the declaration, index their own files, and the snapshot
+    prunes point lookups into BOTH generations."""
+    t = str(tmp_path / "mtbl")
+    df1 = _keys_df(spark, 0, 500).withColumnRenamed("k", "fingerprint")
+    M.merge_insert_if_absent_txn(
+        spark, df1, t, key="fingerprint", bloom_cols=("fingerprint",)
+    )
+    snap = M.snapshot(t)
+    assert snap.bloom_cols == ["fingerprint"]
+    # one merged file at gen 1: the probe keeps it (present key) and
+    # an absent key prunes everything — the bitmap is live
+    kept = snap.prune([("fingerprint", "=", _fp(7))])
+    assert 0 < len(kept) <= len(snap.files)
+    assert snap.prune([("fingerprint", "=", "0" * 64)]) == []
+    # idempotent re-offer: no new version, declaration untouched
+    n, _ = M.merge_insert_if_absent_txn(spark, df1, t, key="fingerprint")
+    assert n == 0 and M.snapshot(t).bloom_cols == ["fingerprint"]
+    # fresh batch WITHOUT the kwarg inherits and indexes its files
+    df2 = _keys_df(spark, 500, 600).withColumnRenamed("k", "fingerprint")
+    n2, _ = M.merge_insert_if_absent_txn(spark, df2, t, key="fingerprint")
+    assert n2 == 100
+    snap2 = M.snapshot(t)
+    kept2 = snap2.prune([("fingerprint", "=", _fp(550))])
+    assert 0 < len(kept2) < len(snap2.files)
+    rows = snap2.read(
+        spark, filters=[("fingerprint", "=", _fp(550))]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 550

@@ -65,6 +65,9 @@ QUERIES = [
     "dedup_keep_best",          # jaccard candidates -> components -> window (r4)
     "ccnet_buckets",            # per-language perplexity terciles (r4)
     "mixture_temperature",      # per-source aggregate + broadcast total (r4)
+    "text_tfidf_topk",          # token shuffle + per-doc window top-k (r5)
+    "corpus_zipf",              # token counts -> global top-100 + OLS (r5)
+    "similarity_ann_pq",        # PQ encode (map-only) + ADC scan + re-rank (r5)
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
@@ -261,15 +264,31 @@ def main() -> None:
         t0 = time.perf_counter()
         M.merge_upsert_eq_txn(spark, batch, t, key="fingerprint")
         eq_dt = round(time.perf_counter() - t0, 2)
-        cur_times[label] = (merge_dt, eq_dt)
         shutil.rmtree(os.path.dirname(t))
+        # same merge against a bloom-declared table: the batch's key
+        # set probes per-file bitmaps, so the matched scan opens only
+        # files that may hold a batch key instead of every file whose
+        # RANGE overlaps (all of them — fingerprints are uniform)
+        t2 = tempfile.mkdtemp() + "/curated_bloom"
+        M.append(
+            spark, fp.repartition(n_files), t2, bloom_cols=("fingerprint",)
+        )
+        t0 = time.perf_counter()
+        n_ins2, _ = M.merge_insert_if_absent_txn(
+            spark, batch, t2, key="fingerprint"
+        )
+        bloom_dt = round(time.perf_counter() - t0, 2)
+        assert n_ins2 == 100, n_ins2
+        shutil.rmtree(os.path.dirname(t2))
+        cur_times[label] = (merge_dt, eq_dt, bloom_dt)
         print(
             f"curation merge ({label}, {n_files} files): anti-join {merge_dt}s, "
-            f"eq-upsert {eq_dt}s",
+            f"eq-upsert {eq_dt}s, bloom-pruned anti-join {bloom_dt}s",
             flush=True,
         )
     cur_ratio = round(cur_times["soak"][0] / cur_times["base"][0], 1)
     eq_ratio = round(cur_times["soak"][1] / cur_times["base"][1], 1)
+    bloom_ratio = round(cur_times["soak"][2] / cur_times["base"][2], 1)
 
     lines = [
         "# SCALING — wall-clock vs data-volume sensitivity",
@@ -299,6 +318,11 @@ def main() -> None:
     lines.append(
         f"| equality-upsert batch on the same tables (O(batch) commit) |"
         f" {cur_times['base'][1]} | {cur_times['soak'][1]} | {eq_ratio}x |"
+    )
+    lines.append(
+        f"| insert-if-absent on a BLOOM-declared table (batch key set"
+        f" probes per-file bitmaps) | {cur_times['base'][2]} |"
+        f" {cur_times['soak'][2]} | {bloom_ratio}x |"
     )
     tq = {name: (b, s, r) for name, b, s, r in results}
 
@@ -368,7 +392,11 @@ def main() -> None:
         "  PARITY VERIFIED round 5 (the round-4 +15% single-run gap was",
         "  noise): n=5 interleaved runs at sf0.1, median capped 0.677 s vs",
         "  exact 0.916 s — capped is ~26% FASTER even at the small scale,",
-        "  consistent with the 100x soak where capped also wins.",
+        "  At the 100x soak the two variants land within single-run",
+        "  spread of each other (capped won round 4 by 5%, trailed by",
+        "  10% round 5 — both inside the +/-30% host spread): the cap",
+        "  is cost-free when it does not bind, and its value is the",
+        "  BOUND on worst-case bucket fan-in, not a constant speedup.",
         "- `dedup_span_trim` rides the same span-hash shuffle as",
         "  `dedup_span_stats` plus a doc-grain reassembly whose payload",
         "  SHRINKS with dedup rate; tracking span_stats' ratio at 100x data",
@@ -403,7 +431,20 @@ def main() -> None:
         "  cost grows with table key bytes, the documented contract. The",
         "  equality-upsert row is the O(batch) alternative the table format",
         "  offers when last-writer-wins semantics fit: its commit cost is",
-        "  flat in table size by construction.",
+        "  flat in table size by construction. The bloom row declares",
+        "  `bloom_cols=(fingerprint,)` at append: the merge probes the",
+        "  batch's exact key set against per-file bitmaps, so the matched",
+        "  scan opens only files that may hold a batch key — bounded by",
+        "  the BATCH size, not the table size (at 800 files that is",
+        "  <=200 of 800; at 100k files it is still <=200).",
+        "- `text_tfidf_topk` / `corpus_zipf` ride the same token-explode",
+        "  shuffle as corpus_vocabulary (byte-mass work with map-side",
+        "  combine); zipf's regression runs over the global top-100 only.",
+        "  Judge both against the byte growth.",
+        "- `similarity_ann_pq`: encode is map-only over the corpus; the ADC",
+        "  candidate scan is a broadcast join against 8-byte codes (32:1",
+        "  compression), so its mass is corpus rows, and the exact re-rank",
+        "  touches refine*k rows per query regardless of scale.",
         "- A sub-1x ratio (ANN) means AQE picked a better physical plan at the",
         "  larger size than at the base size.",
         "",
