@@ -138,16 +138,43 @@ def xxh64_long(v: int, seed: int) -> int:
     return xxh64(struct.pack("<q", v), seed)
 
 
-def probe_positions(value, m: int) -> list[int] | None:
-    """The K bit positions of ``value`` in an ``m``-bit filter, or
+#: integral simpleString() names; Spark's xxhash64 hashes them all as
+#: an 8-byte little-endian long
+INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def probe_positions(value, m: int, k: int = K) -> list[int] | None:
+    """The ``k`` bit positions of ``value`` in an ``m``-bit filter, or
     ``None`` when the value's type cannot be canonically stringified
     (caller must then keep the file — never prune on ignorance).
-    Mirrors the Spark-side build chain exactly."""
+    Mirrors the Spark-side build chain exactly. THE single probe-side
+    hash implementation: every prober path must call this (or the
+    typed wrapper below), never re-derive the chain."""
     if isinstance(value, bool) or not isinstance(value, (str, int)):
         return None
     b = str(value).encode("utf-8")
     h1 = xxh64(b, 42)
-    return [xxh64(str(i).encode("ascii"), h1) % m for i in range(K)]
+    return [xxh64(str(i).encode("ascii"), h1) % m for i in range(k)]
+
+
+def probe_positions_typed(value, m: int, k: int, col_type: str | None):
+    """Positions for a FILTER literal against a column of declared
+    ``col_type`` — None (keep the file) whenever the literal's Python
+    type does not canonically match the column's bytes. Spark's
+    residual row comparison type-coerces (``'0123' = 123`` is true;
+    ``bigint_col = '7.0'`` is true), but the bitmap holds the column's
+    exact cast-to-string bytes, so probing a coerced literal's OWN
+    string would wrongly prune the holder file. Unknown/undeclared
+    column type also refuses — never prune on ignorance."""
+    if col_type == "string":
+        if not isinstance(value, str):
+            return None
+    elif col_type in INTEGRAL_TYPES:
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+    else:
+        return None
+    return probe_positions(value, m, k)
 
 
 def _position_cols(value_col, m: int) -> list:
@@ -200,44 +227,58 @@ def build_entry(
     import numpy as np
     import pandas as pd
 
-    def _bitmaps(pdf: pd.DataFrame) -> pd.DataFrame:
-        bs = np.zeros(nbytes, dtype=np.uint8)
-        for i in range(K):
-            idx = pdf[f"p{i}"].to_numpy(dtype=np.int64)
-            np.bitwise_or.at(bs, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
-        return pd.DataFrame({"f": [pdf["f"].iloc[0]], "bm": [bs.tobytes()]})
+    ncols = len(cols)
 
+    def _bitmaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {"f": [pdf["f"].iloc[0]]}
+        for ci in range(ncols):
+            bs = np.zeros(nbytes, dtype=np.uint8)
+            for i in range(K):
+                s = pdf[f"c{ci}p{i}"].dropna()
+                if len(s):
+                    idx = s.to_numpy(dtype="int64")
+                    np.bitwise_or.at(
+                        bs, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)
+                    )
+            out[f"bm{ci}"] = [bs.tobytes()]
+        return pd.DataFrame(out)
+
+    # ONE distributed pass for every declared column: position columns
+    # for all of them computed side by side (a null value yields null
+    # positions, dropped in the bitmap kernel — filters never match
+    # null, so unset bits for nulls are correct), one shuffle on the
+    # file name, all bitmaps assembled in the same pandas call.
+    poscols = []
+    for ci, c in enumerate(cols):
+        v = F.col(c).cast("string")
+        for i, pc in enumerate(_position_cols(v, m)):
+            poscols.append(F.when(v.isNotNull(), pc).alias(f"c{ci}p{i}"))
     # absolute-path suffix -> rel mapping (input_file_name is a URI)
     by_name = {os.path.join(table_path, r).replace(os.sep, "/"): r for r in rels}
     paths = [os.path.join(table_path, r) for r in rels]
     name = f"bloom-{uuid.uuid4().hex}.bin"
     entry: dict[str, dict] = {}
     blob = bytearray()
-    for c in cols:
-        src = (
-            spark.read.parquet(*paths)
-            .select(
-                F.input_file_name().alias("f"),
-                F.col(c).cast("string").alias("v"),
-            )
-            .where(F.col("v").isNotNull())
+    rows = (
+        spark.read.parquet(*paths)
+        .select(F.input_file_name().alias("f"), *poscols)
+        .groupBy("f")
+        .applyInPandas(
+            _bitmaps,
+            schema="f string, "
+            + ", ".join(f"bm{ci} binary" for ci in range(ncols)),
         )
-        pos = src.select("f", *_position_cols(F.col("v"), m))
-        rows = (
-            pos.groupBy("f")
-            .applyInPandas(_bitmaps, schema="f string, bm binary")
-            .collect()
+        .collect()
+    )
+    for r in rows:
+        rel = next(
+            (v for pth, v in by_name.items() if r["f"].endswith(pth)), None
         )
-        col_entry: dict[str, list] = {}
-        for r in rows:
-            rel = next(
-                (v for pth, v in by_name.items() if r["f"].endswith(pth)), None
-            )
-            if rel is None:  # unexpected path shape: leave unprunable
-                continue
-            col_entry[rel] = [name, len(blob), m, K]
-            blob.extend(r["bm"])
-        entry[c] = col_entry
+        if rel is None:  # unexpected path shape: leave unprunable
+            continue
+        for ci, c in enumerate(cols):
+            entry.setdefault(c, {})[rel] = [name, len(blob), m, K]
+            blob.extend(r[f"bm{ci}"])
     if not blob:
         return None
     mdir = os.path.join(table_path, "_manifest")
@@ -278,48 +319,54 @@ def restrict_entry(entry: dict | None, files: list[str]) -> dict | None:
 
 
 class BloomProber:
-    """Lazy reader over bloom sidecars for one prune call: seek+read
-    ``m/8`` bytes per probed (col, file), with value->positions
-    memoized per (m, k). Conservative everywhere: unknown column,
-    unhashable value, missing or short bitmap all keep the file."""
+    """Lazy reader over bloom sidecars for one prune call: ONE
+    seek+read of ``m/8`` bytes per probed (col, file) — the bitmap is
+    held for the duration of that file's filters, so an ``in`` list of
+    5000 keys tests 5000 position sets against bytes already in memory
+    (only the last bitmap is retained: O(1) memory, and a file's
+    probes are consecutive). Value->positions memoized per
+    (value, m, k, col_type) via the single authoritative
+    :func:`probe_positions_typed`. Conservative everywhere: unknown
+    column, type-mismatched or unhashable literal, missing or short
+    bitmap all keep the file."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, types: dict | None = None):
         self.mdir = os.path.join(table_path, "_manifest")
+        #: declared column type per name — the probe-side guard against
+        #: Spark's type-coercing equality (see probe_positions_typed)
+        self.types = types or {}
         self._fhs: dict[str, object] = {}
         self._pos: dict[tuple, list[int] | None] = {}
+        self._last_bm: tuple | None = None  # ((sidecar, off, m), bytes)
 
-    def _positions(self, value, m: int, k: int) -> list[int] | None:
-        key = (value, m, k)
+    def _positions(self, value, m: int, k: int, col_type) -> list[int] | None:
+        key = (value, m, k, col_type)
         if key not in self._pos:
-            if isinstance(value, bool) or not isinstance(value, (str, int)):
-                self._pos[key] = None
-            else:
-                b = str(value).encode("utf-8")
-                h1 = xxh64(b, 42)
-                self._pos[key] = [
-                    xxh64(str(i).encode("ascii"), h1) % m for i in range(k)
-                ]
+            self._pos[key] = probe_positions_typed(value, m, k, col_type)
         return self._pos[key]
 
-    def _may_contain(self, rec: list, value) -> bool:
-        sidecar, off, m, k = rec[0], int(rec[1]), int(rec[2]), int(rec[3])
-        pos = self._positions(value, m, k)
-        if pos is None:
-            return True
+    def _bitmap(self, sidecar: str, off: int, m: int) -> bytes | None:
+        key = (sidecar, off, m)
+        if self._last_bm is not None and self._last_bm[0] == key:
+            return self._last_bm[1]
         fh = self._fhs.get(sidecar)
         if fh is None:
             try:
                 fh = open(os.path.join(self.mdir, sidecar), "rb")
             except OSError:
                 self._fhs[sidecar] = False
-                return True
+                return None
             self._fhs[sidecar] = fh
         elif fh is False:
-            return True
+            return None
         fh.seek(off)
         bm = fh.read(m // 8)
-        if len(bm) != m // 8:
-            return True
+        bm = bm if len(bm) == m // 8 else None
+        self._last_bm = (key, bm)
+        return bm
+
+    @staticmethod
+    def _hit(bm: bytes, pos: list[int]) -> bool:
         return all(bm[p >> 3] & (1 << (p & 7)) for p in pos)
 
     def file_passes(self, bloom: dict | None, rel: str, filters) -> bool:
@@ -332,15 +379,24 @@ class BloomProber:
             recs = cols.get(name)
             if recs is None or rel not in recs:
                 continue
-            rec = recs[rel]
+            sidecar, off, m, k = recs[rel]
+            off, m, k = int(off), int(m), int(k)
+            ct = self.types.get(name)
             if op == "=":
-                if not self._may_contain(rec, value):
+                pos = self._positions(value, m, k, ct)
+                if pos is None:
+                    continue
+                bm = self._bitmap(sidecar, off, m)
+                if bm is not None and not self._hit(bm, pos):
                     return False
             elif op == "in":
-                probed = [self._positions(v, int(rec[2]), int(rec[3])) for v in value]
+                probed = [self._positions(v, m, k, ct) for v in value]
                 if any(p is None for p in probed):
-                    continue  # some value unhashable: cannot exclude
-                if not any(self._may_contain(rec, v) for v in value):
+                    continue  # some value unprobeable: cannot exclude
+                bm = self._bitmap(sidecar, off, m)
+                if bm is not None and not any(
+                    self._hit(bm, p) for p in probed
+                ):
                     return False
         return True
 
@@ -349,6 +405,7 @@ class BloomProber:
             if fh not in (None, False):
                 fh.close()
         self._fhs = {}
+        self._last_bm = None
 
 
 def validate_bloom_cols(schema: list[dict] | None, cols) -> list[str]:

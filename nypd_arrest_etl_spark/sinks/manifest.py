@@ -415,7 +415,7 @@ def _load_content_manifest(table_path: str, name: str) -> dict:
 
 
 #: integral simpleString() names whose xxhash64 hashes as an 8-byte long
-_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+_INTEGRAL_TYPES = _bloom.INTEGRAL_TYPES
 
 
 def _bucket_of(value, n: int, col_type: str | None) -> int | None:
@@ -479,6 +479,28 @@ def _ref_may_match(ref: dict, filters) -> bool:
     ref's aggregate ranges with the same conservative predicate as
     per-file pruning."""
     return _file_may_match({"columns": ref.get("columns", {})}, filters)
+
+
+def _indexed_manifest(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    stats: dict,
+    bcols,
+    seqs: dict | None = None,
+) -> dict:
+    """Write a content manifest for freshly written ``files``, building
+    Bloom bitmaps for the declared ``bcols`` in one distributed pass
+    (bloom.py). THE single write-side indexing entry point — every
+    writer (append, merges, upserts, rewrites, the streaming sink)
+    must go through here so the indexing contract has exactly one
+    implementation."""
+    bloom = (
+        _bloom.build_entry(spark, table_path, files, stats, list(bcols))
+        if bcols
+        else None
+    )
+    return _write_content_manifest(table_path, files, stats, seqs=seqs, bloom=bloom)
 
 
 def _compact_refs(table_path: str, refs: list[dict]) -> list[dict]:
@@ -730,7 +752,9 @@ class Snapshot:
                         continue
                     if blm is not None:
                         if prober is None:
-                            prober = _bloom.BloomProber(self.table_path)
+                            prober = _bloom.BloomProber(
+                                self.table_path, types=types
+                            )
                         if not prober.file_passes(blm, f, eq_filters):
                             continue
                     kept.append(f)
@@ -1130,6 +1154,29 @@ def _commit_refs(
     log = list(schema_log) + [
         dict(e, at=new_version) for e in (new_log_entries or [])
     ]
+    # No schema may resurrect a RETIRED column name (one that a rename
+    # moved away from and that is not the column's current name):
+    # per-file stats/bloom/partition records are keyed by write-time
+    # name, so a new column under an old name would be pruned with the
+    # previous column's data. rename_column rejects this at its door;
+    # this commit-time check closes the add-nullable side door (a
+    # writer whose schema "adds" a column with a retired name).
+    if schema is not None and log:
+        chains: dict[str, set] = {}
+        for e in log:
+            if e.get("op") != "rename":
+                continue
+            h = chains.pop(e["from"], {e["from"]})
+            h.add(e["to"])
+            chains[e["to"]] = h
+        retired = set().union(*chains.values(), *[set()]) - set(chains)
+        reborn = sorted(retired & {c["name"] for c in schema})
+        if reborn:
+            raise SchemaEvolutionError(
+                f"column name(s) {reborn} were retired by a rename; "
+                "re-adding them would alias another column's per-file "
+                "records — pick fresh names"
+            )
     manifest = {
         "version": new_version,
         "operation": operation,
@@ -1356,14 +1403,7 @@ def append(
         partition_col = "__pt"
         df = df.withColumn(partition_col, PARTITION_TRANSFORMS[transform](col))
     new_files, new_stats = _write_data_files(df, table_path, partition_col, spec=spec)
-    new_bloom = (
-        _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
-        if bcols
-        else None
-    )
-    new_ref = _write_content_manifest(
-        table_path, new_files, new_stats, bloom=new_bloom
-    )
+    new_ref = _indexed_manifest(spark, table_path, new_files, new_stats, bcols)
     for _ in range(max_retries):
         snap = snapshot(table_path)
         base = snap.version if snap is not None else None
@@ -1377,13 +1417,8 @@ def append(
             schema, widens = schema2, widens2
             df = _conform_df(df, schema)
             new_files, new_stats = _write_data_files(df, table_path, partition_col, spec=spec)
-            new_bloom = (
-                _bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
-                if bcols
-                else None
-            )
-            new_ref = _write_content_manifest(
-                table_path, new_files, new_stats, bloom=new_bloom
+            new_ref = _indexed_manifest(
+                spark, table_path, new_files, new_stats, bcols
             )
         # An INHERITING append (partition_by=None) must commit the spec
         # from the snapshot it actually commits against, not the
@@ -1530,14 +1565,7 @@ def merge_insert_if_absent_txn(
         )
         if bcols:
             bcols = _bloom.validate_bloom_cols(schema, bcols)
-        new_ref = _write_content_manifest(
-            table_path,
-            new_files,
-            new_stats,
-            bloom=_bloom.build_entry(spark, table_path, new_files, new_stats, bcols)
-            if bcols
-            else None,
-        )
+        new_ref = _indexed_manifest(spark, table_path, new_files, new_stats, bcols)
         try:
             v = _commit_refs(
                 table_path,
@@ -1584,19 +1612,26 @@ def _rewrite_commit(
         # rows and the base's delete manifests are dropped from the
         # committed version.
         laid_out = write_df(base.read(spark))
-        new_files, new_stats = _write_data_files(laid_out, table_path)
+        # Rewrites RESPECT the table's partition spec (Iceberg rewrite
+        # semantics): compaction/clustering must not flatten the
+        # transform-aligned layout, or every rewritten file would lose
+        # its pt record and stop bucket/identity pruning. The layout
+        # write_df produced is preserved WITHIN each partition value.
+        spec = base.partition_spec
+        partition_col = None
+        if spec is not None and spec[1] in PARTITION_TRANSFORMS:
+            partition_col = "__pt"
+            laid_out = laid_out.withColumn(
+                partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
+            )
+        new_files, new_stats = _write_data_files(
+            laid_out, table_path, partition_col, spec=spec
+        )
         # Rewrites re-index the new layout for declared bloom columns —
         # this is also how files written BEFORE a bloom declaration
         # gain bitmaps (compact/cluster after declaring).
-        new_ref = _write_content_manifest(
-            table_path,
-            new_files,
-            new_stats,
-            bloom=_bloom.build_entry(
-                spark, table_path, new_files, new_stats, base.bloom_cols
-            )
-            if base.bloom_cols
-            else None,
+        new_ref = _indexed_manifest(
+            spark, table_path, new_files, new_stats, base.bloom_cols
         )
         redo = False
         for _ in range(max_retries):
@@ -2023,16 +2058,7 @@ def merge_upsert_txn(
             )
         new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec0)
         bcols_up = base.bloom_cols if base is not None else None
-        new_ref = _write_content_manifest(
-            table_path,
-            new_files,
-            new_stats,
-            bloom=_bloom.build_entry(
-                spark, table_path, new_files, new_stats, bcols_up
-            )
-            if bcols_up
-            else None,
-        )
+        new_ref = _indexed_manifest(spark, table_path, new_files, new_stats, bcols_up)
         base_delete_paths = {r["path"] for r in (base.delete_refs if base else [])}
         base_ref_paths = {r.get("path") for r in (base.refs if base else [])}
         redo = False
@@ -2162,14 +2188,7 @@ def merge_upsert_eq_txn(
         )
     new_files, new_stats = _write_data_files(to_write, table_path, partition_col, spec=spec0)
     bcols0 = base0.bloom_cols if base0 is not None else None
-    new_ref = _write_content_manifest(
-        table_path,
-        new_files,
-        new_stats,
-        bloom=_bloom.build_entry(spark, table_path, new_files, new_stats, bcols0)
-        if bcols0
-        else None,
-    )
+    new_ref = _indexed_manifest(spark, table_path, new_files, new_stats, bcols0)
     eq_files = _write_delete_files(conformed.select(key), table_path)
     eq_ref = _write_eq_delete_manifest(
         table_path, eq_files, key, bounds["lo"], bounds["hi"]
@@ -2190,17 +2209,10 @@ def merge_upsert_eq_txn(
                     partition_col, PARTITION_TRANSFORMS[spec0[1]](spec0[0])
                 )
             new_files, new_stats = _write_data_files(
-                to_write, table_path, partition_col
+                to_write, table_path, partition_col, spec=spec0
             )
-            new_ref = _write_content_manifest(
-                table_path,
-                new_files,
-                new_stats,
-                bloom=_bloom.build_entry(
-                    spark, table_path, new_files, new_stats, bcols0
-                )
-                if bcols0
-                else None,
+            new_ref = _indexed_manifest(
+                spark, table_path, new_files, new_stats, bcols0
             )
             eq_files = _write_delete_files(conformed.select(key), table_path)
             eq_ref = _write_eq_delete_manifest(
@@ -2275,15 +2287,8 @@ def materialize_deletes(
             new_files, new_stats = _write_data_files(out_df, table_path)
             if new_files:
                 new_ref = [
-                    _write_content_manifest(
-                        table_path,
-                        new_files,
-                        new_stats,
-                        bloom=_bloom.build_entry(
-                            spark, table_path, new_files, new_stats, base.bloom_cols
-                        )
-                        if base.bloom_cols
-                        else None,
+                    _indexed_manifest(
+                        spark, table_path, new_files, new_stats, base.bloom_cols
                     )
                 ]
         affected_set = set(affected)
@@ -2379,15 +2384,8 @@ def _rewrite_rows_where(
         new_files, new_stats = _write_data_files(out_df, table_path)
         new_ref = (
             [
-                _write_content_manifest(
-                    table_path,
-                    new_files,
-                    new_stats,
-                    bloom=_bloom.build_entry(
-                        spark, table_path, new_files, new_stats, base.bloom_cols
-                    )
-                    if base.bloom_cols
-                    else None,
+                _indexed_manifest(
+                    spark, table_path, new_files, new_stats, base.bloom_cols
                 )
             ]
             if new_files
@@ -2552,6 +2550,32 @@ def rename_column(
             raise ValueError(f"column {old!r} does not exist (have {names})")
         if new in names:
             raise SchemaEvolutionError(f"column {new!r} already exists")
+        # A name RETIRED BY ANOTHER COLUMN may not be reused: per-file
+        # records keyed by write-time name (min/max stats, bloom
+        # bitmaps, bucket16 pt values) from the name's previous life
+        # would answer filters on the reborn column with a DIFFERENT
+        # column's data — silent wrong pruning. Renaming a column BACK
+        # to one of its OWN earlier names is fine (those records hold
+        # this very column's data and become valid again). Iceberg
+        # avoids the whole class with field ids; name-keyed records
+        # get it by replaying the rename log into per-column chains.
+        chains: dict[str, set] = {}
+        for e in snap.schema_log:
+            if e.get("op") != "rename":
+                continue
+            h = chains.pop(e["from"], {e["from"]})
+            h.add(e["to"])
+            chains[e["to"]] = h
+        own = chains.get(old, {old})
+        foreign = set().union(*chains.values(), *[set()]) - own
+        if new in foreign:
+            raise SchemaEvolutionError(
+                f"column name {new!r} belonged to a different column "
+                "earlier (schema log); per-file stats/bloom/partition "
+                "records are keyed by write-time name, so reusing it "
+                "would prune on another column's data — pick a fresh "
+                "name"
+            )
         schema = [
             dict(c, name=new) if c["name"] == old else c for c in snap.schema
         ]

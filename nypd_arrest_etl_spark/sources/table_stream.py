@@ -445,20 +445,15 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         # work, same as any writer). commit() runs on the stream's
         # driver, so a session is normally active; without one the
         # files simply stay unprunable — never wrong, just unskippable.
-        bloom_entry = None
         snap0 = M.snapshot(self.table_path)
-        if snap0 is not None and snap0.bloom_cols:
-            from pyspark.sql import SparkSession
+        bcols = snap0.bloom_cols if snap0 is not None else None
+        from pyspark.sql import SparkSession
 
-            active = SparkSession.getActiveSession()
-            if active is not None:
-                from nypd_arrest_etl_spark.sinks import bloom as _bloom
-
-                bloom_entry = _bloom.build_entry(
-                    active, self.table_path, files, stats, snap0.bloom_cols
-                )
-        ref = M._write_content_manifest(
-            self.table_path, files, stats, bloom=bloom_entry
+        active = SparkSession.getActiveSession() if bcols else None
+        # no active session (unusual for a stream driver): files simply
+        # stay unprunable — never wrong, just unskippable
+        ref = M._indexed_manifest(
+            active, self.table_path, files, stats, bcols if active else None
         )
         schema_entry = [
             {"name": n, "type": t, "nullable": b} for n, t, b in self.fields

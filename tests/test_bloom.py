@@ -385,3 +385,122 @@ def test_merge_declares_blooms_and_later_batches_inherit(spark, tmp_path):
         spark, filters=[("fingerprint", "=", _fp(550))]
     ).collect()
     assert len(rows) == 1 and rows[0]["v"] == 550
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_type_coerced_filter_never_bloom_prunes(spark, tmp_path):
+    """Spark's residual '=' type-coerces ('0123' = 123 is true), but
+    bitmaps hold the column's exact string bytes: a literal whose
+    Python type mismatches the declared column type must be KEPT by
+    the bloom probe, so the pruned read equals unpruned read+filter."""
+    t = str(tmp_path / "tc")
+    df = spark.createDataFrame([("0123", 1), ("0456", 2)], "k string, v long")
+    M.append(spark, df, t, bloom_cols=("k",))
+    snap = M.snapshot(t)
+    # int literal on a string column: ANSI casts the column, so
+    # '0123' = 123 matches — but the bitmap holds '0123', so a probe
+    # of '123' would miss every bit and wrongly drop the file
+    got = snap.read(spark, filters=[("k", "=", 123)]).collect()
+    assert len(got) == 1 and got[0]["v"] == 1
+    # and the integral mirror: '07' casts to 7 and matches the long
+    # column, but its own string hashes to different bits than "7"
+    t2 = str(tmp_path / "tc2")
+    df2 = spark.createDataFrame([(7, "a")], "k long, v string")
+    M.append(spark, df2, t2, bloom_cols=("k",))
+    got2 = M.snapshot(t2).read(spark, filters=[("k", "=", "07")]).collect()
+    assert len(got2) == 1 and got2[0]["v"] == "a"
+    # the well-typed probe still prunes: absent string key drops all
+    assert snap.prune([("k", "=", "nope")]) == []
+
+
+def test_rename_cannot_reuse_another_columns_name(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "rn")
+    M.append(
+        spark,
+        spark.createDataFrame([("x", 1, 2)], "a string, b long, c long"),
+        t,
+    )
+    M.rename_column(t, "a", "a2")
+    # a different column may NOT take the retired name 'a'
+    with _pytest.raises(M.SchemaEvolutionError, match="different column"):
+        M.rename_column(t, "c", "a")
+    # the SAME column may rename back to its own earlier name
+    M.rename_column(t, "a2", "a")
+    assert [c["name"] for c in M.snapshot(t).schema] == ["a", "b", "c"]
+
+
+def test_append_cannot_readd_retired_name(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "ra")
+    M.append(spark, spark.createDataFrame([("x", 1)], "a string, b long"), t)
+    M.rename_column(t, "a", "a2")
+    bad = spark.createDataFrame(
+        [("x", 1, 9)], "a2 string, b long, a long"
+    )  # "adds" nullable column under the retired name
+    with _pytest.raises(M.SchemaEvolutionError, match="retired"):
+        M.append(spark, bad, t)
+
+
+def test_upsert_eq_redo_path_keeps_pt_records(spark, tmp_path):
+    """A concurrent widen between an eq-upsert's first write and its
+    commit forces the rewrite branch; the rewritten files must still
+    record their bucket16 pt values (review finding: the redo write
+    dropped spec=spec0, permanently exempting those files from
+    bucket pruning)."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "up")
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(50)], "k string, v int")
+    M.append(spark, base, t, partition_by=("k", "bucket16"))
+
+    real_wdf = M._write_data_files
+    fired = {"done": False}
+
+    def hooked(df, table_path, partition_col=None, **kw):
+        out = real_wdf(df, table_path, partition_col, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writer widens v int -> long
+            M.append(
+                spark,
+                spark.createDataFrame([("zz", 2**40)], "k string, v long"),
+                t,
+                partition_by=("k", "bucket16"),
+            )
+        return out
+
+    with mock.patch.object(M, "_write_data_files", hooked):
+        M.merge_upsert_eq_txn(
+            spark,
+            spark.createDataFrame([("k1", 999), ("new1", 7)], "k string, v int"),
+            t,
+            key="k",
+        )
+    snap = M.snapshot(t)
+    missing = [f for f in snap.files if "pt" not in (snap.stats.get(f) or {})]
+    assert missing == [], missing
+    # and the lookup actually works through the mixed generations
+    got = snap.read(spark, filters=[("k", "=", "k1")]).collect()
+    assert len(got) == 1 and got[0]["v"] == 999
+
+
+def test_rewrite_preserves_bucket16_layout_and_pruning(spark, bucketed_table):
+    M.compact_table(spark, bucketed_table, target_file_bytes=1 << 30)
+    snap = M.snapshot(bucketed_table)
+    probe = _fp(123)
+    kept = snap.prune([("k", "=", probe)])
+    # rewritten files carry fresh pt records: still one bucket of 16
+    assert 0 < len(kept) <= max(1, len(snap.files) // 4), (
+        len(kept), len(snap.files))
+    got = snap.read(spark, filters=[("k", "=", probe)]).collect()
+    assert len(got) == 1 and got[0]["k"] == probe
+    assert snap.read(spark).count() == 1200
