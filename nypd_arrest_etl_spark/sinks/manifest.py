@@ -2825,3 +2825,79 @@ def vacuum(
                 continue
             os.remove(full)
     return deleted
+
+
+def maintain_table(
+    spark: SparkSession,
+    table_path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    max_small_files: int = 16,
+    max_delete_refs: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_keep_versions: int | None = None,
+    retention_seconds: float = DEFAULT_RETENTION_SECONDS,
+) -> dict:
+    """One policy-driven maintenance pass — the OPTIMIZE/VACUUM cron a
+    production table runs, as a single idempotent call:
+
+    1. **Small-file compaction**: if more than ``max_small_files`` data
+       files are under ``small_file_bytes``, run :func:`compact_table`
+       (which also folds every live tombstone/equality delete and
+       re-indexes declared bloom columns, preserving the partition
+       spec). Incremental ingest — a streaming sink committing a few
+       files per micro-batch — is exactly the workload that needs
+       this: at 100 TB, per-file open/footer cost dominates scans long
+       before data volume does.
+    2. **Delete folding**: if more than ``max_delete_refs`` merge-on-
+       read delete manifests are live (and compaction didn't already
+       clear them), run :func:`materialize_deletes` so readers stop
+       paying the anti-join.
+    3. **Vacuum** (opt-in via ``vacuum_keep_versions``): reclaim
+       unreferenced files older than the retention window. Off by
+       default because it limits time travel.
+
+    File sizes come from one driver-side ``stat`` pass over the live
+    file list — metadata I/O, no Spark job; the decision never reads
+    data. Returns a report of what ran:
+    ``{"small_files": n, "compacted": bool, "deletes_folded": bool,
+    "files_vacuumed": n, "version": current}``.
+    """
+    snap = snapshot(table_path)
+    if snap is None:
+        return {
+            "small_files": 0,
+            "compacted": False,
+            "deletes_folded": False,
+            "files_vacuumed": 0,
+            "version": None,
+        }
+    small = 0
+    for f in snap.files:
+        try:
+            if os.path.getsize(os.path.join(table_path, f)) < small_file_bytes:
+                small += 1
+        except OSError:
+            continue
+    compacted = False
+    if small > max_small_files:
+        compact_table(spark, table_path, target_file_bytes=target_file_bytes)
+        compacted = True
+    folded = False
+    snap = snapshot(table_path)
+    if snap is not None and len(snap.delete_refs) > max_delete_refs:
+        materialize_deletes(spark, table_path)
+        folded = True
+    vacuumed = 0
+    if vacuum_keep_versions is not None:
+        vacuumed = vacuum(
+            table_path,
+            keep_versions=vacuum_keep_versions,
+            retention_seconds=retention_seconds,
+        )
+    return {
+        "small_files": small,
+        "compacted": compacted,
+        "deletes_folded": folded,
+        "files_vacuumed": vacuumed,
+        "version": current_version(table_path),
+    }

@@ -2128,3 +2128,46 @@ def test_partition_spec_evolution_prunes_under_both_specs(spark, tmp_path):
     got = {r["arrest_key"]: r["v"] for r in snap3.read(spark).collect()}
     assert got == {"a": 1, "b": 2, "c": 3, "d": 10, "e": 20, "x": 99, "y": 98}
     assert M.row_count(t) == 7
+
+
+def test_maintain_table_policy_pass(spark, tmp_path):
+    """maintain_table: compacts when small files exceed the policy,
+    folds merge-on-read deletes, preserves exact rows/lookups, and is
+    a no-op when the table is already healthy."""
+    t = str(tmp_path / "tbl")
+    # 6 tiny single-file appends + a bloom declaration + a MOR delete
+    for g in range(6):
+        M.append(
+            spark,
+            _df(spark, [(f"k{g}a", g), (f"k{g}b", 10 + g)]),
+            t,
+            bloom_cols=("arrest_key",) if g == 0 else None,
+        )
+    M.delete_where_mor(spark, t, [("v", "=", 3)])
+    assert M.snapshot(t).delete_refs
+    rep = M.maintain_table(
+        spark, t, small_file_bytes=1 << 20, max_small_files=2,
+        max_delete_refs=0,
+    )
+    assert rep["compacted"] and rep["small_files"] >= 6
+    snap = M.snapshot(t)
+    # compaction folded the tombstones, so the fold step had nothing
+    assert snap.delete_refs == [] and not rep["deletes_folded"]
+    assert M.row_count(t) == 11
+    # rewritten files re-indexed: absent key prunes everything
+    assert snap.prune([("arrest_key", "=", "absent")]) == []
+    got = snap.read(spark, filters=[("arrest_key", "=", "k4a")]).collect()
+    assert len(got) == 1 and got[0]["v"] == 4
+    # healthy table: second pass does nothing
+    rep2 = M.maintain_table(
+        spark, t, small_file_bytes=1, max_small_files=2, max_delete_refs=0
+    )
+    assert not rep2["compacted"] and not rep2["deletes_folded"]
+    assert rep2["version"] == rep["version"]
+    # opt-in vacuum path reports reclaimed files on a quiesced table
+    rep3 = M.maintain_table(
+        spark, t, small_file_bytes=1, max_small_files=99,
+        vacuum_keep_versions=1, retention_seconds=0.0,
+    )
+    assert rep3["files_vacuumed"] > 0
+    assert M.row_count(t) == 11
