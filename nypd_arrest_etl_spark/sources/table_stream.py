@@ -234,6 +234,10 @@ class ManifestBatchReader(DataSourceReader):
                 ]
                 if app:
                     eq_by_file[f] = app
+        # An empty plan (table fully pruned — e.g. a bloom point
+        # lookup on an absent key — or an emptied table) must still
+        # return ONE marker partition: Spark's Python DataSource calls
+        # read() regardless, and an empty list surfaces as read(None).
         return [
             FilePartition(
                 os.path.join(self.table_path, f),
@@ -242,9 +246,11 @@ class ManifestBatchReader(DataSourceReader):
                 col_maps.get(f),
             )
             for f in files
-        ]
+        ] or [FilePartition("")]
 
     def read(self, partition: FilePartition):
+        if not partition.full_path:  # empty-plan marker: zero rows
+            return
         yield from _read_file_as_batches(
             partition.full_path,
             self.fields,

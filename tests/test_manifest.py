@@ -2171,3 +2171,28 @@ def test_maintain_table_policy_pass(spark, tmp_path):
     )
     assert rep3["files_vacuumed"] > 0
     assert M.row_count(t) == 11
+
+
+def test_datasource_batch_read_pruned_to_empty(spark, tmp_path):
+    """A batch DataSource read whose pushed filters prune EVERY file
+    (bloom point lookup on an absent key) must return zero rows with
+    the right schema, not crash on an empty partition plan."""
+    from pyspark.sql import functions as F2
+
+    from nypd_arrest_etl_spark.sources.table_stream import (
+        register_manifest_table,
+    )
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 200).select(
+        F2.sha2(F2.col("id").cast("string"), 256).alias("k"),
+        F2.col("id").alias("v"),
+    )
+    M.append(spark, df, t, bloom_cols=("k",))
+    r = spark.read.format("manifest_table").option("path", t).load()
+    empty = r.where(F2.col("k") == "0" * 64)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    probe = df.where("v = 77").select("k").first()[0]
+    hit = r.where(F2.col("k") == probe).collect()
+    assert len(hit) == 1 and hit[0]["v"] == 77
