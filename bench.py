@@ -19,6 +19,17 @@ executions accumulate block-manager/broadcast state that pushes the
 long session over the GC cliff. Set $SPARK_GRAFT_PREPASS_DIR to a
 small SF dir to re-enable it for experiments.
 
+Cold-start, closed out with measurement (round 5): cold - steady =
+~24 s at 120 queries = ~0.2 s/query of FIRST-compile janino time.
+Whole-stage source embeds each query's unique expression chain, so
+cross-query class sharing is minimal — the only real lever was
+keeping what IS shared resident, done by raising
+spark.sql.codegen.cache.maxEntries 100 -> 4096 (session.py); the
+residual is irreducible per unique plan without precompiling the
+exact SF-shaped physical plan, which the prepass experiment showed
+costs more than it saves. A deployment sees this cost once per query
+shape per JVM, not per run.
+
 The HEADLINE value is the steady-state sum — every query's full
 pipeline re-executed with nothing cached, compile cost excluded; no
 per-query run selection. ``total_best2`` (sum of min(cold, steady)
