@@ -213,11 +213,14 @@ def build_entry(
     manifests built with different widths without rewriting bitmaps);
     None when there is nothing to index.
 
-    One distributed pass per column over ONLY the new files (the
-    column is read alone — parquet column pruning), hash positions in
-    the JVM, bitmaps assembled in numpy per file, and ``m/8`` bytes
-    per file collected. O(new data) work and O(new files) driver
-    memory per commit, independent of table size."""
+    ONE distributed pass for ALL declared columns over ONLY the new
+    files (their position columns computed side by side, one shuffle
+    on the file name): hash positions in the JVM, every column's
+    bitmap assembled in the same numpy kernel per file, and
+    ``n_cols * m/8`` bytes per file collected. O(new data) work and
+    O(new files) driver memory per commit, independent of table size
+    AND of the number of declared columns (beyond the extra position
+    expressions in the same scan)."""
     if not rels or not cols:
         return None
     total_rows = sum(stats[r]["rows"] for r in rels if r in stats)

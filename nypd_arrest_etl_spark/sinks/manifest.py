@@ -1278,6 +1278,21 @@ def _write_data_files(
     return rels, stats
 
 
+def _write_laid_out(
+    df: DataFrame, table_path: str, spec: tuple[str, str] | None
+) -> tuple[list[str], dict]:
+    """Write data files UNDER THE TABLE'S PARTITION SPEC — the shared
+    write path for every rewrite (compact/cluster, delete folding,
+    row-level COW): derives the hidden ``__pt`` column when the spec
+    has a transform so rewritten files keep their hive layout and pt
+    records (bucket pruning survives maintenance)."""
+    partition_col = None
+    if spec is not None and spec[1] in PARTITION_TRANSFORMS:
+        partition_col = "__pt"
+        df = df.withColumn(partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0]))
+    return _write_data_files(df, table_path, partition_col, spec=spec)
+
+
 def _carry_refs(snap: Snapshot | None) -> list[dict]:
     """The base snapshot's manifests, carriable by reference. A legacy
     inline (flat-layout) ref is materialized into a real content
@@ -1617,15 +1632,8 @@ def _rewrite_commit(
         # transform-aligned layout, or every rewritten file would lose
         # its pt record and stop bucket/identity pruning. The layout
         # write_df produced is preserved WITHIN each partition value.
-        spec = base.partition_spec
-        partition_col = None
-        if spec is not None and spec[1] in PARTITION_TRANSFORMS:
-            partition_col = "__pt"
-            laid_out = laid_out.withColumn(
-                partition_col, PARTITION_TRANSFORMS[spec[1]](spec[0])
-            )
-        new_files, new_stats = _write_data_files(
-            laid_out, table_path, partition_col, spec=spec
+        new_files, new_stats = _write_laid_out(
+            laid_out, table_path, base.partition_spec
         )
         # Rewrites re-index the new layout for declared bloom columns —
         # this is also how files written BEFORE a bloom declaration
@@ -1731,9 +1739,27 @@ def compact_table(
         os.path.getsize(os.path.join(table_path, f)) for f in base.files
     )
     n_after = max(1, -(-total // target_file_bytes))
+    # The rewrite preserves the partition spec, and a hive-partitioned
+    # write splits EVERY task across the partition values it holds —
+    # so the task count must be divided by the fan-out or a bucketed
+    # table lands at ~fan_out x more (x smaller) files than the
+    # target and a maintenance cron re-compacts forever. Fan-out =
+    # observed distinct partition values (from the per-file pt
+    # records; bucket16 defaults to its 16). A partitioned table can
+    # never compact below one file per live partition value.
+    spec = base.partition_spec
+    fan = 1
+    if spec is not None and spec[1] in PARTITION_TRANSFORMS:
+        vals = {
+            st["pt"][2]
+            for st in base.stats.values()
+            if st and st.get("pt")
+        }
+        fan = len(vals) if vals else (16 if spec[1] == "bucket16" else 1)
+    n_tasks = max(1, -(-n_after // max(1, fan)))
 
     return _rewrite_commit(
-        spark, table_path, lambda df: df.coalesce(n_after), "compact", max_retries
+        spark, table_path, lambda df: df.coalesce(n_tasks), "compact", max_retries
     )
 
 
@@ -2284,7 +2310,9 @@ def materialize_deletes(
             # read_files: tombstones applied AND schema generations
             # mapped — the rewritten files land in the current layout
             out_df = base.read_files(spark, affected).localCheckpoint(eager=True)
-            new_files, new_stats = _write_data_files(out_df, table_path)
+            new_files, new_stats = _write_laid_out(
+                out_df, table_path, base.partition_spec
+            )
             if new_files:
                 new_ref = [
                     _indexed_manifest(
@@ -2381,7 +2409,9 @@ def _rewrite_rows_where(
         if n_changed == 0:
             return 0, base.version
         out_df = apply_fn(cand_df, pred).localCheckpoint(eager=True)
-        new_files, new_stats = _write_data_files(out_df, table_path)
+        new_files, new_stats = _write_laid_out(
+            out_df, table_path, base.partition_spec
+        )
         new_ref = (
             [
                 _indexed_manifest(
@@ -2490,6 +2520,15 @@ def restore(table_path: str, version: int, max_retries: int = 5) -> int:
                 schema=target.schema,
                 partition_spec=target.partition_spec,
                 delete_refs=target.delete_refs,
+                # The TARGET's evolution log, not the head's: a restore
+                # rolls the schema back, so it must roll the rename/
+                # widen history back with it — inheriting the head's
+                # log would (a) trip the retired-name check when
+                # restoring past a rename (the restored schema
+                # legitimately reuses the pre-rename name) and (b)
+                # mis-map old files through renames that no longer
+                # apply to the restored schema.
+                schema_log=target.schema_log,
             )
         except CommitConflict:
             continue
@@ -2847,7 +2886,10 @@ def maintain_table(
        spec). Incremental ingest — a streaming sink committing a few
        files per micro-batch — is exactly the workload that needs
        this: at 100 TB, per-file open/footer cost dominates scans long
-       before data volume does.
+       before data volume does. A partitioned table cannot compact
+       below one file per live partition value, so set
+       ``max_small_files`` at or above the partition fan-out (e.g.
+       >= 16 for bucket16) or the pass re-compacts on every run.
     2. **Delete folding**: if more than ``max_delete_refs`` merge-on-
        read delete manifests are live (and compaction didn't already
        clear them), run :func:`materialize_deletes` so readers stop

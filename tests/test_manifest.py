@@ -2196,3 +2196,78 @@ def test_datasource_batch_read_pruned_to_empty(spark, tmp_path):
     probe = df.where("v = 77").select("k").first()[0]
     hit = r.where(F2.col("k") == probe).collect()
     assert len(hit) == 1 and hit[0]["v"] == 77
+
+
+def test_restore_past_a_rename_rolls_log_back(spark, tmp_path):
+    """restore() to a pre-rename version must succeed and roll the
+    schema LOG back with the schema (review regression: inheriting the
+    head's log tripped the retired-name check on the restored
+    schema)."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)  # v0: arrest_key, v
+    M.rename_column(t, "v", "val")  # v1
+    M.restore(t, 0)  # must not raise
+    snap = M.snapshot(t)
+    assert [c["name"] for c in snap.schema] == ["arrest_key", "v"]
+    assert snap.schema_log == []  # the rename is gone with the restore
+    assert snap.read(spark).collect()[0]["v"] == 1
+    # and the name is usable again going forward
+    M.rename_column(t, "v", "val")
+    assert [c["name"] for c in M.snapshot(t).schema] == ["arrest_key", "val"]
+
+
+def test_compaction_converges_on_bucketed_table(spark, tmp_path):
+    """compact_table divides its task count by the partition fan-out,
+    so a bucketed table compacts toward one file per bucket instead of
+    n_tasks x 16 shards — and a second maintenance pass is a no-op
+    (review regression: the cron re-compacted forever)."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    for g in range(5):
+        df = spark.range(g * 200, (g + 1) * 200).select(
+            F2.sha2(F2.col("id").cast("string"), 256).alias("arrest_key"),
+            F2.col("id").alias("v"),
+        )
+        M.append(spark, df, t, partition_by=("arrest_key", "bucket16"))
+    before = M.snapshot(t).n_files
+    M.compact_table(spark, t, target_file_bytes=1 << 30)
+    snap = M.snapshot(t)
+    # one task x 16 bucket dirs = at most 16 files (one per live value)
+    assert snap.n_files <= 16 < before
+    assert snap.read(spark).count() == 1000
+    # bucket pruning still live on the compacted layout
+    probe = snap.read(spark).select("arrest_key").first()[0]
+    assert 0 < len(snap.prune([("arrest_key", "=", probe)])) <= 2
+    v_before = snap.version
+    rep = M.maintain_table(
+        spark, t, small_file_bytes=1 << 30, max_small_files=16
+    )
+    assert not rep["compacted"] and M.current_version(t) == v_before
+
+
+def test_delete_folding_keeps_bucket_layout(spark, tmp_path):
+    """materialize_deletes / row-level COW rewrites preserve the
+    partition spec: rewritten files keep pt records (review
+    regression: they were written flat, silently disabling bucket
+    pruning)."""
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 400).select(
+        F2.sha2(F2.col("id").cast("string"), 256).alias("arrest_key"),
+        F2.col("id").alias("v"),
+    )
+    M.append(spark, df, t, partition_by=("arrest_key", "bucket16"))
+    M.delete_where_mor(spark, t, [("v", "<", 100)])
+    M.materialize_deletes(spark, t)
+    snap = M.snapshot(t)
+    assert snap.delete_refs == [] and snap.read(spark).count() == 300
+    missing = [f for f in snap.files if "pt" not in (snap.stats.get(f) or {})]
+    assert missing == [], missing
+    # update_where's rewrite too
+    M.update_where(spark, t, [("v", "=", 250)], {"v": 9999})
+    snap2 = M.snapshot(t)
+    missing2 = [f for f in snap2.files if "pt" not in (snap2.stats.get(f) or {})]
+    assert missing2 == [], missing2
+    assert snap2.read(spark, filters=[("v", "=", 9999)]).count() == 1
