@@ -132,15 +132,31 @@ def xxh64(data: bytes, seed: int) -> int:
 
 
 def xxh64_long(v: int, seed: int) -> int:
-    """Twin of Spark's ``xxhash64`` over a LONG column: Spark hashes
-    integral types as an 8-byte little-endian long, which is exactly
-    XXH64 over those 8 bytes (parity-tested). Unsigned result."""
+    """Twin of Spark's ``xxhash64`` over a BIGINT/LONG column only:
+    XXH64 over the 8-byte little-endian encoding (parity-tested).
+    Narrow integral columns take the 4-byte path — use
+    :func:`xxh64_int` for those. Unsigned result."""
     return xxh64(struct.pack("<q", v), seed)
 
 
-#: integral simpleString() names; Spark's xxhash64 hashes them all as
-#: an 8-byte little-endian long
-INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+def xxh64_int(v: int, seed: int) -> int:
+    """Twin of Spark's ``xxhash64`` over a TINYINT/SMALLINT/INT
+    column: Spark's ``hashInt`` path is exactly XXH64 over the 4-byte
+    little-endian two's-complement encoding (parity-tested against
+    live Spark for all three widths incl. negatives and extremes).
+    Unsigned result."""
+    return xxh64(struct.pack("<i", v), seed)
+
+
+#: integral simpleString() names. NOTE: Spark's xxhash64 does NOT hash
+#: them uniformly — bigint/long take the 8-byte path (xxh64_long);
+#: tinyint/smallint/int take the 4-byte hashInt path (xxh64_int).
+#: Bloom probing is unaffected (both sides hash the cast-to-STRING
+#: bytes), but any raw-column use of the twins must pick by width —
+#: see manifest._bucket_of and the per-width parity tests.
+LONG_TYPES = {"bigint", "long"}
+NARROW_INT_TYPES = {"tinyint", "smallint", "int"}
+INTEGRAL_TYPES = LONG_TYPES | NARROW_INT_TYPES
 
 
 def probe_positions(value, m: int, k: int = K) -> list[int] | None:

@@ -414,8 +414,16 @@ def _load_content_manifest(table_path: str, name: str) -> dict:
         return json.load(f)
 
 
-#: integral simpleString() names whose xxhash64 hashes as an 8-byte long
-_INTEGRAL_TYPES = _bloom.INTEGRAL_TYPES
+#: per-type value ranges: a literal outside the column's range can never
+#: equal a stored value, but Spark answers that via coercion, not hashing
+#: — so out-of-range literals refuse to prune rather than guess a bucket
+_INT_RANGES = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+    "long": (-(1 << 63), (1 << 63) - 1),
+}
 
 
 def _bucket_of(value, n: int, col_type: str | None) -> int | None:
@@ -423,19 +431,24 @@ def _bucket_of(value, n: int, col_type: str | None) -> int | None:
     partition transform — for a filter literal, or None when the
     literal cannot be hashed exactly as Spark hashes the COLUMN (type
     mismatch between literal and declared column type → never prune).
-    Spark hashes strings over their UTF-8 bytes and every integral
-    type as an 8-byte little-endian long, both seed 42; parity is
-    asserted in tests/test_bloom.py."""
+    Spark hashes strings over their UTF-8 bytes, bigint/long as an
+    8-byte little-endian long, and tinyint/smallint/int via the 4-byte
+    hashInt path, all seed 42; per-width parity is asserted in
+    tests/test_bloom.py::test_bucket_of_matches_spark_pmod."""
     if col_type == "string":
         if not isinstance(value, str):
             return None
         h = _bloom.xxh64(value.encode("utf-8"), 42)
-    elif col_type in _INTEGRAL_TYPES:
+    elif col_type in _bloom.INTEGRAL_TYPES:
         if isinstance(value, bool) or not isinstance(value, int):
             return None
-        if not (-(1 << 63) <= value < (1 << 63)):
+        lo, hi = _INT_RANGES[col_type]
+        if not (lo <= value <= hi):
             return None
-        h = _bloom.xxh64_long(value, 42)
+        if col_type in _bloom.LONG_TYPES:
+            h = _bloom.xxh64_long(value, 42)
+        else:
+            h = _bloom.xxh64_int(value, 42)
     else:
         return None
     signed = h - (1 << 64) if h >= (1 << 63) else h

@@ -293,6 +293,38 @@ def test_bucket_of_matches_spark_pmod(spark):
     )
     for r in rows:
         assert _bucket_of(r["v"], 16, "bigint") == r["b"], r["v"]
+    # Narrow ints take Spark's 4-byte hashInt path, NOT the long path:
+    # hashing 123 as a long gives bucket 9, but an int column gives 6.
+    # A long-path twin here silently pruned the holder file (r5 ADVICE).
+    narrow = {
+        "tinyint": [0, 1, -1, 123, 127, -128],
+        "smallint": [0, 1, -1, 123, 32767, -32768],
+        "int": [0, 1, -1, 123, 2**31 - 1, -(2**31), 999999],
+    }
+    for t, vv in narrow.items():
+        rows = (
+            spark.createDataFrame([(v,) for v in vv], f"v {t}")
+            .select("v", F.pmod(F.xxhash64("v"), F.lit(16)).alias("b"))
+            .collect()
+        )
+        for r in rows:
+            assert _bucket_of(r["v"], 16, t) == r["b"], (t, r["v"])
+    # out-of-range literal for the declared width → refuse to prune
+    assert _bucket_of(999999, 16, "smallint") is None
+    assert _bucket_of(2**40, 16, "int") is None
+    assert _bucket_of(2**63, 16, "bigint") is None
+
+
+def test_xxh64_int_matches_spark(spark):
+    vals = [0, 1, -1, 123, 127, -128, 32767, -32768, 2**31 - 1, -(2**31)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        u = B.xxh64_int(r["v"], 42)
+        assert u - (1 << 64) * (u >> 63) == r["h"], r["v"]
 
 
 @pytest.fixture()
@@ -331,6 +363,25 @@ def test_bucket16_prune_is_conservative_on_type_mismatch(spark, bucketed_table):
     snap = M.snapshot(bucketed_table)
     kept = snap.prune([("k", "=", 123)])
     assert kept == snap.prune([])
+
+
+def test_bucket16_on_int_column_reads_exact(spark, tmp_path):
+    """Regression (r5 ADVICE high): bucket16 on a narrow-int column.
+    Spark buckets int columns via the 4-byte hashInt path; a long-path
+    driver twin pruned the holder file and silently dropped rows."""
+    t = str(tmp_path / "itbl")
+    df = spark.range(0, 400).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    M.append(spark, df, t, partition_by=("k", "bucket16"))
+    snap = M.snapshot(t)
+    for probe in (123, 0, 399):
+        kept = snap.prune([("k", "=", probe)])
+        assert 0 < len(kept) < len(snap.files), probe
+        got = snap.read(spark, filters=[("k", "=", probe)]).collect()
+        assert len(got) == 1 and got[0]["k"] == probe
+    rows = snap.read(spark, filters=[("k", "in", [5, 77, 350])]).collect()
+    assert sorted(r["k"] for r in rows) == [5, 77, 350]
 
 
 def test_bucket16_prune_survives_spec_evolution(spark, bucketed_table):
