@@ -1442,12 +1442,18 @@ def append(
             # files at-or-after a widen event carry the wide type.
             # Rewrite conformed to the fresh schema (the old files
             # become orphans; vacuum reclaims).
-            schema, widens = schema2, widens2
-            df = _conform_df(df, schema)
+            df = _conform_df(df, schema2)
             new_files, new_stats = _write_data_files(df, table_path, partition_col, spec=spec)
             new_ref = _indexed_manifest(
                 spark, table_path, new_files, new_stats, bcols
             )
+        # ALWAYS adopt the evolution computed against the snapshot being
+        # committed against — not just when types changed: when a
+        # concurrent commit already recorded the same widen, schema2
+        # equals schema but widens2 is empty, and keeping the stale
+        # pre-race ``widens`` would log a duplicate widen entry,
+        # tripping spurious "schema evolved" stream re-baselines.
+        schema, widens = schema2, widens2
         # An INHERITING append (partition_by=None) must commit the spec
         # from the snapshot it actually commits against, not the
         # pre-loop one: a concurrent writer may have evolved (or first
@@ -2240,8 +2246,7 @@ def merge_upsert_eq_txn(
         if [c["type"] for c in schema2] != [c["type"] for c in schema]:
             # concurrent widen since our files were written: rewrite
             # them (and the key file) conformed to the fresh schema
-            schema, widens = schema2, widens2
-            conformed = _conform_df(deduped, schema)
+            conformed = _conform_df(deduped, schema2)
             to_write = conformed
             if partition_col is not None:
                 to_write = conformed.withColumn(
@@ -2257,6 +2262,10 @@ def merge_upsert_eq_txn(
             eq_ref = _write_eq_delete_manifest(
                 table_path, eq_files, key, bounds["lo"], bounds["hi"]
             )
+        # always adopt the snapshot's evolution (see append: a rival
+        # commit recording the SAME widen leaves types equal but makes
+        # our pre-race ``widens`` a duplicate log entry)
+        schema, widens = schema2, widens2
         spec = snap.partition_spec if snap is not None else spec0
         try:
             v = _commit_refs(
@@ -2542,6 +2551,18 @@ def restore(table_path: str, version: int, max_retries: int = 5) -> int:
                 # mis-map old files through renames that no longer
                 # apply to the restored schema.
                 schema_log=target.schema_log,
+                # The TARGET's bloom declaration too (same reasoning):
+                # inheriting the head's would re-declare blooms on a
+                # column the restored schema doesn't have yet, and
+                # every later inheriting append would fail
+                # validate_bloom_cols until manually overridden.
+                # ``[]`` (not None) when the target had none: None
+                # means "inherit from base", which is the bug.
+                bloom_cols=[
+                    c
+                    for c in (target.bloom_cols or [])
+                    if c in {col["name"] for col in (target.schema or [])}
+                ],
             )
         except CommitConflict:
             continue
@@ -2739,10 +2760,32 @@ def row_count(table_path: str, version: int | None = None) -> int:
             os.path.join(table_path, f),
             columns=[name_map.get(c, c) for c in keycols],
         )
-        cols = {c: t.column(name_map.get(c, c)).to_pylist() for c in keycols}
-        for i in range(t.num_rows):
-            if i in pos or any(cols[e[0]][i] in e[2] for e in applicable):
-                removed += 1
+        # Vectorized membership (pyarrow.compute, not a per-row Python
+        # loop — this runs between upsert_eq batches on real tables):
+        # row is removed iff its position is tombstoned OR any
+        # applicable eq-delete key set contains its key value.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        deleted = np.zeros(t.num_rows, dtype=bool)
+        if pos:
+            deleted[np.fromiter(pos, dtype=np.int64)] = True
+        for e in applicable:
+            col = t.column(name_map.get(e[0], e[0]))
+            klist = [k for k in e[2] if k is not None]
+            if klist:
+                try:
+                    vset = pa.array(klist, type=col.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    vset = pa.array(klist)
+                m = pc.fill_null(pc.is_in(col, value_set=vset), False)
+                deleted |= np.asarray(m.combine_chunks(), dtype=bool)
+            if None in e[2]:
+                deleted |= np.asarray(
+                    pc.is_null(col).combine_chunks(), dtype=bool
+                )
+        removed += int(deleted.sum())
     return total - removed
 
 

@@ -2216,6 +2216,73 @@ def test_restore_past_a_rename_rolls_log_back(spark, tmp_path):
     assert [c["name"] for c in M.snapshot(t).schema] == ["arrest_key", "val"]
 
 
+def test_restore_rolls_back_bloom_cols_with_schema(spark, tmp_path):
+    """restore() to a version predating a bloom declaration on a
+    later-added column must roll the declaration back too (r5 ADVICE
+    medium: inheriting the head's bloom_cols named a column absent
+    from the restored schema, and every later inheriting append died
+    in validate_bloom_cols until manually overridden)."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [("a", 1)]), t)  # v0: arrest_key, v
+    # v1 adds a column and declares a bloom on it
+    M.append(
+        spark,
+        spark.createDataFrame(
+            [("b", 2, "f" * 8)], "arrest_key string, v bigint, fp string"
+        ),
+        t,
+        bloom_cols=("fp",),
+    )
+    assert M.snapshot(t).bloom_cols == ["fp"]
+    M.restore(t, 0)
+    snap = M.snapshot(t)
+    assert [c["name"] for c in snap.schema] == ["arrest_key", "v"]
+    assert snap.bloom_cols is None  # declaration rolled back with the schema
+    # inheriting appends work again without a manual bloom_cols override
+    M.append(spark, _df(spark, [("c", 3)]), t)
+    got = sorted(r["arrest_key"] for r in M.snapshot(t).read(spark).collect())
+    assert got == ["a", "c"]
+
+
+def test_concurrent_identical_widen_logs_once(spark, tmp_path, monkeypatch):
+    """Two appends racing to record the SAME int->bigint widen must
+    leave ONE widen log entry (r5 ADVICE low: the loser's retry kept
+    its stale pre-race widens and committed a duplicate, tripping
+    spurious schema-evolved stream re-baselines)."""
+    t = str(tmp_path / "tbl")
+    M.append(spark, spark.createDataFrame([("a", 1)], "arrest_key string, v int"), t)
+
+    fired = {"done": False}
+    orig = M._commit_refs
+
+    def racing_commit(table_path, refs, base, operation, schema=None, **kw):
+        if operation == "append" and not fired["done"]:
+            fired["done"] = True
+            # rival append committing the SAME widen before our claim
+            M.append(
+                spark,
+                spark.createDataFrame(
+                    [("r", 2**41)], "arrest_key string, v bigint"
+                ),
+                t,
+            )
+        return orig(table_path, refs, base, operation, schema, **kw)
+
+    monkeypatch.setattr(M, "_commit_refs", racing_commit)
+    M.append(
+        spark,
+        spark.createDataFrame([("b", 2**40)], "arrest_key string, v bigint"),
+        t,
+    )
+    monkeypatch.undo()
+    snap = M.snapshot(t)
+    assert snap.schema[1]["type"] == "bigint"
+    assert [e["op"] for e in snap.schema_log] == ["widen"]  # exactly one
+    assert {r["arrest_key"]: r["v"] for r in snap.read(spark).collect()} == {
+        "a": 1, "r": 2**41, "b": 2**40,
+    }
+
+
 def test_compaction_converges_on_bucketed_table(spark, tmp_path):
     """compact_table divides its task count by the partition fan-out,
     so a bucketed table compacts toward one file per bucket instead of
