@@ -536,39 +536,78 @@ def ccnet_perplexity_buckets(
 
     Deviation from the paper, documented: the LM is the repo's
     corpus-wide bigram model (:func:`ngram_lm_score`), not per-language
-    KenLM — the BUCKETING (per-lang ntile over the fluency score, total
-    order with doc_id tiebreak so the split is engine-exact) is the
+    KenLM — the BUCKETING (per-lang tercile over the fluency score,
+    total order with doc_id tiebreak so the split is engine-exact,
+    byte-identical to ``ntile(3) OVER (PARTITION BY lang ...)``) is the
     CCNet mechanism; swap the score column for real KenLM perplexities
     when a model is available. Docs with no bigrams (< 2 tokens) have
     no score and are excluded, same as the score op.
 
-    Scale: the score op's shuffles plus ONE per-lang window sort; the
-    window partitions by language (bounded cardinality), so skew
-    follows corpus language mix — the same sort any per-lang
-    stratification pays.
+    Scale: a naive per-lang ``ntile`` window funnels EVERY doc of a
+    language through one sort task — under a web-crawl mix (English
+    ~half the corpus) that single task sorts half the table. Instead,
+    the exact global rank within each language is assembled from
+    bounded pieces (the range-partitioned-rank construction, e.g.
+    TeraSort's total-order partitioner):
+
+    1. ``repartitionByRange`` on the full ordering key
+       ``(lang, score DESC, doc_id)`` — every task holds a contiguous
+       slice of the total order, sized ~n/P regardless of language mix;
+    2. a ``row_number`` window partitioned by ``(partition_id, lang)``
+       — each window group is bounded by the DATA partition size, never
+       by language size;
+    3. per-``(partition_id, lang)`` counts (P x L tiny rows) turned
+       into cumulative offsets with a driver-scale window, broadcast
+       back: ``global rank = offset + local rank``;
+    4. the tercile cut applies ntile's exact quota arithmetic
+       (first ``n mod 3`` buckets get ``ceil(n/3)`` rows).
     """
     from pyspark.sql import Window
 
     scores = ngram_lm_score(df, id_col, text_col)
-    # partition by the ALIASED name: the joined frame below carries
-    # lang_col as "lang" whatever it was called upstream
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_log2p").desc(), F.col("doc_id")
-    )
-    bucket = F.ntile(3).over(w)
-    return (
+    scored = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
         .join(scores, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "avg_log2p",
-            F.when(bucket == 1, "head")
-            .when(bucket == 2, "middle")
-            .otherwise("tail")
-            .alias("ppl_bucket"),
-        )
+    )
+    order = [F.col("avg_log2p").desc(), F.col("doc_id")]
+    parted = scored.repartitionByRange(
+        F.col("lang"), *order
+    ).withColumn("_pid", F.spark_partition_id())
+    # local rank within this data partition's slice of the language
+    w_local = Window.partitionBy("_pid", "lang").orderBy(*order)
+    local = parted.withColumn("_lr", F.row_number().over(w_local))
+    # P x L cumulative offsets + language totals (tiny frame: the
+    # unbounded windows here span at most P rows per language)
+    counts = parted.groupBy("_pid", "lang").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        F.col("_pid").alias("_pid2"),
+        F.col("lang").alias("_lang2"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
+    )
+    ranked = local.join(
+        F.broadcast(offs),
+        (F.col("_pid") == F.col("_pid2"))
+        & F.col("lang").eqNullSafe(F.col("_lang2")),
+    )
+    rank = F.col("_off") + F.col("_lr")
+    q, r = F.floor(F.col("_n") / 3), F.col("_n") % 3
+    s1 = q + F.when(r >= 1, 1).otherwise(0)
+    s2 = s1 + q + F.when(r >= 2, 1).otherwise(0)
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_log2p",
+        F.when(rank <= s1, "head")
+        .when(rank <= s2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
 
 

@@ -350,6 +350,54 @@ def test_ccnet_buckets_terciles_per_lang(spark):
     assert 99 not in {r["doc_id"] for r in out2}
 
 
+def test_ccnet_buckets_equals_ntile_window_exactly(spark):
+    """The range-partitioned rank construction must be byte-identical
+    to ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) —
+    across many partitions, skewed language mix (~70% one lang), tie
+    scores, a null lang, and every n mod 3 residue."""
+    import random
+
+    from pyspark.sql import Window
+
+    from nypd_arrest_etl_spark.operators.text import (
+        ccnet_perplexity_buckets,
+        ngram_lm_score,
+    )
+
+    rng = random.Random(7)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 10 < 7 else ("de" if i % 10 < 9 else None)
+        # few distinct texts -> many tied scores, exercising the
+        # doc_id tiebreak across partition boundaries
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(2, 6)))
+        rows.append((i, lang, text))
+    # sizes 1 and 2 per language cover the small-n quota edge cases
+    rows += [(1001, "xx", "aa bb cc"), (1002, "yy", "aa bb"), (1003, "yy", "bb aa")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).repartition(13)
+    got = {r["doc_id"]: r["ppl_bucket"] for r in ccnet_perplexity_buckets(df).collect()}
+    # naive reference: the window the rewrite replaced
+    scores = ngram_lm_score(df, "doc_id", "text")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_log2p").desc(), F.col("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    ref = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias("b"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
 def test_ccnet_buckets_respects_custom_lang_col(spark):
     from nypd_arrest_etl_spark.operators.text import ccnet_perplexity_buckets
 
