@@ -65,6 +65,9 @@ _GATE_PRIORITY = [
     "dedup_contamination", "similarity_topk", "dedup_keep_best",
     "text_stats_docs", "dedup_span_trim", "text_lm_score",
     "sample_fixed_per_source", "sample_importance_dsir",
+    # r6 rotation: round-5 ops with full oracles that had never been
+    # driver-verified (VERDICT r5 #2) — completes the 50-entry window
+    "text_tfidf_topk", "corpus_zipf",
 ]
 
 
