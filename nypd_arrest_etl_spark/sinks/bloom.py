@@ -232,11 +232,17 @@ def build_entry(
     ONE distributed pass for ALL declared columns over ONLY the new
     files (their position columns computed side by side, one shuffle
     on the file name): hash positions in the JVM, every column's
-    bitmap assembled in the same numpy kernel per file, and
-    ``n_cols * m/8`` bytes per file collected. O(new data) work and
-    O(new files) driver memory per commit, independent of table size
-    AND of the number of declared columns (beyond the extra position
-    expressions in the same scan)."""
+    bitmap assembled in the same numpy kernel per file, and the
+    sidecar SEGMENTS written executor-side — one ``bloom-*.bin`` per
+    non-empty task, each record self-describing
+    ``[sidecar, offset, m, k]`` so readers, metadata compaction and
+    vacuum never care how many segments a commit produced. The driver
+    collects only (file, sidecar, offset) records: O(new files) SMALL
+    rows, never bitmap bytes — a 10k-file bulk load stages kilobytes
+    on the driver, not gigabytes. O(new data) executor work per
+    commit, independent of table size and of the number of declared
+    columns (beyond the extra position expressions in the same
+    scan)."""
     if not rels or not cols:
         return None
     total_rows = sum(stats[r]["rows"] for r in rels if r in stats)
@@ -262,6 +268,37 @@ def build_entry(
             out[f"bm{ci}"] = [bs.tobytes()]
         return pd.DataFrame(out)
 
+    mdir = os.path.join(table_path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    def _write_segment(batches):
+        """Per-TASK sidecar segment: stream this task's (file, bitmaps)
+        rows into one local blob, publish it atomically (tmp + fsync +
+        rename — same protocol as manifests; a retried/speculated
+        task's duplicate segment is an unreferenced orphan vacuum
+        reclaims), and emit only (file, segment name, base offset)."""
+        import uuid as _uuid
+
+        name = f"bloom-{_uuid.uuid4().hex}.bin"
+        blob = bytearray()
+        fs: list[str] = []
+        offs: list[int] = []
+        for pdf in batches:
+            for j in range(len(pdf)):
+                fs.append(pdf["f"].iloc[j])
+                offs.append(len(blob))
+                for ci in range(ncols):
+                    blob.extend(pdf[f"bm{ci}"].iloc[j])
+        if not blob:
+            return
+        tmp = os.path.join(mdir, f".tmp-{name}")
+        with open(tmp, "wb") as fh:
+            fh.write(bytes(blob))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(mdir, name))
+        yield pd.DataFrame({"f": fs, "sidecar": name, "off": offs})
+
     # ONE distributed pass for every declared column: position columns
     # for all of them computed side by side (a null value yields null
     # positions, dropped in the bitmap kernel — filters never match
@@ -272,13 +309,16 @@ def build_entry(
         v = F.col(c).cast("string")
         for i, pc in enumerate(_position_cols(v, m)):
             poscols.append(F.when(v.isNotNull(), pc).alias(f"c{ci}p{i}"))
-    # absolute-path suffix -> rel mapping (input_file_name is a URI)
-    by_name = {os.path.join(table_path, r).replace(os.sep, "/"): r for r in rels}
+    # basename -> rel mapping (input_file_name is a URI; part-file
+    # names carry a per-job UUID so basenames are unique — an O(1)
+    # dict probe per file, not an O(files^2) suffix scan; the rare
+    # collision leaves those files unprunable, never wrongly pruned)
+    by_base: dict[str, list[str]] = {}
+    for r in rels:
+        by_base.setdefault(r.replace(os.sep, "/").rsplit("/", 1)[-1], []).append(r)
+    base_map = {b: rs[0] for b, rs in by_base.items() if len(rs) == 1}
     paths = [os.path.join(table_path, r) for r in rels]
-    name = f"bloom-{uuid.uuid4().hex}.bin"
-    entry: dict[str, dict] = {}
-    blob = bytearray()
-    rows = (
+    recs = (
         spark.read.parquet(*paths)
         .select(F.input_file_name().alias("f"), *poscols)
         .groupBy("f")
@@ -287,28 +327,19 @@ def build_entry(
             schema="f string, "
             + ", ".join(f"bm{ci} binary" for ci in range(ncols)),
         )
+        .mapInPandas(_write_segment, schema="f string, sidecar string, off long")
         .collect()
     )
-    for r in rows:
-        rel = next(
-            (v for pth, v in by_name.items() if r["f"].endswith(pth)), None
-        )
+    entry: dict[str, dict] = {}
+    for r in recs:
+        rel = base_map.get(r["f"].rsplit("/", 1)[-1])
         if rel is None:  # unexpected path shape: leave unprunable
             continue
         for ci, c in enumerate(cols):
-            entry.setdefault(c, {})[rel] = [name, len(blob), m, K]
-            blob.extend(r[f"bm{ci}"])
-    if not blob:
-        return None
-    mdir = os.path.join(table_path, "_manifest")
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".tmp-{name}")
-    with open(tmp, "wb") as fh:
-        fh.write(bytes(blob))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(mdir, name))
-    return {"cols": entry}
+            entry.setdefault(c, {})[rel] = [
+                r["sidecar"], r["off"] + ci * nbytes, m, K,
+            ]
+    return {"cols": entry} if entry else None
 
 
 def merge_entries(entries: list[dict | None]) -> dict | None:

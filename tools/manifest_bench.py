@@ -288,6 +288,46 @@ def bench_bloom_prune(n_files: int = 100_000, keys_per_file: int = 10) -> None:
         shutil.rmtree(tmp)
 
 
+def bench_bloom_build(n_parts: int = 5000) -> None:
+    """Bulk-load indexing cost: ONE append of ~n_parts data files with
+    a declared bloom column. Since round 6 the sidecar segments are
+    assembled and written EXECUTOR-side (one bloom-*.bin per non-empty
+    task); the driver collects only (file, segment, offset) records —
+    O(files) small rows, never bitmap bytes. The only Spark-dependent
+    bench in this tool."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bloom-build-bench")
+    tmp = tempfile.mkdtemp()
+    try:
+        t = os.path.join(tmp, "tbl")
+        df = (
+            spark.range(n_parts * 2)
+            .select(F.sha2(F.col("id").cast("string"), 256).alias("k"))
+            .repartition(n_parts)
+        )
+        t0 = time.perf_counter()
+        M.append(spark, df, t, bloom_cols=("k",))
+        dt = time.perf_counter() - t0
+        snap = M.snapshot(t)
+        segs = glob.glob(os.path.join(t, M._MANIFEST_DIR, "bloom-*.bin"))
+        seg_bytes = sum(os.path.getsize(s) for s in segs)
+        print(
+            f"\nBulk bloom build ({snap.n_files:,} data files, one append):\n"
+            f"| data files | append+index wall | segments | sidecar bytes "
+            f"| driver-collected |\n|---|---|---|---|---|\n"
+            f"| {snap.n_files:,} | {dt:.1f} s | {len(segs)} "
+            f"| {seg_bytes / 1e6:.1f} MB | {snap.n_files:,} offset records |",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(tmp)
+
+
 def main() -> None:
     print(
         "| table files | flat commit | two-level commit "
@@ -305,6 +345,7 @@ def main() -> None:
         )
     bench_bloom_prune(10_000)
     bench_bloom_prune(100_000)
+    bench_bloom_build(5_000)
 
 
 if __name__ == "__main__":
