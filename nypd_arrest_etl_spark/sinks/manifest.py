@@ -1104,9 +1104,13 @@ def _claim_version(tmp_path: str, version_path: str) -> None:
     is claim-agnostic, so deploying on an object store or a catalog
     service means replacing ONLY this function with a conditional PUT
     (S3 If-None-Match) or a catalog CAS — the seam Delta's commit
-    service and Iceberg's REST catalog occupy. The concurrency suite
-    re-runs against a CAS-dict stand-in to prove the protocol itself
-    never depended on filesystem semantics."""
+    service and Iceberg's REST catalog occupy. That replacement is a
+    TESTED client, not a seam: sinks/object_store.py implements the
+    S3 ``If-None-Match: *`` conditional PUT over stdlib http, and
+    tests/test_object_store.py re-runs the threaded commit races
+    through it against a live local fake-S3 (plus the CAS-dict
+    stand-in suite proving the protocol never depended on filesystem
+    semantics)."""
     os.link(tmp_path, version_path)
 
 

@@ -1,0 +1,140 @@
+"""Conditional-PUT commit backend for the manifest table format.
+
+The commit protocol's ONE pluggable primitive is
+``manifest._claim_version(tmp_path, version_path)`` — publish the
+staged version file iff nobody else has (POSIX hard link by default).
+Object stores offer the same primitive as a conditional write: S3's
+``PUT`` with ``If-None-Match: *`` succeeds only if the key does not
+exist (HTTP 412 Precondition Failed when it does; 409 when another
+conditional write on the same key is mid-flight) — the documented
+public semantics GCS (``x-goog-if-generation-match: 0``) and Azure
+(``If-None-Match: *``) share. This module turns that seam into a
+TESTED client:
+
+- :class:`S3ConditionalPutClient` — stdlib ``http.client`` only, no
+  SDK: one ``put_if_absent(key, body)`` call per claim. Unsigned
+  requests by design (point it at a private endpoint / sigv4 proxy /
+  IAM-free MinIO; request signing is deployment plumbing, the atomic
+  claim is the protocol-relevant part).
+- :func:`make_claim_version` — adapts the client to the
+  ``_claim_version`` signature so the whole commit stack
+  (append / merge / upsert / compaction retry loops) runs unchanged
+  against an object store: the store's CAS is authoritative for WHO
+  wins a version; the winner then mirrors the immutable version file
+  locally so same-process readers keep working. tests/test_manifest.py
+  re-runs the threaded commit races against a local fake-S3 server
+  (ThreadingHTTPServer implementing the same status codes) through
+  this client.
+
+At 100 TB: a version claim is one ~KB conditional PUT per commit —
+the same O(1) metadata cost as the hard link, with S3's
+read-after-write consistency giving losers an immediate 412 instead
+of an EEXIST.
+"""
+
+from __future__ import annotations
+
+import http.client
+import os
+import shutil
+import urllib.parse
+
+
+class ObjectStoreError(OSError):
+    """Non-conflict failure talking to the store (5xx, transport)."""
+
+
+class S3ConditionalPutClient:
+    """Minimal S3-compatible conditional-write client (stdlib only).
+
+    ``endpoint`` is ``http://host:port`` (or https). Keys are
+    URL-quoted into ``/{bucket}/{key}``. Thread-safe: one short-lived
+    connection per call — claim traffic is one request per COMMIT, so
+    connection reuse buys nothing and shared sockets would need locks.
+    """
+
+    def __init__(self, endpoint: str, bucket: str, timeout: float = 10.0):
+        u = urllib.parse.urlparse(endpoint)
+        if u.scheme not in ("http", "https") or not u.netloc:
+            raise ValueError(f"endpoint must be http(s)://host[:port], got {endpoint!r}")
+        self._https = u.scheme == "https"
+        self._netloc = u.netloc
+        self.bucket = bucket.strip("/")
+        self.timeout = timeout
+
+    def _connect(self) -> http.client.HTTPConnection:
+        cls = http.client.HTTPSConnection if self._https else http.client.HTTPConnection
+        return cls(self._netloc, timeout=self.timeout)
+
+    def _url(self, key: str) -> str:
+        return f"/{self.bucket}/" + urllib.parse.quote(key.lstrip("/"), safe="/")
+
+    def put_if_absent(self, key: str, body: bytes) -> bool:
+        """True iff this call created the object. False on 412
+        (exists) and on 409 (a concurrent conditional write raced us —
+        either way WE did not claim it, which is all the commit
+        protocol needs to know). Raises :class:`ObjectStoreError` on
+        anything else."""
+        conn = self._connect()
+        try:
+            conn.request(
+                "PUT",
+                self._url(key),
+                body=body,
+                headers={
+                    "If-None-Match": "*",
+                    "Content-Length": str(len(body)),
+                    "Content-Type": "application/json",
+                },
+            )
+            resp = conn.getresponse()
+            resp.read()  # drain so the connection closes cleanly
+            if resp.status in (200, 201):
+                return True
+            if resp.status in (409, 412):
+                return False
+            raise ObjectStoreError(
+                f"PUT {key}: unexpected status {resp.status} {resp.reason}"
+            )
+        finally:
+            conn.close()
+
+    def get(self, key: str) -> bytes | None:
+        """Object bytes, or None when absent (404)."""
+        conn = self._connect()
+        try:
+            conn.request("GET", self._url(key))
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status == 200:
+                return data
+            if resp.status == 404:
+                return None
+            raise ObjectStoreError(
+                f"GET {key}: unexpected status {resp.status} {resp.reason}"
+            )
+        finally:
+            conn.close()
+
+
+def make_claim_version(client: S3ConditionalPutClient):
+    """A drop-in for ``manifest._claim_version`` backed by the store's
+    conditional PUT. The object key is the version file's path (unique
+    per table); the store is authoritative for who wins. The winner
+    mirrors the immutable version file to the local path so
+    same-process snapshot readers are unchanged; losers raise
+    ``FileExistsError`` exactly like the hard-link primitive, feeding
+    the existing retry loops."""
+
+    def claim(tmp_path: str, version_path: str) -> None:
+        with open(tmp_path, "rb") as f:
+            body = f.read()
+        if not client.put_if_absent(version_path, body):
+            raise FileExistsError(version_path)
+        shutil.copyfile(tmp_path, version_path)
+        os.utime(version_path)
+
+    return claim
+
+
+__all__ = ["S3ConditionalPutClient", "ObjectStoreError", "make_claim_version"]

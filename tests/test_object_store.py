@@ -1,0 +1,133 @@
+"""Conditional-PUT commit backend (sinks/object_store.py) against a
+live local fake-S3 (tests/fake_s3.py): client semantics, then the
+SAME threaded commit races the hard-link backend passes — the 100 TB
+deployment story ends at a tested client, not a seam."""
+
+import os
+import threading
+
+import pytest
+
+from nypd_arrest_etl_spark.sinks import manifest as M
+from nypd_arrest_etl_spark.sinks.object_store import (
+    ObjectStoreError,
+    S3ConditionalPutClient,
+    make_claim_version,
+)
+from tests.fake_s3 import FakeS3Server
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "arrest_key string, v bigint")
+
+
+def test_client_put_if_absent_and_get():
+    with FakeS3Server() as srv:
+        c = S3ConditionalPutClient(srv.endpoint, "tbl")
+        assert c.get("a/v000000.json") is None
+        assert c.put_if_absent("a/v000000.json", b"first") is True
+        # the loser's conditional PUT must NOT overwrite the winner
+        assert c.put_if_absent("a/v000000.json", b"second") is False
+        assert c.get("a/v000000.json") == b"first"
+        # distinct key is independent
+        assert c.put_if_absent("a/v000001.json", b"x") is True
+
+
+def test_client_raises_on_transport_failure():
+    with FakeS3Server() as srv:
+        c = S3ConditionalPutClient(srv.endpoint, "tbl")
+    # context exited: server is gone — the claim must surface an
+    # OSError (retryable by the caller), never a silent False
+    with pytest.raises(OSError):
+        c.put_if_absent("k", b"x")
+    with pytest.raises(ValueError):
+        S3ConditionalPutClient("ftp://nope", "tbl")
+    assert isinstance(ObjectStoreError("x"), OSError)
+
+
+def test_client_cas_is_atomic_under_thread_storm():
+    """64 threads race one key: exactly one winner, body = winner's."""
+    with FakeS3Server() as srv:
+        c = S3ConditionalPutClient(srv.endpoint, "tbl")
+        wins = []
+
+        def run(i):
+            if c.put_if_absent("race/v1", b"w%d" % i):
+                wins.append(i)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(64)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1
+        assert c.get("race/v1") == b"w%d" % wins[0]
+
+
+def test_commit_races_green_under_conditional_put_backend(
+    spark, tmp_path, monkeypatch
+):
+    """The 8-way concurrent append race from the hard-link suite, run
+    through the real HTTP client against the fake-S3: gapless version
+    chain, every row lands, and the store holds every version file
+    byte-identical to the local mirror."""
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        errors = []
+
+        def run(i):
+            try:
+                M.append(spark, _df(spark, [(f"k{i}", i)]), t, max_retries=50)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        assert M.current_version(t) == 7
+        rows = sorted(
+            r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
+        )
+        assert rows == sorted(f"k{i}" for i in range(8))
+        # store is authoritative and byte-identical to the local mirror
+        for v in range(8):
+            p = M._version_path(t, v)
+            assert client.get(p) == open(p, "rb").read()
+
+
+def test_overlapping_merges_green_under_conditional_put_backend(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrent overlapping insert-if-absent merges through the HTTP
+    backend: first-writer-wins stays global (no duplicated key)."""
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        M.append(spark, _df(spark, [("seed", 0)]), t)
+        batches = [
+            [("k1", 1), ("k2", 1), ("shared", 1)],
+            [("k3", 2), ("k4", 2), ("shared", 2)],
+        ]
+        errors = []
+
+        def run(rows):
+            try:
+                M.merge_insert_if_absent_txn(spark, _df(spark, rows), t)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(b,)) for b in batches]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors
+        got = [r["arrest_key"] for r in M.snapshot(t).read(spark).collect()]
+        assert sorted(got) == ["k1", "k2", "k3", "k4", "seed", "shared"]
+        assert len(got) == len(set(got))
