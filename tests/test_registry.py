@@ -64,3 +64,34 @@ def test_gate_priority_names_resolve():
 def test_oracle_keys_subset_of_queries():
     qs, oracles = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
+
+
+def test_recall_artifact_meets_targets():
+    """RECALL.md (tools/recall_report.py) is the standing quantitative
+    signal for the rows-only ANN entries: every committed row's gated
+    metric must be at/above its floor, and every rows-only ANN op must
+    have a row at BOTH measured scales."""
+    path = os.path.join(REPO, "RECALL.md")
+    txt = open(path).read()
+    rows = re.findall(
+        r"^\|\s*(\S+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|",
+        txt,
+        re.M,
+    )
+    assert rows, "RECALL.md has no measurement rows"
+    seen = set()
+    for name, sf, measured, target in rows:
+        seen.add((name, sf))
+        assert float(measured) >= float(target), (
+            f"{name} sf{sf}: {measured} below floor {target} — "
+            "regenerate with `python tools/recall_report.py` and "
+            "investigate the recall regression"
+        )
+    for op in (
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "similarity_ann_pq",
+        "dedup_semantic",
+    ):
+        for sf in ("0.01", "0.1"):
+            assert (op, sf) in seen, f"RECALL.md missing {op} at sf{sf}"
