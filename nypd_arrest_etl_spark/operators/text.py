@@ -571,9 +571,18 @@ def ccnet_perplexity_buckets(
         .join(scores, "doc_id")
     )
     order = [F.col("avg_log2p").desc(), F.col("doc_id")]
-    parted = scored.repartitionByRange(
-        F.col("lang"), *order
-    ).withColumn("_pid", F.spark_partition_id())
+    # MATERIALIZE the pid assignment: two branches (ranks, counts)
+    # consume it, and a re-evaluated range exchange may assign
+    # DIFFERENT pids (RangePartitioner's imbalance resample seeds by
+    # rdd.id, and shuffle fetch order feeds its sampler), which would
+    # desync ranks from offsets. The checkpoint pins the slim
+    # (doc_id, lang, score, pid) projection — O(n) block storage, the
+    # same mass the exchange itself moved.
+    parted = (
+        scored.repartitionByRange(F.col("lang"), *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # local rank within this data partition's slice of the language
     w_local = Window.partitionBy("_pid", "lang").orderBy(*order)
     local = parted.withColumn("_lr", F.row_number().over(w_local))

@@ -2781,10 +2781,17 @@ def row_count(table_path: str, version: int | None = None) -> int:
             if klist:
                 try:
                     vset = pa.array(klist, type=col.type)
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
-                    vset = pa.array(klist)
-                m = pc.fill_null(pc.is_in(col, value_set=vset), False)
-                deleted |= np.asarray(m.combine_chunks(), dtype=bool)
+                    m = pc.fill_null(pc.is_in(col, value_set=vset), False)
+                    deleted |= np.asarray(m.combine_chunks(), dtype=bool)
+                except pa.ArrowError:
+                    # key set not castable to this generation's disk
+                    # type (e.g. post-widen int64 keys vs a legacy
+                    # int32 file with out-of-range values): fall back
+                    # to exact Python membership for THIS delete only
+                    vals = col.to_pylist()
+                    deleted |= np.fromiter(
+                        (v in e[2] for v in vals), dtype=bool, count=len(vals)
+                    )
             if None in e[2]:
                 deleted |= np.asarray(
                     pc.is_null(col).combine_chunks(), dtype=bool
