@@ -149,13 +149,17 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
         # Headline = median steady pass (robust to a stray GC pause
-        # inflating one of ~500 executions several-fold). min(cold,
-        # best steady) stays as the separate, explicitly named
-        # total_best2 series (comparable to the round-1/2 headline).
-        steady = sorted(runs)[len(runs) // 2]
+        # inflating one of ~500 executions several-fold; even N
+        # averages the two middles). total_best2 keeps its EXACT
+        # round-1/2 definition — min(cold, FIRST steady) — so that
+        # series stays comparable across rounds instead of drifting
+        # low as N grows.
+        rs = sorted(runs)
+        n = len(rs)
+        steady = round((rs[(n - 1) // 2] + rs[n // 2]) / 2, 3)
         timings[name] = steady
         spread[name] = runs
-        best2[name] = min(cold[name], min(runs))
+        best2[name] = min(cold[name], runs[0])
         print(
             f"  {name}: steady {steady}s (runs {runs}, cold {cold[name]}s)",
             file=sys.stderr,

@@ -701,6 +701,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_broadcast_bytes: int = 256 << 20,
     n_blocks: int = 16,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine(embedding) >= threshold — exact at EVERY
     scale, two physical strategies picked by measured corpus size:
@@ -723,7 +724,12 @@ def embedding_neardup_pairs(
       scale path when candidate recall < 1 is acceptable.)
 
     Vectors are cast to double before any arithmetic so results are
-    stable across engines (float32 accumulation is not)."""
+    stable across engines (float32 accumulation is not).
+
+    Routing cost: unless ``corpus_bytes`` is supplied, the guard runs
+    one extra column-pruned pass over the input to measure
+    rows x dim x 8 — callers with expensive upstream DAGs (or known
+    sizes) should pass ``corpus_bytes`` to skip it."""
     import numpy as np
 
     v = spread(df).select(
@@ -735,11 +741,12 @@ def embedding_neardup_pairs(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         return m / np.where(norms == 0, 1.0, norms)
 
-    sz = v.agg(
-        F.count(F.lit(1)).alias("n"), F.first(F.size("vec")).alias("dim")
-    ).first()
-    est_bytes = (sz["n"] or 0) * (sz["dim"] or 0) * 8
-    if est_bytes > max_broadcast_bytes:
+    if corpus_bytes is None:
+        sz = v.agg(
+            F.count(F.lit(1)).alias("n"), F.first(F.size("vec")).alias("dim")
+        ).first()
+        corpus_bytes = (sz["n"] or 0) * (sz["dim"] or 0) * 8
+    if corpus_bytes > max_broadcast_bytes:
         return _embedding_pairs_blocked(v, id_t, threshold, n_blocks, unit)
 
     corpus_pdf = v.toPandas()

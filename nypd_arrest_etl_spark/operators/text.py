@@ -575,9 +575,16 @@ def ccnet_perplexity_buckets(
     # consume it, and a re-evaluated range exchange may assign
     # DIFFERENT pids (RangePartitioner's imbalance resample seeds by
     # rdd.id, and shuffle fetch order feeds its sampler), which would
-    # desync ranks from offsets. The checkpoint pins the slim
-    # (doc_id, lang, score, pid) projection — O(n) block storage, the
-    # same mass the exchange itself moved.
+    # desync ranks from offsets — the same hazard Spark's own
+    # zipWithIndex documents, with the same cure. Tradeoffs, accepted
+    # deliberately: constructing the plan runs the checkpoint job
+    # eagerly; the blocks (slim (doc_id, lang, score, pid) projection,
+    # the same mass the exchange already moved) live in the block
+    # manager until the DataFrame is GC'd; and localCheckpoint is
+    # non-reliable — an executor loss invalidates it and the QUERY
+    # retries, rather than a task. The alternative (value-derived
+    # bucket boundaries) is deterministic but degrades under heavy
+    # score ties; exactness wins here.
     parted = (
         scored.repartitionByRange(F.col("lang"), *order)
         .withColumn("_pid", F.spark_partition_id())

@@ -2774,7 +2774,11 @@ def row_count(table_path: str, version: int | None = None) -> int:
 
         deleted = np.zeros(t.num_rows, dtype=bool)
         if pos:
-            deleted[np.fromiter(pos, dtype=np.int64)] = True
+            # clamp to the file's row range: the old per-row loop
+            # silently ignored stale/corrupt positions, and a negative
+            # index would wrap in numpy and mark the wrong row
+            idx = np.fromiter(pos, dtype=np.int64)
+            deleted[idx[(idx >= 0) & (idx < t.num_rows)]] = True
         for e in applicable:
             col = t.column(name_map.get(e[0], e[0]))
             klist = [k for k in e[2] if k is not None]
@@ -2783,7 +2787,7 @@ def row_count(table_path: str, version: int | None = None) -> int:
                     vset = pa.array(klist, type=col.type)
                     m = pc.fill_null(pc.is_in(col, value_set=vset), False)
                     deleted |= np.asarray(m.combine_chunks(), dtype=bool)
-                except pa.ArrowError:
+                except pa.lib.ArrowException:
                     # key set not castable to this generation's disk
                     # type (e.g. post-widen int64 keys vs a legacy
                     # int32 file with out-of-range values): fall back

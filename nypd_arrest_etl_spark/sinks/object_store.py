@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import http.client
 import os
-import shutil
 import urllib.parse
 
 
@@ -131,8 +130,16 @@ def make_claim_version(client: S3ConditionalPutClient):
             body = f.read()
         if not client.put_if_absent(version_path, body):
             raise FileExistsError(version_path)
-        shutil.copyfile(tmp_path, version_path)
-        os.utime(version_path)
+        # Mirror ATOMICALLY (hard link of the already-staged tmp, the
+        # same primitive the local backend uses): a concurrent reader
+        # listing versions must never json.load a half-copied file.
+        # We won the store's CAS, so a racing local claim is
+        # impossible; a pre-existing local file could only be our own
+        # bytes from a torn earlier attempt of THIS version.
+        try:
+            os.link(tmp_path, version_path)
+        except FileExistsError:
+            pass
 
     return claim
 
