@@ -742,10 +742,12 @@ def embedding_neardup_pairs(
         return m / np.where(norms == 0, 1.0, norms)
 
     if corpus_bytes is None:
-        sz = v.agg(
-            F.count(F.lit(1)).alias("n"), F.first(F.size("vec")).alias("dim")
-        ).first()
-        corpus_bytes = (sz["n"] or 0) * (sz["dim"] or 0) * 8
+        # dim from ONE row + a column-pruned count (parquet scans
+        # answer it from footers) — never a full pass over the heavy
+        # vector column just to route
+        head = v.select(F.size("vec").alias("d")).head(1)
+        dim = head[0]["d"] if head else 0
+        corpus_bytes = v.count() * dim * 8
     if corpus_bytes > max_broadcast_bytes:
         return _embedding_pairs_blocked(v, id_t, threshold, n_blocks, unit)
 

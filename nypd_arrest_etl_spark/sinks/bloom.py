@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import os
 import struct
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -309,14 +308,27 @@ def build_entry(
         v = F.col(c).cast("string")
         for i, pc in enumerate(_position_cols(v, m)):
             poscols.append(F.when(v.isNotNull(), pc).alias(f"c{ci}p{i}"))
-    # basename -> rel mapping (input_file_name is a URI; part-file
-    # names carry a per-job UUID so basenames are unique — an O(1)
-    # dict probe per file, not an O(files^2) suffix scan; the rare
-    # collision leaves those files unprunable, never wrongly pruned)
-    by_base: dict[str, list[str]] = {}
-    for r in rels:
-        by_base.setdefault(r.replace(os.sep, "/").rsplit("/", 1)[-1], []).append(r)
-    base_map = {b: rs[0] for b, rs in by_base.items() if len(rs) == 1}
+    # URI -> rel mapping by stripping the table root from the parsed
+    # path — exact and O(1) per file. NOT by basename: Spark's dynamic
+    # partition writer reuses the same part-file basename across every
+    # partition directory a task writes (the c-counter resets per
+    # dir), so a hive-partitioned commit collides on nearly every
+    # name; and NOT by O(files) suffix scan (the r5 shape, O(files^2)
+    # per commit). An unmapped file is left unprunable, never wrongly
+    # pruned.
+    rel_set = {r.replace(os.sep, "/") for r in rels}
+    table_abs = os.path.abspath(table_path)
+
+    def _rel_of(uri: str) -> str | None:
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(uri).path or uri)
+        try:
+            rel = os.path.relpath(p, table_abs).replace(os.sep, "/")
+        except ValueError:
+            return None
+        return rel if rel in rel_set else None
+
     paths = [os.path.join(table_path, r) for r in rels]
     recs = (
         spark.read.parquet(*paths)
@@ -332,7 +344,7 @@ def build_entry(
     )
     entry: dict[str, dict] = {}
     for r in recs:
-        rel = base_map.get(r["f"].rsplit("/", 1)[-1])
+        rel = _rel_of(r["f"])
         if rel is None:  # unexpected path shape: leave unprunable
             continue
         for ci, c in enumerate(cols):

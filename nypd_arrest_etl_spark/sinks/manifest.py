@@ -2934,6 +2934,19 @@ def vacuum(
             except OSError:
                 continue
             os.remove(full)
+        elif f.startswith(".tmp-"):
+            # Staging droppings: a task killed mid-sidecar-write (the
+            # segments are written executor-side) or a committer dead
+            # before its claim leaves .tmp-* files nothing references.
+            # Same retention guard — live writers stage under this
+            # prefix for seconds, not the retention window.
+            full = os.path.join(mdir, f)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            os.remove(full)
     return deleted
 
 

@@ -129,6 +129,22 @@ def make_claim_version(client: S3ConditionalPutClient):
         with open(tmp_path, "rb") as f:
             body = f.read()
         if not client.put_if_absent(version_path, body):
+            # Losing the CAS means SOMEONE holds this version at the
+            # store — but if that winner died between its PUT and its
+            # local mirror, no local copy exists and every later
+            # snapshot() would pin the same stale base forever (412 on
+            # every retry). Backfill the missing version from the
+            # authoritative store before reporting the conflict, so
+            # the retry loop sees the real head.
+            if not os.path.exists(version_path):
+                remote = client.get(version_path)
+                if remote is not None:
+                    tmp2 = f"{version_path}.backfill-{os.getpid()}"
+                    with open(tmp2, "wb") as f:
+                        f.write(remote)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp2, version_path)
             raise FileExistsError(version_path)
         # Mirror ATOMICALLY (hard link of the already-staged tmp, the
         # same primitive the local backend uses): a concurrent reader

@@ -81,6 +81,47 @@ def test_bulk_load_assembles_sidecars_executor_side(spark, tmp_path):
     assert snap.prune([("k", "=", "0" * 64)]) == []
 
 
+def test_partitioned_write_indexes_every_file(spark, tmp_path):
+    """Blooms declared on a hive-partitioned (bucket16) table must
+    index EVERY data file (r6 review regression: basename-keyed
+    file->rel mapping collided on partitioned writes — Spark reuses
+    part-file basenames across partition dirs — silently recording
+    ZERO bloom records)."""
+    t = str(tmp_path / "ptbl")
+    df = spark.range(0, 2000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("k"),
+        F.col("id").alias("v"),
+    )
+    M.append(spark, df.repartition(8), t,
+             partition_by=("k", "bucket16"), bloom_cols=("k",))
+    snap = M.snapshot(t)
+    recs = {}
+    for ref in snap.refs:
+        body = ref.get("_inline") or M._load_content_manifest(t, ref["path"])
+        recs.update((body.get("bloom") or {}).get("cols", {}).get("k", {}))
+    assert set(recs) == set(snap.files)  # every partitioned file indexed
+    # probe composes with bucket16 pruning and reads exactly
+    probe = _fp(777)
+    kept = snap.prune([("k", "=", probe)])
+    assert 0 < len(kept) <= 2
+    got = snap.read(spark, filters=[("k", "=", probe)]).collect()
+    assert len(got) == 1 and got[0]["v"] == 777
+    assert snap.prune([("k", "=", "0" * 64)]) == []
+
+
+def test_vacuum_reclaims_aged_tmp_staging_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.append(spark, _keys_df(spark, 0, 10, parts=1), t, bloom_cols=("k",))
+    stale = os.path.join(t, "_manifest", ".tmp-bloom-deadbeef.bin")
+    open(stale, "wb").write(b"x" * 64)
+    os.utime(stale, (1, 1))  # ancient: a task killed mid-write long ago
+    fresh = os.path.join(t, "_manifest", ".tmp-bloom-cafef00d.bin")
+    open(fresh, "wb").write(b"y")  # in-flight writer: must survive
+    M.vacuum(t, keep_versions=1, retention_seconds=3600.0)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+
+
 # ---------------------------------------------------------------------------
 # hash parity: the pure-Python probe twin must equal Spark's xxhash64
 # ---------------------------------------------------------------------------

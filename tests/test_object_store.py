@@ -100,6 +100,46 @@ def test_commit_races_green_under_conditional_put_backend(
             assert client.get(p) == open(p, "rb").read()
 
 
+def test_dead_winner_backfilled_by_losers(spark, tmp_path, monkeypatch):
+    """A winner dying between its store-side PUT and its local mirror
+    must not wedge the table (r6 review finding): the next committer
+    loses the CAS, backfills the missing local version file from the
+    authoritative store, and its retry commits on top — with the dead
+    winner's rows visible."""
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        M.append(spark, _df(spark, [("base", 0)]), t)  # v0
+
+        # winner whose process dies right after the PUT: simulate by
+        # making the local mirror step crash once
+        real_link = os.link
+        crashed = {"done": False}
+
+        def dying_link(src, dst):
+            if not crashed["done"] and "/v" in dst:
+                crashed["done"] = True
+                raise RuntimeError("simulated crash after PUT")
+            return real_link(src, dst)
+
+        monkeypatch.setattr(os, "link", dying_link)
+        with pytest.raises(RuntimeError):
+            M.append(spark, _df(spark, [("dead_winner", 1)]), t)
+        monkeypatch.setattr(os, "link", real_link)
+        # store holds v1; local FS does not
+        assert client.get(M._version_path(t, 1)) is not None
+        assert not os.path.exists(M._version_path(t, 1))
+
+        # next committer heals the chain and lands on v2
+        M.append(spark, _df(spark, [("later", 2)]), t)
+        assert M.current_version(t) == 2
+        rows = sorted(
+            r["arrest_key"] for r in M.snapshot(t).read(spark).collect()
+        )
+        assert rows == ["base", "dead_winner", "later"]
+
+
 def test_overlapping_merges_green_under_conditional_put_backend(
     spark, tmp_path, monkeypatch
 ):
