@@ -687,12 +687,29 @@ def test_manifest_table_batch_pushdown_skips_files(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 1
 
 
-def test_random_walk_matches_model(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["hardlink", "conditional_put"])
+def test_random_walk_matches_model(spark, tmp_path, monkeypatch, backend, request):
     """Model-based sequence test: a seeded random walk of appends,
     merges, layout rewrites and vacuums must always read back exactly
     the model's rows (merge = first-writer-wins set semantics, append
-    = multiset), with a gapless version chain."""
+    = multiset), with a gapless version chain. Runs twice: once on the
+    POSIX hard-link claim and once through the S3 conditional-PUT
+    client against a live local fake-S3 (r6) — the full 60-step,
+    15-op state machine as integration evidence for the object-store
+    commit backend, not just the threaded race shapes."""
     import random
+
+    if backend == "conditional_put":
+        from nypd_arrest_etl_spark.sinks.object_store import (
+            S3ConditionalPutClient,
+            make_claim_version,
+        )
+        from tests.fake_s3 import FakeS3Server
+
+        srv = FakeS3Server().__enter__()
+        request.addfinalizer(lambda: srv.__exit__(None, None, None))
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
 
     rng = random.Random(20260814)
     t = str(tmp_path / "tbl")
