@@ -746,7 +746,9 @@ def embedding_neardup_pairs(
         # answer it from footers) — never a full pass over the heavy
         # vector column just to route
         head = v.select(F.size("vec").alias("d")).head(1)
-        dim = head[0]["d"] if head else 0
+        # null first vector -> size() is null (ANSI) or -1 (legacy):
+        # treat as 0 like the old agg's `or 0` guard did
+        dim = max(head[0]["d"] or 0, 0) if head else 0
         corpus_bytes = v.count() * dim * 8
     if corpus_bytes > max_broadcast_bytes:
         return _embedding_pairs_blocked(v, id_t, threshold, n_blocks, unit)

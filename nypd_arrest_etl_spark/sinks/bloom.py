@@ -308,26 +308,36 @@ def build_entry(
         v = F.col(c).cast("string")
         for i, pc in enumerate(_position_cols(v, m)):
             poscols.append(F.when(v.isNotNull(), pc).alias(f"c{ci}p{i}"))
-    # URI -> rel mapping by stripping the table root from the parsed
-    # path — exact and O(1) per file. NOT by basename: Spark's dynamic
-    # partition writer reuses the same part-file basename across every
-    # partition directory a task writes (the c-counter resets per
-    # dir), so a hive-partitioned commit collides on nearly every
-    # name; and NOT by O(files) suffix scan (the r5 shape, O(files^2)
-    # per commit). An unmapped file is left unprunable, never wrongly
+    # URI -> rel mapping by matching the path's FULL rel-depth tail
+    # against this commit's rels — exact and O(distinct depths) per
+    # file. NOT by basename: Spark's dynamic partition writer reuses
+    # the same part-file basename across every partition directory a
+    # task writes, so a hive-partitioned commit collides on nearly
+    # every name. NOT by os.path.relpath against abspath(table_path):
+    # the JVM qualifies input_file_name against ITS working directory,
+    # so a relative table_path plus an os.chdir (or a scheme-qualified
+    # path) would silently unmap every file. And NOT by O(files)
+    # suffix scan (the r5 shape, O(files^2) per commit). Every rel is
+    # anchored at its own component tuple, so a tail matches at most
+    # one rel; an unmapped file is left unprunable, never wrongly
     # pruned.
-    rel_set = {r.replace(os.sep, "/") for r in rels}
-    table_abs = os.path.abspath(table_path)
+    by_tail: dict[tuple, str] = {}
+    depths: set[int] = set()
+    for r in rels:
+        t = tuple(r.replace(os.sep, "/").split("/"))
+        depths.add(len(t))
+        by_tail[t] = r
 
     def _rel_of(uri: str) -> str | None:
         from urllib.parse import unquote, urlparse
 
-        p = unquote(urlparse(uri).path or uri)
-        try:
-            rel = os.path.relpath(p, table_abs).replace(os.sep, "/")
-        except ValueError:
-            return None
-        return rel if rel in rel_set else None
+        p = unquote(urlparse(uri).path or uri).replace(os.sep, "/")
+        segs = tuple(p.split("/"))
+        for d in depths:
+            rel = by_tail.get(segs[-d:])
+            if rel is not None:
+                return rel
+        return None
 
     paths = [os.path.join(table_path, r) for r in rels]
     recs = (

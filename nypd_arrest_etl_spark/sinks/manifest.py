@@ -2902,51 +2902,38 @@ def vacuum(
             if not os.listdir(p):
                 os.rmdir(p)
     mdir = _manifest_dir(table_path)
+
+    def _remove_if_aged(full: str) -> None:
+        # ONE retention guard for every metadata class: anything
+        # younger than the window may belong to an in-flight writer
+        # (staged pre-claim) or a mid-crash-replay streaming query
+        # whose txn marker a replay still needs. The operational
+        # contract: vacuum retention must exceed the longest possible
+        # replay/claim gap, which the 7-day default does by orders of
+        # magnitude.
+        try:
+            if os.path.getmtime(full) > cutoff:
+                return
+            os.remove(full)
+        except OSError:
+            return
+
     for f in os.listdir(mdir):
         if f.startswith("v") and f.endswith(".json"):
+            # version files: only those before the keep window
             if int(f[1 : 1 + _VERSION_DIGITS]) < keep.start:
-                # Same retention guard as data files: a version file
-                # younger than the window may carry a streaming sink's
-                # txn marker whose query is mid-crash-replay — dropping
-                # it would make the replay re-commit (duplicate rows).
-                # The operational contract: vacuum retention must
-                # exceed the longest possible replay gap, which the
-                # 7-day default does by orders of magnitude.
-                full = os.path.join(mdir, f)
-                try:
-                    if os.path.getmtime(full) > cutoff:
-                        continue
-                except OSError:
-                    continue
-                os.remove(full)
+                _remove_if_aged(os.path.join(mdir, f))
         elif (
             (f.startswith("m-") and f.endswith(".json"))
             or (f.startswith("bloom-") and f.endswith(".bin"))
         ) and f not in live_manifests:
-            # Unreferenced content manifest or bloom sidecar:
-            # superseded by compaction or orphaned by a lost commit
-            # race. Same retention guard as data files — an in-flight
-            # writer stages these before the version claim.
-            full = os.path.join(mdir, f)
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue
-            except OSError:
-                continue
-            os.remove(full)
+            # unreferenced content manifest or bloom sidecar:
+            # superseded by compaction or orphaned by a lost commit race
+            _remove_if_aged(os.path.join(mdir, f))
         elif f.startswith(".tmp-"):
-            # Staging droppings: a task killed mid-sidecar-write (the
-            # segments are written executor-side) or a committer dead
-            # before its claim leaves .tmp-* files nothing references.
-            # Same retention guard — live writers stage under this
-            # prefix for seconds, not the retention window.
-            full = os.path.join(mdir, f)
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue
-            except OSError:
-                continue
-            os.remove(full)
+            # staging droppings: a task killed mid-sidecar-write or a
+            # committer dead before its claim
+            _remove_if_aged(os.path.join(mdir, f))
     return deleted
 
 

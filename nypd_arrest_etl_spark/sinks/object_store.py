@@ -116,6 +116,39 @@ class S3ConditionalPutClient:
             conn.close()
 
 
+def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
+    """Mirror a store-held version file to the local path — only when
+    its referenced content manifests still exist locally. If vacuum
+    already reclaimed them (a winner died, then NO commit was
+    attempted for the whole retention window), resurrecting the
+    version would commit on top of missing files; leaving it
+    un-backfilled keeps the table loudly wedged instead of quietly
+    corrupt. Staged under the ``.tmp-`` prefix so a crash mid-write
+    leaves only an orphan the vacuum cleanup already reclaims."""
+    import json
+
+    remote = client.get(version_path)
+    if remote is None:
+        return
+    mdir = os.path.dirname(version_path)
+    try:
+        refs = json.loads(remote).get("manifests", [])
+    except ValueError:
+        return
+    for ref in refs:
+        p = ref.get("path")
+        if p is not None and not os.path.exists(os.path.join(mdir, p)):
+            return
+    tmp2 = os.path.join(
+        mdir, f".tmp-backfill-{os.getpid()}-{os.path.basename(version_path)}"
+    )
+    with open(tmp2, "wb") as f:
+        f.write(remote)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp2, version_path)
+
+
 def make_claim_version(client: S3ConditionalPutClient):
     """A drop-in for ``manifest._claim_version`` backed by the store's
     conditional PUT. The object key is the version file's path (unique
@@ -135,16 +168,15 @@ def make_claim_version(client: S3ConditionalPutClient):
             # snapshot() would pin the same stale base forever (412 on
             # every retry). Backfill the missing version from the
             # authoritative store before reporting the conflict, so
-            # the retry loop sees the real head.
-            if not os.path.exists(version_path):
-                remote = client.get(version_path)
-                if remote is not None:
-                    tmp2 = f"{version_path}.backfill-{os.getpid()}"
-                    with open(tmp2, "wb") as f:
-                        f.write(remote)
-                        f.flush()
-                        os.fsync(f.fileno())
-                    os.replace(tmp2, version_path)
+            # the retry loop sees the real head. The backfill is
+            # strictly best-effort: ANY failure still raises
+            # FileExistsError (a routine, retried conflict), never a
+            # hard error the retry loops don't catch.
+            try:
+                if not os.path.exists(version_path):
+                    _backfill(client, version_path)
+            except OSError:
+                pass
             raise FileExistsError(version_path)
         # Mirror ATOMICALLY (hard link of the already-staged tmp, the
         # same primitive the local backend uses): a concurrent reader

@@ -140,6 +140,80 @@ def test_dead_winner_backfilled_by_losers(spark, tmp_path, monkeypatch):
         assert rows == ["base", "dead_winner", "later"]
 
 
+def test_backfill_refuses_vacuumed_version(spark, tmp_path, monkeypatch):
+    """If the dead winner's content manifests were ALREADY vacuumed
+    (no committer for a whole retention window), the loser must NOT
+    resurrect the version — committing on top of missing files would
+    be quiet corruption; a loudly wedged table (CommitConflict) is the
+    correct terminal state."""
+    import glob
+
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        M.append(spark, _df(spark, [("base", 0)]), t)  # v0
+        before = set(glob.glob(os.path.join(t, "_manifest", "m-*.json")))
+        real_link = os.link
+        crashed = {"done": False}
+
+        def dying_link(src, dst):
+            if not crashed["done"] and "/v" in dst:
+                crashed["done"] = True
+                raise RuntimeError("simulated crash after PUT")
+            return real_link(src, dst)
+
+        monkeypatch.setattr(os, "link", dying_link)
+        with pytest.raises(RuntimeError):
+            M.append(spark, _df(spark, [("dead_winner", 1)]), t)
+        monkeypatch.setattr(os, "link", real_link)
+        # simulate vacuum having reclaimed the dead winner's manifest
+        for m in set(glob.glob(os.path.join(t, "_manifest", "m-*.json"))) - before:
+            os.remove(m)
+        with pytest.raises(M.CommitConflict):
+            M.append(spark, _df(spark, [("later", 2)]), t, max_retries=3)
+        assert not os.path.exists(M._version_path(t, 1))  # never resurrected
+        # readable state is still the pre-crash table
+        assert [r["arrest_key"] for r in M.snapshot(t).read(spark).collect()] == ["base"]
+
+
+def test_transient_get_failure_stays_a_retryable_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """A transient store error on the loser's backfill GET must stay a
+    FileExistsError (routine retried conflict), never escape as a hard
+    ObjectStoreError the retry loops don't catch."""
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        flaky = {"n": 0}
+        real_get = client.get
+
+        def flaky_get(key):
+            flaky["n"] += 1
+            raise ObjectStoreError("simulated 503")
+
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        M.append(spark, _df(spark, [("a", 0)]), t)  # v0
+        # force a conflict: pre-claim v1 at the store with valid bytes
+        # (no local mirror), with GET failing when the loser backfills
+        import json as _json
+
+        m = _json.load(open(M._version_path(t, 0)))
+        m["version"] = 1
+        assert client.put_if_absent(
+            M._version_path(t, 1), _json.dumps(m).encode()
+        )
+        monkeypatch.setattr(client, "get", flaky_get)
+        with pytest.raises(M.CommitConflict):
+            M.append(spark, _df(spark, [("b", 1)]), t, max_retries=2)
+        assert flaky["n"] >= 1  # the backfill was attempted and failed softly
+        monkeypatch.setattr(client, "get", real_get)
+        # with the store healthy again the chain heals and commits
+        M.append(spark, _df(spark, [("c", 2)]), t)
+        assert M.current_version(t) == 2
+
+
 def test_overlapping_merges_green_under_conditional_put_backend(
     spark, tmp_path, monkeypatch
 ):
