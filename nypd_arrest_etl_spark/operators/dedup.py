@@ -745,9 +745,13 @@ def embedding_neardup_pairs(
         # dim from ONE row + a column-pruned count (parquet scans
         # answer it from footers) — never a full pass over the heavy
         # vector column just to route
-        head = v.select(F.size("vec").alias("d")).head(1)
-        # null first vector -> size() is null (ANSI) or -1 (legacy):
-        # treat as 0 like the old agg's `or 0` guard did
+        # dim from the first NON-NULL vector: a null first row would
+        # read as dim 0 and silently disable the guard (driver OOM)
+        head = (
+            v.where(F.col("vec").isNotNull())
+            .select(F.size("vec").alias("d"))
+            .head(1)
+        )
         dim = max(head[0]["d"] or 0, 0) if head else 0
         corpus_bytes = v.count() * dim * 8
     if corpus_bytes > max_broadcast_bytes:

@@ -333,11 +333,12 @@ def build_entry(
 
         p = unquote(urlparse(uri).path or uri).replace(os.sep, "/")
         segs = tuple(p.split("/"))
-        for d in depths:
-            rel = by_tail.get(segs[-d:])
-            if rel is not None:
-                return rel
-        return None
+        # require a UNIQUE match across depths: with mixed-depth rels
+        # a shallow rel's tuple can equal the tail of a deeper file's
+        # path — ambiguity maps bitmaps to the wrong file (WRONG
+        # pruning), so an ambiguous file is left unprunable instead
+        hits = [r for d in depths if (r := by_tail.get(segs[-d:])) is not None]
+        return hits[0] if len(hits) == 1 else None
 
     paths = [os.path.join(table_path, r) for r in rels]
     recs = (

@@ -118,29 +118,75 @@ class S3ConditionalPutClient:
 
 def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
     """Mirror a store-held version file to the local path — only when
-    its referenced content manifests still exist locally. If vacuum
-    already reclaimed them (a winner died, then NO commit was
-    attempted for the whole retention window), resurrecting the
-    version would commit on top of missing files; leaving it
-    un-backfilled keeps the table loudly wedged instead of quietly
-    corrupt. Staged under the ``.tmp-`` prefix so a crash mid-write
-    leaves only an orphan the vacuum cleanup already reclaims."""
+    everything it references still exists locally. If vacuum already
+    reclaimed any of it (a winner died, then NO commit was attempted
+    for the whole retention window), resurrecting the version would
+    commit on top of missing files; leaving it un-backfilled keeps the
+    table loudly wedged instead of quietly corrupt.
+
+    Validation is transitive where it matters: content AND delete
+    manifest refs must exist; refs the current LOCAL head also carries
+    are live by definition (vacuum keeps them), while the dead
+    winner's NEW refs — O(one batch) of them — get their bodies
+    opened and their data files and bloom sidecars existence-checked.
+    Staged under a uuid-suffixed ``.tmp-`` name (concurrent losers
+    must not truncate each other's in-flight copy; the orphan of a
+    crash is reclaimed by the vacuum cleanup)."""
     import json
+    import uuid
+
+    from . import manifest as _m
 
     remote = client.get(version_path)
     if remote is None:
         return
     mdir = os.path.dirname(version_path)
+    table_path = os.path.dirname(mdir)
     try:
-        refs = json.loads(remote).get("manifests", [])
+        mf = json.loads(remote)
     except ValueError:
         return
+    if not isinstance(mf, dict):
+        return
+    refs = list(mf.get("manifests") or []) + list(mf.get("delete_manifests") or [])
+    head_refs: set = set()
+    head_v = _m.current_version(table_path)
+    if head_v is not None:
+        hm = _m._load_manifest(table_path, head_v)
+        head_refs = {
+            r.get("path")
+            for r in list(hm.get("manifests") or [])
+            + list(hm.get("delete_manifests") or [])
+            if isinstance(r, dict)
+        }
     for ref in refs:
-        p = ref.get("path")
-        if p is not None and not os.path.exists(os.path.join(mdir, p)):
+        if not isinstance(ref, dict):
             return
+        p = ref.get("path")
+        if p is None:
+            continue  # inline ref: content travels in the version file
+        full = os.path.join(mdir, p)
+        if not os.path.exists(full):
+            return
+        if p in head_refs:
+            continue  # carried from the live head: vacuum keeps it
+        # the dead winner's NEW manifest: its data files and bloom
+        # sidecars must have survived too
+        try:
+            with open(full) as fh:
+                body = json.load(fh)
+        except ValueError:
+            return
+        for fp in list(body.get("files") or []) + list(body.get("data_files") or []):
+            if not os.path.exists(os.path.join(table_path, fp)):
+                return
+        for recs in (body.get("bloom") or {}).get("cols", {}).values():
+            for rec in recs.values():
+                if not os.path.exists(os.path.join(mdir, rec[0])):
+                    return
     tmp2 = os.path.join(
-        mdir, f".tmp-backfill-{os.getpid()}-{os.path.basename(version_path)}"
+        mdir,
+        f".tmp-backfill-{uuid.uuid4().hex}-{os.path.basename(version_path)}",
     )
     with open(tmp2, "wb") as f:
         f.write(remote)
@@ -171,11 +217,13 @@ def make_claim_version(client: S3ConditionalPutClient):
             # the retry loop sees the real head. The backfill is
             # strictly best-effort: ANY failure still raises
             # FileExistsError (a routine, retried conflict), never a
-            # hard error the retry loops don't catch.
+            # hard error the retry loops don't catch — including
+            # non-OSError transport surprises (http BadStatusLine) and
+            # malformed store bytes.
             try:
                 if not os.path.exists(version_path):
                     _backfill(client, version_path)
-            except OSError:
+            except Exception:
                 pass
             raise FileExistsError(version_path)
         # Mirror ATOMICALLY (hard link of the already-staged tmp, the

@@ -177,6 +177,41 @@ def test_backfill_refuses_vacuumed_version(spark, tmp_path, monkeypatch):
         assert [r["arrest_key"] for r in M.snapshot(t).read(spark).collect()] == ["base"]
 
 
+def test_backfill_refuses_when_data_files_vacuumed(spark, tmp_path, monkeypatch):
+    """Validation is transitive: the dead winner's manifest may have
+    survived while its DATA files were reclaimed — backfill must open
+    the new ref's body and refuse on a missing parquet too."""
+    import glob
+    import json as _json
+
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        monkeypatch.setattr(M, "_claim_version", make_claim_version(client))
+        t = str(tmp_path / "tbl")
+        M.append(spark, _df(spark, [("base", 0)]), t)  # v0
+        before = set(glob.glob(os.path.join(t, "_manifest", "m-*.json")))
+        real_link = os.link
+        crashed = {"done": False}
+
+        def dying_link(src, dst):
+            if not crashed["done"] and "/v" in dst:
+                crashed["done"] = True
+                raise RuntimeError("simulated crash after PUT")
+            return real_link(src, dst)
+
+        monkeypatch.setattr(os, "link", dying_link)
+        with pytest.raises(RuntimeError):
+            M.append(spark, _df(spark, [("dead_winner", 1)]), t)
+        monkeypatch.setattr(os, "link", real_link)
+        # the winner's manifest survives; delete one of its DATA files
+        new_m = set(glob.glob(os.path.join(t, "_manifest", "m-*.json"))) - before
+        body = _json.load(open(next(iter(new_m))))
+        os.remove(os.path.join(t, body["files"][0]))
+        with pytest.raises(M.CommitConflict):
+            M.append(spark, _df(spark, [("later", 2)]), t, max_retries=3)
+        assert not os.path.exists(M._version_path(t, 1))
+
+
 def test_transient_get_failure_stays_a_retryable_conflict(
     spark, tmp_path, monkeypatch
 ):
