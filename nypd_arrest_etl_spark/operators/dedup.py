@@ -700,8 +700,9 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_bytes: int = 256 << 20,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     corpus_bytes: int | None = None,
+    target_tile_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Pairs with cosine(embedding) >= threshold — exact at EVERY
     scale, two physical strategies picked by measured corpus size:
@@ -718,8 +719,13 @@ def embedding_neardup_pairs(
       block pair computes its cosine tile with the same numpy kernel
       inside ``applyInPandas``. Each unordered pair lands in exactly
       one tile, so the output is identical to the broadcast path;
-      replication is n * n_blocks rows, tile memory is
-      (n/n_blocks)^2 independent of total corpus size. (The
+      replication is n * n_blocks rows. ``n_blocks`` is DERIVED from
+      the measured row count (r6 ADVICE: a fixed block count makes the
+      tile similarity matrix grow quadratically with the corpus —
+      trading a driver OOM for an executor OOM): blocks hold at most
+      ``sqrt(target_tile_bytes / 8)`` rows on average, so one tile's
+      (n/B)^2 double matrix stays ~``target_tile_bytes`` at ANY corpus
+      size; pass ``n_blocks`` explicitly only as an override. (The
       LSH/SemDeDup variants in similarity.py remain the APPROXIMATE
       scale path when candidate recall < 1 is acceptable.)
 
@@ -741,6 +747,7 @@ def embedding_neardup_pairs(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         return m / np.where(norms == 0, 1.0, norms)
 
+    n_rows: int | None = None
     if corpus_bytes is None:
         # dim from ONE row + a column-pruned count (parquet scans
         # answer it from footers) — never a full pass over the heavy
@@ -753,8 +760,16 @@ def embedding_neardup_pairs(
             .head(1)
         )
         dim = max(head[0]["d"] or 0, 0) if head else 0
-        corpus_bytes = v.count() * dim * 8
+        n_rows = v.count()
+        corpus_bytes = n_rows * dim * 8
     if corpus_bytes > max_broadcast_bytes:
+        if n_blocks is None:
+            if n_rows is None:
+                # caller supplied corpus_bytes to skip the routing
+                # pass; block sizing still needs the row count (a
+                # column-pruned footer read, not a vector scan)
+                n_rows = v.count()
+            n_blocks = _derive_n_blocks(n_rows, target_tile_bytes)
         return _embedding_pairs_blocked(v, id_t, threshold, n_blocks, unit)
 
     corpus_pdf = v.toPandas()
@@ -790,6 +805,19 @@ def embedding_neardup_pairs(
     return pairs.select(
         "vec_id_1", "vec_id_2", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def _derive_n_blocks(n_rows: int, target_tile_bytes: int) -> int:
+    """Block count for the exact tile join: an average block of at most
+    ``sqrt(target_tile_bytes / 8)`` rows keeps one tile's
+    (rows_a x rows_b) float64 similarity matrix at about
+    ``target_tile_bytes`` regardless of total corpus size (the r6
+    ADVICE failure: fixed B=16 made the tile matrix grow as (n/16)^2 —
+    ~2.1 GB per task right at the 256 MB broadcast-route boundary for
+    dim-128 vectors). The 1024-row floor avoids degenerate tiny tiles
+    whose scheduling overhead dominates on small corpora."""
+    block_rows = max(1024, int((target_tile_bytes / 8) ** 0.5))
+    return max(2, -(-n_rows // block_rows))
 
 
 def _embedding_pairs_blocked(

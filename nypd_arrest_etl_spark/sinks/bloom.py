@@ -241,7 +241,20 @@ def build_entry(
     on the driver, not gigabytes. O(new data) executor work per
     commit, independent of table size and of the number of declared
     columns (beyond the extra position expressions in the same
-    scan)."""
+    scan).
+
+    DEPLOYMENT REQUIREMENT: segment writes happen in EXECUTOR tasks,
+    so ``table_path/_manifest`` must be storage every executor AND the
+    driver can reach (shared filesystem / NFS / fuse-mounted object
+    store) — the same requirement Spark itself places on the table's
+    data directory, but worth stating because the rest of the manifest
+    layer writes driver-side only (the object_store commit seam,
+    sinks/object_store.py, covers the version-claim leg; sidecar
+    segments ride the data path). On a non-shared deployment a
+    segment would land on executor-local disk while its collected
+    offset records reference it — so assembly below VERIFIES every
+    referenced segment is visible here and raises instead of
+    committing dangling references."""
     if not rels or not cols:
         return None
     total_rows = sum(stats[r]["rows"] for r in rels if r in stats)
@@ -353,6 +366,20 @@ def build_entry(
         .mapInPandas(_write_segment, schema="f string, sidecar string, off long")
         .collect()
     )
+    # fail LOUDLY on a segment the driver can't see: committing the
+    # entry anyway would publish offset records pointing at bytes that
+    # exist only on some executor's local disk (docstring requirement)
+    missing = {
+        s
+        for s in {r["sidecar"] for r in recs}
+        if not os.path.exists(os.path.join(mdir, s))
+    }
+    if missing:
+        raise OSError(
+            f"bloom sidecar segment(s) {sorted(missing)} written by executor "
+            f"tasks are not visible at {mdir!r} — _manifest must be on "
+            "storage shared between executors and the driver"
+        )
     entry: dict[str, dict] = {}
     for r in recs:
         rel = _rel_of(r["f"])

@@ -133,7 +133,6 @@ def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
     must not truncate each other's in-flight copy; the orphan of a
     crash is reclaimed by the vacuum cleanup)."""
     import json
-    import uuid
 
     from . import manifest as _m
 
@@ -148,6 +147,21 @@ def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
         return
     if not isinstance(mf, dict):
         return
+    if "manifests" not in mf:
+        # Legacy flat layout: the file list is inline at the top level,
+        # so there are no refs to walk — but "no refs" must mean "fully
+        # validated", not "validation vacuously passed" (r6 ADVICE: a
+        # flat-layout version used to resurrect with ZERO existence
+        # checks — the exact quiet corruption this function refuses).
+        # Validate the inline list the same way a new ref's body is.
+        files = mf.get("files")
+        if not isinstance(files, list):
+            return
+        for fp in files:
+            if not os.path.exists(os.path.join(table_path, fp)):
+                return
+        _publish_backfill(mdir, version_path, remote)
+        return
     refs = list(mf.get("manifests") or []) + list(mf.get("delete_manifests") or [])
     head_refs: set = set()
     head_v = _m.current_version(table_path)
@@ -159,12 +173,28 @@ def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
             + list(hm.get("delete_manifests") or [])
             if isinstance(r, dict)
         }
+    def _body_ok(body: dict) -> bool:
+        for fp in list(body.get("files") or []) + list(body.get("data_files") or []):
+            if not os.path.exists(os.path.join(table_path, fp)):
+                return False
+        for recs in (body.get("bloom") or {}).get("cols", {}).values():
+            for rec in recs.values():
+                if not os.path.exists(os.path.join(mdir, rec[0])):
+                    return False
+        return True
+
     for ref in refs:
         if not isinstance(ref, dict):
             return
         p = ref.get("path")
         if p is None:
-            continue  # inline ref: content travels in the version file
+            # pathless ref: content travels in the version file — its
+            # file list validates like any other ref body (r6 ADVICE:
+            # these used to be skipped outright)
+            inline = ref.get("_inline")
+            if not isinstance(inline, dict) or not _body_ok(inline):
+                return
+            continue
         full = os.path.join(mdir, p)
         if not os.path.exists(full):
             return
@@ -177,13 +207,18 @@ def _backfill(client: S3ConditionalPutClient, version_path: str) -> None:
                 body = json.load(fh)
         except ValueError:
             return
-        for fp in list(body.get("files") or []) + list(body.get("data_files") or []):
-            if not os.path.exists(os.path.join(table_path, fp)):
-                return
-        for recs in (body.get("bloom") or {}).get("cols", {}).values():
-            for rec in recs.values():
-                if not os.path.exists(os.path.join(mdir, rec[0])):
-                    return
+        if not isinstance(body, dict) or not _body_ok(body):
+            return
+    _publish_backfill(mdir, version_path, remote)
+
+
+def _publish_backfill(mdir: str, version_path: str, remote: bytes) -> None:
+    """Atomically land validated store bytes at the local version
+    path. Staged under a uuid-suffixed ``.tmp-`` name (concurrent
+    losers must not truncate each other's in-flight copy; the orphan
+    of a crash is reclaimed by the vacuum cleanup)."""
+    import uuid
+
     tmp2 = os.path.join(
         mdir,
         f".tmp-backfill-{uuid.uuid4().hex}-{os.path.basename(version_path)}",

@@ -81,6 +81,27 @@ def test_bulk_load_assembles_sidecars_executor_side(spark, tmp_path):
     assert snap.prune([("k", "=", "0" * 64)]) == []
 
 
+def test_missing_executor_segment_fails_loudly(spark, tmp_path, monkeypatch):
+    """r6 ADVICE (low): segments are written by EXECUTOR tasks, so on a
+    deployment where _manifest is not shared storage they would land on
+    executor-local disks while the collected offset records reference
+    them. Assembly must refuse to return an entry whose segments the
+    driver cannot see (simulated by blinding the visibility check),
+    not commit dangling references."""
+    t = str(tmp_path / "tbl")
+    _keys_df(spark, 0, 100, parts=2).write.parquet(t)
+    rels = [os.path.basename(p) for p in glob.glob(os.path.join(t, "*.parquet"))]
+    stats = {r: {"rows": 50} for r in rels}
+    real_exists = os.path.exists
+
+    def blind_to_segments(p):
+        return False if "bloom-" in str(p) else real_exists(p)
+
+    monkeypatch.setattr(B.os.path, "exists", blind_to_segments)
+    with pytest.raises(OSError, match="not visible"):
+        B.build_entry(spark, t, rels, stats, ["k"])
+
+
 def test_partitioned_write_indexes_every_file(spark, tmp_path):
     """Blooms declared on a hive-partitioned (bucket16) table must
     index EVERY data file (r6 review regression: basename-keyed

@@ -135,6 +135,40 @@ def test_embedding_neardup_guard_routes_to_blocked_exact_path(spark, sf_dir):
     assert got.filter(F2.col("vec_id_1") >= F2.col("vec_id_2")).count() == 0
 
 
+def test_embedding_neardup_derives_block_count_from_corpus_size(spark, sf_dir):
+    """r6 ADVICE (medium): a fixed n_blocks=16 made one tile's
+    similarity matrix (n/16)^2 doubles — quadratic in the corpus. The
+    derived block count must bound the EXPECTED tile matrix at about
+    target_tile_bytes at every scale, and the auto-derived route must
+    still equal the broadcast-exact output pair-for-pair."""
+    import os
+
+    # arithmetic at 100TB-ish scales, no data needed: the average
+    # block never exceeds sqrt(target/8) rows, so the expected tile
+    # matrix (avg_a x avg_b doubles) stays within target_tile_bytes
+    for n_rows in (262_144, 10_000_000, 1_000_000_000):
+        for target in (64 << 20, 256 << 20):
+            b = D._derive_n_blocks(n_rows, target)
+            avg = -(-n_rows // b)  # ceil: worst average block
+            assert avg * avg * 8 <= target * 1.1
+    # the r6 ADVICE scenario exactly: 262k dim-128 rows at the 256MB
+    # broadcast boundary used to get a ~2.1GB tile; now bounded
+    assert D._derive_n_blocks(262_144, 64 << 20) >= 64
+    # small corpora keep the floor (no degenerate 1-row tiles)
+    assert D._derive_n_blocks(300, 64 << 20) == 2
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(300)
+
+    def key(df):
+        return sorted(
+            (r["vec_id_1"], r["vec_id_2"], r["cosine"]) for r in df.collect()
+        )
+
+    exact = key(D.embedding_neardup_pairs(emb, 0.2))
+    derived = key(D.embedding_neardup_pairs(emb, 0.2, max_broadcast_bytes=0))
+    assert len(exact) > 0 and derived == exact
+
+
 def test_connected_components_driver_and_distributed_paths_agree(spark):
     # path graph 1-2-3, clique 10-11-12, isolated edge 20-21
     edges = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]

@@ -212,6 +212,57 @@ def test_backfill_refuses_when_data_files_vacuumed(spark, tmp_path, monkeypatch)
         assert not os.path.exists(M._version_path(t, 1))
 
 
+def test_backfill_validates_legacy_flat_layout_and_inline_refs(tmp_path):
+    """r6 ADVICE (low): a version body with no 'manifests' key (legacy
+    flat layout) produced an EMPTY ref list, so backfill resurrected it
+    with zero existence checks — the exact quiet corruption the
+    function exists to refuse. Flat-layout 'files' lists and pathless
+    inline refs must validate like any new ref body."""
+    import json as _json
+
+    from nypd_arrest_etl_spark.sinks.object_store import _backfill
+
+    with FakeS3Server() as srv:
+        client = S3ConditionalPutClient(srv.endpoint, "warehouse")
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "_manifest"))
+        vp = os.path.join(t, "_manifest", "v000000.json")
+
+        # flat layout referencing a vacuumed data file: refused
+        flat = {"version": 0, "files": ["part-gone.parquet"], "stats": {}}
+        assert client.put_if_absent(vp, _json.dumps(flat).encode())
+        _backfill(client, vp)
+        assert not os.path.exists(vp)
+
+        # same body once the data file exists: backfilled
+        open(os.path.join(t, "part-gone.parquet"), "wb").close()
+        _backfill(client, vp)
+        assert _json.load(open(vp)) == flat
+        os.remove(vp)
+
+        # flat layout with a malformed files field: refused
+        vp_bad = os.path.join(t, "_manifest", "v000001.json")
+        assert client.put_if_absent(
+            vp_bad, _json.dumps({"version": 1, "files": "not-a-list"}).encode()
+        )
+        _backfill(client, vp_bad)
+        assert not os.path.exists(vp_bad)
+
+        # pathless inline ref inside a manifests list: validated, not
+        # skipped — refused while its file is missing, landed after
+        vp2 = os.path.join(t, "_manifest", "v000002.json")
+        inline = {
+            "version": 2,
+            "manifests": [{"_inline": {"files": ["part-inline.parquet"]}}],
+        }
+        assert client.put_if_absent(vp2, _json.dumps(inline).encode())
+        _backfill(client, vp2)
+        assert not os.path.exists(vp2)
+        open(os.path.join(t, "part-inline.parquet"), "wb").close()
+        _backfill(client, vp2)
+        assert _json.load(open(vp2)) == inline
+
+
 def test_transient_get_failure_stays_a_retryable_conflict(
     spark, tmp_path, monkeypatch
 ):
