@@ -18,9 +18,14 @@ this module exists for drop-in parity with the reference's load stage
   mirroring the reference's tenacity policy) around the driver-side
   connection; executor-side write retries are Spark task retries.
 
-No JDBC driver jar nor Postgres server ships in this test image, so
-integration is exercised only by SQL-generation unit tests; the
-execution path degrades with a clear error if the driver is absent.
+No JDBC driver jar ships in this test image, so the literal
+``df.write.jdbc`` path degrades with a clear error if the driver is
+absent — but the staged-merge drive itself runs against a REAL
+PostgreSQL server through the stdlib wire client in
+:mod:`nypd_arrest_etl_spark.sinks.pgwire` (``merge_via_pgwire``:
+per-partition COPY staging + the same merge statement; live
+integration in tests/test_pgwire.py), and through DuckDB's SQL engine
+as the driverless twin (tests/test_jdbc_sink.py).
 """
 
 from __future__ import annotations

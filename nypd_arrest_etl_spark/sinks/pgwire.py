@@ -1,0 +1,386 @@
+"""Pure-stdlib PostgreSQL wire client: the real socket leg of the
+JDBC sink (SURVEY.md §2b K2-K5).
+
+The reference loads through psycopg2 (/root/reference/scripts/
+load.py:86-159: per-chunk staging INSERTs + ON CONFLICT merge). This
+image ships a Postgres SERVER (initdb/pg_ctl) but no client library
+and no JDBC driver jar, so the staged-merge drive used to stop at the
+engine-agnostic seam (``jdbc.merge_via_staging``) with DuckDB
+executing the SQL. This module closes the remaining leg with a
+minimal client speaking the documented frontend/backend protocol v3
+(PostgreSQL docs, "Frontend/Backend Protocol" — public wire format):
+
+- startup + trust/cleartext auth,
+- the simple-query subprotocol (``execute``/``query``: one Query
+  message, RowDescription/DataRow/CommandComplete/ReadyForQuery in),
+- ``COPY ... FROM STDIN`` text-format streaming (CopyInResponse /
+  CopyData / CopyDone) — Postgres's bulk-load fast path, what the
+  reference's chunked INSERTs should have been.
+
+Scale design mirrors ``df.write.jdbc``: :func:`stage_dataframe` opens
+ONE connection PER PARTITION inside ``foreachPartition`` and streams
+each partition concurrently via COPY — executor-side parallel load,
+no driver collect. The driver holds a single extra connection for
+DDL and the set-based merge. Works over unix sockets and TCP; being
+stdlib-only, it is picklable config + socket code, so executors need
+no extra packages.
+
+NOT a general driver: text protocol only (no binary params, no
+prepared statements, no TLS, no SCRAM — trust or cleartext auth,
+i.e. a co-located or tunnel-secured server). That surface is exactly
+what the staged-merge load needs; anything more belongs to a real
+driver on a real deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "PgError",
+    "PgWireClient",
+    "copy_field",
+    "staging_ddl",
+    "stage_dataframe",
+    "merge_via_pgwire",
+]
+
+
+class PgError(OSError):
+    """Server ErrorResponse, with the protocol's notice fields."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        code = fields.get("C", "?????")
+        super().__init__(f"[{code}] {fields.get('M', 'unknown server error')}")
+
+
+def _parse_notice(payload: bytes) -> dict[str, str]:
+    """ErrorResponse/NoticeResponse body: (field-type byte, C string)
+    pairs terminated by a zero byte."""
+    fields: dict[str, str] = {}
+    i = 0
+    while i < len(payload) and payload[i] != 0:
+        code = chr(payload[i])
+        j = payload.index(b"\0", i + 1)
+        fields[code] = payload[i + 1 : j].decode("utf-8", "replace")
+        i = j + 1
+    return fields
+
+
+class PgWireClient:
+    """One Postgres session over protocol v3 (autocommit simple-query
+    mode — each ``execute`` is its own transaction unless bracketed by
+    explicit BEGIN/COMMIT statements).
+
+    ``host`` starting with ``/`` is a unix-socket DIRECTORY (libpq
+    convention: the actual socket is ``.s.PGSQL.<port>`` inside it) or
+    a full socket path; anything else is a TCP host.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 5432,
+        user: str = "postgres",
+        database: str = "postgres",
+        password: str | None = None,
+        timeout: float = 30.0,
+    ):
+        if host.startswith("/"):
+            path = (
+                host
+                if os.path.basename(host).startswith(".s.PGSQL.")
+                else os.path.join(host, f".s.PGSQL.{port}")
+            )
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(path)
+        else:
+            self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._closed = False
+        try:
+            self._startup(user, database, password)
+        except BaseException:
+            self.close()
+            raise
+
+    # -- framing ----------------------------------------------------------
+
+    def _send(self, mtype: bytes, payload: bytes = b"") -> None:
+        self._sock.sendall(mtype + struct.pack("!i", len(payload) + 4) + payload)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise PgError({"M": "server closed the connection mid-message"})
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def _recv(self) -> tuple[bytes, bytes]:
+        head = self._recv_exact(5)
+        (length,) = struct.unpack("!i", head[1:5])
+        return head[:1], self._recv_exact(length - 4)
+
+    # -- session ----------------------------------------------------------
+
+    def _startup(self, user: str, database: str, password: str | None) -> None:
+        params = {"user": user, "database": database, "client_encoding": "UTF8"}
+        body = struct.pack("!i", 196608)  # protocol 3.0
+        for k, v in params.items():
+            body += k.encode() + b"\0" + v.encode() + b"\0"
+        body += b"\0"
+        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+        while True:
+            t, p = self._recv()
+            if t == b"R":
+                (code,) = struct.unpack("!i", p[:4])
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 3 and password is not None:  # cleartext
+                    self._send(b"p", password.encode() + b"\0")
+                    continue
+                raise PgError(
+                    {"M": f"unsupported auth request {code} (client speaks "
+                          "trust/cleartext only; see module docstring)"}
+                )
+            if t == b"E":
+                raise PgError(_parse_notice(p))
+            if t == b"Z":  # ReadyForQuery
+                return
+            # ParameterStatus / BackendKeyData / NoticeResponse: ignored
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            try:
+                self._send(b"X")  # Terminate
+            except OSError:
+                pass
+            self._sock.close()
+
+    def __enter__(self) -> "PgWireClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- simple query -----------------------------------------------------
+
+    @staticmethod
+    def _rowcount(tag: str | None) -> int:
+        """CommandComplete tag -> affected rows ("INSERT 0 7" -> 7,
+        "COPY 3" -> 3, "CREATE TABLE" -> 0)."""
+        if tag:
+            last = tag.rsplit(" ", 1)[-1]
+            if last.isdigit():
+                return int(last)
+        return 0
+
+    def _drain(self, collect_rows: bool):
+        """Read one simple-query response stream to ReadyForQuery.
+        Returns (columns, rows, last CommandComplete tag); raises the
+        FIRST ErrorResponse after the stream settles (the server always
+        finishes with ReadyForQuery, keeping the session usable)."""
+        cols: list[str] | None = None
+        rows: list[tuple] = []
+        tag: str | None = None
+        err: dict | None = None
+        while True:
+            t, p = self._recv()
+            if t == b"T" and collect_rows:
+                (n,) = struct.unpack("!h", p[:2])
+                cols, i = [], 2
+                for _ in range(n):
+                    j = p.index(b"\0", i)
+                    cols.append(p[i:j].decode())
+                    i = j + 1 + 18  # fixed per-column descriptor tail
+            elif t == b"D" and collect_rows:
+                (n,) = struct.unpack("!h", p[:2])
+                vals, i = [], 2
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", p[i : i + 4])
+                    i += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(p[i : i + ln].decode())
+                        i += ln
+                rows.append(tuple(vals))
+            elif t == b"C":
+                tag = p[:-1].decode()
+            elif t == b"E":
+                err = err or _parse_notice(p)
+            elif t == b"Z":
+                if err:
+                    raise PgError(err)
+                return cols, rows, tag
+            # 'N' notices, 'S' parameter changes, 'I' empty query: skip
+
+    def execute(self, sql: str) -> int:
+        """Run ``sql``; return the affected rowcount (the
+        ``executeUpdate`` contract ``merge_via_staging`` expects)."""
+        self._send(b"Q", sql.encode() + b"\0")
+        _, _, tag = self._drain(collect_rows=False)
+        return self._rowcount(tag)
+
+    def query(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Run ``sql``; return (column names, rows of text values —
+        the protocol's text results; callers cast)."""
+        self._send(b"Q", sql.encode() + b"\0")
+        cols, rows, _ = self._drain(collect_rows=True)
+        return cols or [], rows
+
+    # -- COPY IN ----------------------------------------------------------
+
+    def copy_in(self, sql: str, lines) -> int:
+        """Stream ``lines`` (iterable of pre-encoded text-format rows,
+        WITHOUT trailing newline — see :func:`copy_field`) into a
+        ``COPY ... FROM STDIN`` statement. Returns the copied rowcount.
+        Rows are batched into ~64 KiB CopyData messages."""
+        self._send(b"Q", sql.encode() + b"\0")
+        while True:
+            t, p = self._recv()
+            if t == b"G":  # CopyInResponse
+                break
+            if t == b"E":
+                fields = _parse_notice(p)
+                self._drain(collect_rows=False)  # settle to ReadyForQuery
+                raise PgError(fields)
+            if t == b"Z":
+                raise PgError({"M": f"statement did not start COPY IN: {sql!r}"})
+        try:
+            buf = bytearray()
+            for line in lines:
+                buf += line.encode() if isinstance(line, str) else line
+                buf += b"\n"
+                if len(buf) >= 65536:
+                    self._send(b"d", bytes(buf))
+                    buf.clear()
+            if buf:
+                self._send(b"d", bytes(buf))
+        except BaseException:
+            # tell the server the copy is abandoned, keep session sane
+            self._send(b"f", b"client-side failure\0")
+            try:
+                self._drain(collect_rows=False)
+            except PgError:
+                pass
+            raise
+        self._send(b"c")  # CopyDone
+        _, _, tag = self._drain(collect_rows=False)
+        return self._rowcount(tag)
+
+
+# -- Spark staging over the wire ------------------------------------------
+
+
+def copy_field(v) -> str:
+    """One value in COPY text format: ``\\N`` for SQL NULL, ``t``/``f``
+    booleans, and backslash-escaped delimiter/terminator bytes
+    (tab, newline, CR, backslash) per the COPY TEXT spec."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    s = v if isinstance(v, str) else str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+_PG_TYPES = {
+    "string": "TEXT",
+    "date": "DATE",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "float": "REAL",
+    "double": "DOUBLE PRECISION",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def staging_ddl(df: DataFrame, table: str) -> str:
+    """CREATE TABLE for a staging target matching ``df``'s schema
+    (unconstrained: staging holds the raw batch, the merge statement
+    owns dedup and domain guards)."""
+    cols = []
+    for f in df.schema.fields:
+        t = _PG_TYPES.get(f.dataType.simpleString())
+        if t is None:
+            raise TypeError(
+                f"no COPY/text mapping for column {f.name!r} of type "
+                f"{f.dataType.simpleString()!r}"
+            )
+        cols.append(f"{f.name} {t}")
+    return f"CREATE TABLE {table} ({', '.join(cols)})"
+
+
+def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
+    """K2/K3 over the wire: (re)create the staging table driver-side,
+    then COPY each Spark partition through its OWN connection inside
+    ``foreachPartition`` — the parallel executor-side load
+    ``df.write.jdbc`` would do, on Postgres's bulk path instead of
+    row INSERTs. ``conninfo`` is a plain picklable dict of
+    :class:`PgWireClient` kwargs."""
+    with PgWireClient(**conninfo) as c:
+        c.execute(f"DROP TABLE IF EXISTS {staging_table}")
+        c.execute(staging_ddl(df, staging_table))
+    cols = list(df.columns)
+    copy_sql = f"COPY {staging_table} ({', '.join(cols)}) FROM STDIN"
+
+    def _load(rows) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return  # empty partition: don't open a connection for nothing
+        from itertools import chain
+
+        with PgWireClient(**conninfo) as conn:
+            conn.copy_in(
+                copy_sql,
+                (
+                    "\t".join(copy_field(r[c]) for c in cols)
+                    for r in chain([first], it)
+                ),
+            )
+
+    df.foreachPartition(_load)
+
+
+def merge_via_pgwire(
+    df: DataFrame,
+    conninfo: dict,
+    target_table: str = "nypd_arrests",
+    staging_table: str = "nypd_arrests_staging",
+    key: str = "arrest_key",
+) -> int:
+    """Full K2+K4 against a live Postgres socket: parallel COPY
+    staging, then the reference's set-based ``INSERT ... ON CONFLICT
+    (key) DO NOTHING`` merge (with its domain guards) executed once
+    driver-side — the same ``merge_via_staging`` seam the DuckDB twin
+    drives, now ending at the real wire. Returns the inserted
+    rowcount (reference metric, load.py:151-155)."""
+    from .jdbc import merge_via_staging
+
+    def _stage(d: DataFrame, table: str) -> None:
+        stage_dataframe(d, conninfo, table)
+
+    def _execute(sql: str) -> int:
+        with PgWireClient(**conninfo) as c:
+            return c.execute(sql)
+
+    return merge_via_staging(df, _stage, _execute, target_table, staging_table, key)

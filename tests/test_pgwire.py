@@ -1,0 +1,269 @@
+"""The JDBC sink's real wire (sinks/pgwire.py) against a LIVE local
+PostgreSQL server: protocol client semantics (simple query, COPY
+text escaping, error recovery), then the same K2+K3+K4 staged-merge
+drive the DuckDB twin runs (tests/test_jdbc_sink.py) — DDL bootstrap,
+parallel per-partition COPY staging, ON CONFLICT merge, rowcount
+parity with the engine's own parquet merge, idempotent re-run.
+
+The cluster bootstraps per test module: initdb into a temp dir, serve
+on a unix socket only (no TCP port to collide with anything), trust
+auth. Skips — naming the missing binary — when the image carries no
+server; runs as the ``postgres`` system user when the suite runs as
+root (the server refuses root by design)."""
+
+import os
+import pwd
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from nypd_arrest_etl_spark.schema import TARGET_COLUMNS
+from nypd_arrest_etl_spark.sinks.jdbc import build_target_ddl
+from nypd_arrest_etl_spark.sinks.pgwire import (
+    PgError,
+    PgWireClient,
+    copy_field,
+    merge_via_pgwire,
+    stage_dataframe,
+    staging_ddl,
+)
+
+PG_PORT = 54329  # non-default: never collides with a system server
+
+
+def _sh(cmd: str, as_postgres: bool) -> subprocess.CompletedProcess:
+    if as_postgres:
+        return subprocess.run(
+            ["su", "postgres", "-s", "/bin/sh", "-c", cmd],
+            capture_output=True,
+            text=True,
+        )
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def pg(request):
+    initdb = shutil.which("initdb")
+    pg_ctl = shutil.which("pg_ctl")
+    if not initdb:
+        pytest.skip("no live Postgres in this image: `initdb` not on PATH")
+    if not pg_ctl:
+        pytest.skip("no live Postgres in this image: `pg_ctl` not on PATH")
+    as_postgres = os.geteuid() == 0
+    if as_postgres:
+        try:
+            pwd.getpwnam("postgres")
+        except KeyError:
+            pytest.skip("running as root and no `postgres` system user exists")
+    base = tempfile.mkdtemp(prefix="pgwire-", dir="/tmp")
+    data = os.path.join(base, "data")
+    sock = os.path.join(base, "sock")
+    os.makedirs(data)
+    os.makedirs(sock)
+    if as_postgres:
+        subprocess.run(["chown", "-R", "postgres:postgres", base], check=True)
+        # executor worker processes (root) must traverse into the
+        # socket dir; the socket itself is world-connectable
+        os.chmod(base, 0o755)
+    r = _sh(f"{initdb} -D {data} -A trust -U postgres", as_postgres)
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"initdb failed in this environment: {r.stderr[-400:]}")
+    _sh(f"chmod 755 {sock}", as_postgres)
+    r = _sh(
+        f"{pg_ctl} -D {data} -l {base}/log "
+        f"-o \"-k {sock} -c listen_addresses='' -p {PG_PORT}\" -w start",
+        as_postgres,
+    )
+    if r.returncode != 0:
+        log = ""
+        if os.path.exists(f"{base}/log"):
+            log = open(f"{base}/log").read()[-400:]
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"postgres failed to start: {r.stderr[-200:]} {log}")
+
+    def teardown():
+        _sh(f"{pg_ctl} -D {data} -m immediate -w stop", as_postgres)
+        shutil.rmtree(base, ignore_errors=True)
+
+    request.addfinalizer(teardown)
+    return {"host": sock, "port": PG_PORT, "user": "postgres", "database": "postgres"}
+
+
+# -- client protocol ------------------------------------------------------
+
+
+def test_client_execute_query_roundtrip(pg):
+    with PgWireClient(**pg) as c:
+        cols, rows = c.query("SELECT 1 AS one, 'x' AS s, NULL AS n")
+        assert cols == ["one", "s", "n"]
+        assert rows == [("1", "x", None)]
+        assert c.execute("CREATE TEMP TABLE t (a int)") == 0
+        assert c.execute("INSERT INTO t VALUES (1), (2), (3)") == 3
+        assert c.execute("UPDATE t SET a = a + 1 WHERE a > 1") == 2
+        # version string proves this is the real server, not a fake
+        _, v = c.query("SELECT version()")
+        assert "PostgreSQL" in v[0][0]
+
+
+def test_client_error_keeps_session_usable(pg):
+    with PgWireClient(**pg) as c:
+        with pytest.raises(PgError) as ei:
+            c.execute("SELECT * FROM table_that_does_not_exist")
+        assert ei.value.fields.get("C") == "42P01"  # undefined_table
+        # the protocol settles to ReadyForQuery: next statement works
+        assert c.query("SELECT 2")[1] == [("2",)]
+
+
+def test_copy_in_streams_and_escapes(pg):
+    """COPY text-format escaping: NULLs, tabs, newlines, CRs and
+    backslashes must round-trip byte-exact through the wire."""
+    gnarly = [
+        ("a\tb", "tab"),
+        ("line1\nline2", "newline"),
+        ("back\\slash", "backslash"),
+        ("cr\rhere", "cr"),
+        (None, "null"),
+        ("plain", None),
+    ]
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS copy_t")
+        c.execute("CREATE TABLE copy_t (v text, tag text)")
+        n = c.copy_in(
+            "COPY copy_t (v, tag) FROM STDIN",
+            ("\t".join(copy_field(x) for x in row) for row in gnarly),
+        )
+        assert n == len(gnarly)
+        _, rows = c.query("SELECT v, tag FROM copy_t")
+        assert sorted(rows, key=str) == sorted(gnarly, key=str)
+        # error inside COPY (bad int) surfaces as PgError, session survives
+        c.execute("CREATE TEMP TABLE ints (i int)")
+        with pytest.raises(PgError):
+            c.copy_in("COPY ints (i) FROM STDIN", ["not-an-int"])
+        assert c.query("SELECT 3")[1] == [("3",)]
+        # a non-COPY statement through copy_in is a loud error
+        with pytest.raises(PgError, match="did not start COPY"):
+            c.copy_in("SELECT 1", [])
+
+
+# -- the staged-merge drive (reference load.py:169-223) -------------------
+
+
+def _clean_batch(spark, rows):
+    from nypd_arrest_etl_spark.operators.clean import clean
+
+    return clean(
+        spark.createDataFrame(
+            rows,
+            "ARREST_KEY string, ARREST_DATE string, LAW_CAT_CD string, "
+            "PERP_SEX string",
+        )
+    )
+
+
+def test_merge_via_staging_end_to_end_live_postgres(spark, pg):
+    """The DuckDB-twin scenario executed against the REAL wire:
+    identical batches, identical expected rowcounts [2, 1, 0]
+    (initial, overlapping, idempotent re-run), identical merge-time
+    domain guards — and rowcount parity with the engine's own parquet
+    merge path. This is the previously-environmental K2/K4 gap closed:
+    staging lands via per-partition COPY from executor tasks, the
+    merge is one driver-side ON CONFLICT statement."""
+    from nypd_arrest_etl_spark.operators.merge import merge_into_parquet
+
+    batches = [
+        _clean_batch(
+            spark,
+            [
+                ("k1", "2023-01-05", "f", "m"),
+                ("k2", "2023-01-06", "NONE", "x"),  # both guards fire -> 'U'
+                ("k1", "2023-01-05", "f", "m"),     # in-batch duplicate key
+            ],
+        ),
+        _clean_batch(
+            spark,
+            [
+                ("k2", "2023-01-06", "v", "f"),     # conflicts with existing
+                ("k3", "2023-01-07", "i", "f"),     # fresh key
+            ],
+        ),
+    ]
+    batches.append(batches[1])  # idempotent re-run
+
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS nypd_arrests")
+        c.execute(build_target_ddl())
+
+    tgt = tempfile.mkdtemp() + "/tbl"
+    pg_counts, parquet_counts = [], []
+    for batch in batches:
+        pg_counts.append(merge_via_pgwire(batch, pg))
+        parquet_counts.append(
+            merge_into_parquet(spark, batch, tgt, key="arrest_key")
+        )
+    assert pg_counts == [2, 1, 0]
+    assert pg_counts == parquet_counts  # EtlResult rowcount parity
+
+    with PgWireClient(**pg) as c:
+        _, rows = c.query(
+            "SELECT arrest_key, law_cat_cd, perp_sex FROM nypd_arrests"
+        )
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert set(got) == {"k1", "k2", "k3"}
+    assert got["k1"] == ("F", "M")
+    assert got["k2"] == ("U", "U")  # guards fired at merge time
+    # first-writer-wins: the later ('V','F') k2 batch changed nothing
+    assert got["k3"] == ("I", "F")
+
+
+def test_staging_copies_partitions_in_parallel(spark, pg):
+    """K2's shape: each Spark partition opens its own connection and
+    COPYs concurrently (the ``df.write.jdbc`` execution model) — all
+    rows of a multi-partition frame land exactly once, NULLs intact."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k"),
+            F.when(F.col("id") % 7 != 0, F.col("id")).alias("v"),
+        )
+        .repartition(8)
+    )
+    stage_dataframe(df, pg, "stage_par")
+    with PgWireClient(**pg) as c:
+        _, rows = c.query(
+            "SELECT count(*), count(DISTINCT k), count(v) FROM stage_par"
+        )
+        assert rows[0] == ("500", "500", str(500 - len(range(0, 500, 7))))
+        c.execute("DROP TABLE stage_par")
+
+
+def test_staging_ddl_maps_spark_types(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.5, True)], "s string, i bigint, d double, b boolean"
+    )
+    ddl = staging_ddl(df, "t")
+    assert ddl == "CREATE TABLE t (s TEXT, i BIGINT, d DOUBLE PRECISION, b BOOLEAN)"
+    with pytest.raises(TypeError, match="no COPY/text mapping"):
+        staging_ddl(
+            spark.createDataFrame([([1],)], "a array<int>"), "t"
+        )
+
+
+def test_merge_sql_columns_match_target(spark, pg):
+    """The generated merge statement is valid against the live server's
+    catalog (Postgres parses and plans it — a stricter check than any
+    string assert): EXPLAIN succeeds on the exact statement."""
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS nypd_arrests")
+        c.execute(build_target_ddl())
+        df = _clean_batch(spark, [("k1", "2023-01-05", "f", "m")])
+        stage_dataframe(df, pg, "nypd_arrests_staging")
+        from nypd_arrest_etl_spark.sinks import build_merge_sql
+
+        cols, rows = c.query("EXPLAIN " + build_merge_sql())
+        assert any("Insert on nypd_arrests" in r[0] for r in rows)
+        assert len(df.columns) == len(TARGET_COLUMNS)
