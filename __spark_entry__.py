@@ -43,17 +43,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle — so growing the registry without refreshing the full-compare
 # artifact fails the suite instead of silently shrinking coverage.
 _GATE_PRIORITY = [
-    # grouped aggs / windows / set ops / time
-    "pricing_summary", "grouped_distinct", "revenue_by_nation",
+    # grouped aggs / windows / set ops / time. (Rotated OUT in r7, all
+    # driver-green since r1 and still full-compare covered:
+    # revenue_by_nation / grouping_sets_sql / sliding_daily /
+    # monthly_revenue_spine / pivot_status_by_year /
+    # nation_accounts_reconciliation — each family keeps a gate rep:
+    # pricing_summary+grouped_distinct for grouped agg,
+    # rollup_lineitem for rollup/grouping sets, tumbling+sessionize
+    # for event-time windows, resample_hourly for spine/interp.)
+    "pricing_summary", "grouped_distinct",
     "top_orders_per_customer", "running_totals", "rollup_lineitem",
-    "grouping_sets_sql", "set_ops_yearly", "semi_anti_join",
-    "top_customers", "events_clean", "tumbling_hourly", "sliding_daily",
+    "set_ops_yearly", "semi_anti_join",
+    "top_customers", "events_clean", "tumbling_hourly",
     "sessionize", "props_variant_stats",
     "asof_click_before_purchase", "range_pairs_5min", "median_price",
     "embedding_centroids", "arrow_group_stats", "ccnet_buckets",
-    "null_semantics", "monthly_revenue_spine",
-    "trailing_week_revenue", "pivot_status_by_year",
-    "nation_accounts_reconciliation",
+    "null_semantics",
+    "trailing_week_revenue",
     # event analytics / time series / profiling
     "events_funnel", "retention_cohorts", "status_history_scd2",
     "resample_hourly", "mixture_temperature",
@@ -66,8 +72,15 @@ _GATE_PRIORITY = [
     "text_stats_docs", "dedup_span_trim", "text_lm_score",
     "sample_fixed_per_source", "sample_importance_dsir",
     # r6 rotation: round-5 ops with full oracles that had never been
-    # driver-verified (VERDICT r5 #2) — completes the 50-entry window
+    # driver-verified (VERDICT r5 #2)
     "text_tfidf_topk", "corpus_zipf",
+    # r7 rotation (VERDICT r6 #1): six more full-oracle entries that
+    # had only ever been verified by the committed full-registry
+    # compare, never by the driver gate — ranked retrieval, the
+    # curation plan, PII scrubbing, sequence packing, the multimodal
+    # manifest, and corpus vocabulary stats
+    "text_bm25_topk", "curate_corpus", "pii_scrub", "pack_sequences",
+    "multimodal_manifest", "corpus_vocabulary",
 ]
 
 
