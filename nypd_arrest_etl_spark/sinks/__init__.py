@@ -8,6 +8,7 @@ from nypd_arrest_etl_spark.sinks.jdbc import (
 from nypd_arrest_etl_spark.sinks.pgwire import (
     PgWireClient,
     merge_via_pgwire,
+    read_postgres,
     stage_dataframe,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "retry",
     "write_jdbc_staging",
     "PgWireClient",
+    "read_postgres",
     "stage_dataframe",
 ]

@@ -21,9 +21,11 @@ Scale design mirrors ``df.write.jdbc``: :func:`stage_dataframe` opens
 ONE connection PER PARTITION inside ``foreachPartition`` and streams
 each partition concurrently via COPY — executor-side parallel load,
 no driver collect. The driver holds a single extra connection for
-DDL and the set-based merge. Works over unix sockets and TCP; being
-stdlib-only, it is picklable config + socket code, so executors need
-no extra packages.
+DDL and the set-based merge. :func:`read_postgres` is the matching
+SOURCE: the ``spark.read.jdbc(partitionColumn=...)`` model, each
+key-range slice streamed by ``COPY ... TO STDOUT`` from an executor
+task. Works over unix sockets and TCP; being stdlib-only, it is
+picklable config + socket code, so executors need no extra packages.
 
 NOT a general driver: text protocol only (no binary params, no
 prepared statements, no TLS, no SCRAM — trust or cleartext auth,
@@ -44,9 +46,11 @@ __all__ = [
     "PgError",
     "PgWireClient",
     "copy_field",
+    "copy_unescape",
     "staging_ddl",
     "stage_dataframe",
     "merge_via_pgwire",
+    "read_postgres",
 ]
 
 
@@ -237,6 +241,44 @@ class PgWireClient:
         cols, rows, _ = self._drain(collect_rows=True)
         return cols or [], rows
 
+    # -- COPY OUT ---------------------------------------------------------
+
+    def copy_out(self, sql: str):
+        """Stream a ``COPY ... TO STDOUT`` statement: yields one raw
+        text-format row (bytes, no trailing newline) at a time,
+        reassembled across CopyData message boundaries — constant
+        memory however large the result. Consume FULLY (or close the
+        client): abandoning mid-stream leaves the session mid-COPY."""
+        self._send(b"Q", sql.encode() + b"\0")
+        while True:
+            t, p = self._recv()
+            if t == b"H":  # CopyOutResponse
+                break
+            if t == b"E":
+                fields = _parse_notice(p)
+                self._drain(collect_rows=False)
+                raise PgError(fields)
+            if t == b"Z":
+                raise PgError({"M": f"statement did not start COPY OUT: {sql!r}"})
+        buf = bytearray()
+        err: dict | None = None
+        while True:
+            t, p = self._recv()
+            if t == b"d":
+                buf += p
+                start = 0
+                while (idx := buf.find(b"\n", start)) != -1:
+                    yield bytes(buf[start:idx])
+                    start = idx + 1
+                del buf[:start]
+            elif t == b"E":
+                err = err or _parse_notice(p)
+            elif t == b"Z":
+                if err:
+                    raise PgError(err)
+                return
+            # 'c' CopyDone / 'C' CommandComplete / notices: skip
+
     # -- COPY IN ----------------------------------------------------------
 
     def copy_in(self, sql: str, lines) -> int:
@@ -359,6 +401,195 @@ def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
             )
 
     df.foreachPartition(_load)
+
+
+def copy_unescape(s: str) -> str | None:
+    """One COPY text field back to its value: ``\\N`` -> SQL NULL,
+    backslash escapes unwound (inverse of :func:`copy_field`, plus the
+    control escapes the server may emit)."""
+    if s == "\\N":
+        return None
+    if "\\" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    esc = {"\\": "\\", "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v"}
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n and s[i + 1] in esc:
+            out.append(esc[s[i + 1]])
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+_SPARK_TYPES = {
+    "text": "string",
+    "character varying": "string",
+    "character": "string",
+    "integer": "int",
+    "bigint": "bigint",
+    "smallint": "smallint",
+    "real": "float",
+    "double precision": "double",
+    "numeric": "double",  # lossy by design: no DecimalType round-trip
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp without time zone": "timestamp_ntz",
+    "timestamp with time zone": "timestamp",
+}
+
+
+def _ident(name: str) -> str:
+    """A safe SQL identifier: plain names pass through, anything else
+    is double-quoted with embedded quotes doubled."""
+    if name.replace("_", "a").isalnum() and not name[0].isdigit():
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def read_postgres(
+    spark,
+    conninfo: dict,
+    table: str,
+    partition_col: str | None = None,
+    num_partitions: int = 8,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Partitioned Postgres SOURCE over the same wire: the
+    ``spark.read.jdbc(partitionColumn=...)`` execution model, each
+    partition streaming its key-range slice via ``COPY (SELECT ...) TO
+    STDOUT`` (the server's bulk path — the reference itself moves bulk
+    rows as COPY text, load.py:96) from an executor task.
+
+    - schema from ``information_schema.columns`` (one driver query),
+      PG types mapped to Spark types (numeric -> double, documented
+      lossy);
+    - ``partition_col`` (numeric) splits [min, max] into
+      ``num_partitions`` strided ranges exactly like Spark's JDBC
+      source — first/last ranges unbounded so concurrent inserts
+      outside the sampled bounds are not silently dropped; rows with
+      NULL in the partition column ride the first range;
+    - no ``partition_col`` -> one partition (small dims);
+    - ``predicate`` is pushed into every slice's WHERE.
+
+    At 100 TB-adjacent scale the real limit is the server: this is for
+    the reference deployment's OPERATIONAL table (millions of rows,
+    the other end of the merge sink), not a data lake — parallelism
+    bounded by ``num_partitions`` server connections, each a single
+    sequential COPY stream."""
+    import pandas as pd
+
+    cols_sql = (
+        "SELECT column_name, data_type FROM information_schema.columns "
+        f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
+        "ORDER BY ordinal_position"
+    )
+    with PgWireClient(**conninfo) as c:
+        _, meta = c.query(cols_sql)
+        if not meta:
+            raise ValueError(f"table {table!r} not found in information_schema")
+        fields = [
+            (name, _SPARK_TYPES.get(dtype, "string")) for name, dtype in meta
+        ]
+        if columns is not None:
+            want = {f[0] for f in fields}
+            missing = [x for x in columns if x not in want]
+            if missing:
+                raise ValueError(f"unknown columns {missing} on {table!r}")
+            fields = [f for f in fields if f[0] in set(columns)]
+        clauses = [predicate or "TRUE"]
+        if partition_col is not None and num_partitions > 1:
+            pc = _ident(partition_col)
+            base = f" FROM {_ident(table)} WHERE {predicate or 'TRUE'}"
+            _, mm = c.query(f"SELECT min({pc}), max({pc}){base}")
+            lo_s, hi_s = mm[0]
+            if lo_s is not None and hi_s is not None:
+                lo, hi = float(lo_s), float(hi_s)
+                n = num_partitions
+                stride = (hi - lo) / n
+                if stride > 0:
+                    bounds = [lo + stride * i for i in range(1, n)]
+                    clauses = []
+                    for i in range(n):
+                        parts = [predicate] if predicate else []
+                        if i == 0:
+                            # first range is lower-unbounded and owns
+                            # NULL partition keys (Spark JDBC drops
+                            # them; dropping rows is never ok here)
+                            parts.append(
+                                f"({pc} < {bounds[0]!r} OR {pc} IS NULL)"
+                            )
+                        elif i == n - 1:
+                            parts.append(f"{pc} >= {bounds[i - 1]!r}")
+                        else:
+                            parts.append(
+                                f"{pc} >= {bounds[i - 1]!r} "
+                                f"AND {pc} < {bounds[i]!r}"
+                            )
+                        clauses.append(" AND ".join(parts))
+
+    names = [f[0] for f in fields]
+    sel = ", ".join(_ident(n) for n in names)
+    tbl = _ident(table)
+    schema = ", ".join(f"{_ident(n)} {t}" for n, t in fields)
+
+    def _convert(raw: list[list[str | None]]) -> "pd.DataFrame":
+        import datetime
+
+        data = {}
+        for j, (name, t) in enumerate(fields):
+            col = [r[j] for r in raw]
+            if t in ("int", "bigint", "smallint"):
+                width = {"int": "Int32", "bigint": "Int64", "smallint": "Int16"}[t]
+                data[name] = pd.array(
+                    [None if v is None else int(v) for v in col], dtype=width
+                )
+            elif t in ("float", "double"):
+                data[name] = pd.array(
+                    [None if v is None else float(v) for v in col],
+                    dtype="float64" if t == "double" else "float32",
+                )
+            elif t == "boolean":
+                data[name] = pd.array(
+                    [None if v is None else v == "t" for v in col],
+                    dtype="boolean",
+                )
+            elif t == "date":
+                data[name] = [
+                    None if v is None else datetime.date.fromisoformat(v)
+                    for v in col
+                ]
+            elif t.startswith("timestamp"):
+                data[name] = pd.to_datetime(pd.Series(col, dtype="object"))
+            else:
+                data[name] = pd.Series(col, dtype="object")
+        return pd.DataFrame(data, columns=names)
+
+    def _scan(batches):
+        for pdf in batches:
+            for clause in pdf["clause"]:
+                with PgWireClient(**conninfo) as conn:
+                    rows: list[list[str | None]] = []
+                    for line in conn.copy_out(
+                        f"COPY (SELECT {sel} FROM {tbl} WHERE {clause}) TO STDOUT"
+                    ):
+                        rows.append(
+                            [copy_unescape(f) for f in line.decode().split("\t")]
+                        )
+                        if len(rows) >= 20_000:
+                            yield _convert(rows)
+                            rows = []
+                    if rows:
+                        yield _convert(rows)
+
+    ranges = spark.createDataFrame(
+        [(cl,) for cl in clauses], "clause string"
+    ).repartition(len(clauses))
+    return ranges.mapInPandas(_scan, schema=schema)
 
 
 def merge_via_pgwire(
