@@ -765,10 +765,18 @@ def embedding_neardup_pairs(
     if corpus_bytes > max_broadcast_bytes:
         if n_blocks is None:
             if n_rows is None:
-                # caller supplied corpus_bytes to skip the routing
-                # pass; block sizing still needs the row count (a
-                # column-pruned footer read, not a vector scan)
-                n_rows = v.count()
+                # caller supplied corpus_bytes PRECISELY to skip extra
+                # passes over an expensive upstream DAG — honor that:
+                # recover the row count from the same rows*dim*8
+                # contract corpus_bytes is documented as, with only a
+                # LIMIT-1 dim probe (never a full count)
+                head = (
+                    v.where(F.col("vec").isNotNull())
+                    .select(F.size("vec").alias("d"))
+                    .head(1)
+                )
+                dim = max(head[0]["d"] or 1, 1) if head else 1
+                n_rows = max(1, corpus_bytes // (dim * 8))
             n_blocks = _derive_n_blocks(n_rows, target_tile_bytes)
         return _embedding_pairs_blocked(v, id_t, threshold, n_blocks, unit)
 

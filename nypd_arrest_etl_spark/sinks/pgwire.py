@@ -221,11 +221,23 @@ class PgWireClient:
                 tag = p[:-1].decode()
             elif t == b"E":
                 err = err or _parse_notice(p)
+            elif t == b"G":
+                # a COPY FROM STDIN run through execute()/query() would
+                # otherwise hang waiting for CopyData the caller will
+                # never send, wedging the session: fail the copy and
+                # surface a pointed error once the stream settles
+                self._send(b"f", b"use copy_in() for COPY FROM STDIN\0")
+                err = err or {"M": "statement started COPY IN — use copy_in()"}
+            elif t == b"H":
+                # COPY TO STDOUT: its data ('d') messages fall through
+                # to the skip branch; reject once drained
+                err = err or {"M": "statement started COPY OUT — use copy_out()"}
             elif t == b"Z":
                 if err:
                     raise PgError(err)
                 return cols, rows, tag
-            # 'N' notices, 'S' parameter changes, 'I' empty query: skip
+            # 'N' notices, 'S' parameter changes, 'I' empty query,
+            # 'd'/'c' copy-out payload being discarded: skip
 
     def execute(self, sql: str) -> int:
         """Run ``sql``; return the affected rowcount (the
@@ -366,8 +378,8 @@ def staging_ddl(df: DataFrame, table: str) -> str:
                 f"no COPY/text mapping for column {f.name!r} of type "
                 f"{f.dataType.simpleString()!r}"
             )
-        cols.append(f"{f.name} {t}")
-    return f"CREATE TABLE {table} ({', '.join(cols)})"
+        cols.append(f"{_ident(f.name)} {t}")
+    return f"CREATE TABLE {_ident(table)} ({', '.join(cols)})"
 
 
 def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
@@ -378,10 +390,13 @@ def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
     row INSERTs. ``conninfo`` is a plain picklable dict of
     :class:`PgWireClient` kwargs."""
     with PgWireClient(**conninfo) as c:
-        c.execute(f"DROP TABLE IF EXISTS {staging_table}")
+        c.execute(f"DROP TABLE IF EXISTS {_ident(staging_table)}")
         c.execute(staging_ddl(df, staging_table))
     cols = list(df.columns)
-    copy_sql = f"COPY {staging_table} ({', '.join(cols)}) FROM STDIN"
+    copy_sql = (
+        f"COPY {_ident(staging_table)} "
+        f"({', '.join(_ident(c) for c in cols)}) FROM STDIN"
+    )
 
     def _load(rows) -> None:
         it = iter(rows)
@@ -443,10 +458,12 @@ _SPARK_TYPES = {
 
 
 def _ident(name: str) -> str:
-    """A safe SQL identifier: plain names pass through, anything else
-    is double-quoted with embedded quotes doubled."""
-    if name.replace("_", "a").isalnum() and not name[0].isdigit():
-        return name
+    """SQL identifier, ALWAYS double-quoted (embedded quotes doubled):
+    exact-name semantics with no case folding, and reserved words stay
+    column references (an unquoted column named ``user`` would
+    silently evaluate the SQL function instead — wrong data, no
+    error). Callers pass catalog-exact names, the same contract the
+    information_schema lookup already imposes."""
     return '"' + name.replace('"', '""') + '"'
 
 
@@ -486,6 +503,10 @@ def read_postgres(
     cols_sql = (
         "SELECT column_name, data_type FROM information_schema.columns "
         f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
+        # scope to the connection's schema: a same-named table in
+        # another schema would interleave foreign columns into the
+        # inferred field list
+        "AND table_schema = current_schema() "
         "ORDER BY ordinal_position"
     )
     with PgWireClient(**conninfo) as c:
@@ -496,15 +517,21 @@ def read_postgres(
             (name, _SPARK_TYPES.get(dtype, "string")) for name, dtype in meta
         ]
         if columns is not None:
-            want = {f[0] for f in fields}
-            missing = [x for x in columns if x not in want]
+            by_name = {f[0]: f for f in fields}
+            missing = [x for x in columns if x not in by_name]
             if missing:
                 raise ValueError(f"unknown columns {missing} on {table!r}")
-            fields = [f for f in fields if f[0] in set(columns)]
-        clauses = [predicate or "TRUE"]
+            # caller's projection ORDER is part of the contract — a
+            # positional consumer must not get table ordinal order
+            fields = [by_name[x] for x in columns]
+        # the user predicate is parenthesized EVERYWHERE it combines
+        # with range conditions: a top-level OR would otherwise bind
+        # tighter than intended and duplicate rows across slices
+        pred = f"({predicate})" if predicate else None
+        clauses = [pred or "TRUE"]
         if partition_col is not None and num_partitions > 1:
             pc = _ident(partition_col)
-            base = f" FROM {_ident(table)} WHERE {predicate or 'TRUE'}"
+            base = f" FROM {_ident(table)} WHERE {pred or 'TRUE'}"
             _, mm = c.query(f"SELECT min({pc}), max({pc}){base}")
             lo_s, hi_s = mm[0]
             if lo_s is not None and hi_s is not None:
@@ -515,7 +542,7 @@ def read_postgres(
                     bounds = [lo + stride * i for i in range(1, n)]
                     clauses = []
                     for i in range(n):
-                        parts = [predicate] if predicate else []
+                        parts = [pred] if pred else []
                         if i == 0:
                             # first range is lower-unbounded and owns
                             # NULL partition keys (Spark JDBC drops

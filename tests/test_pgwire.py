@@ -246,7 +246,10 @@ def test_staging_ddl_maps_spark_types(spark):
         [("a", 1, 1.5, True)], "s string, i bigint, d double, b boolean"
     )
     ddl = staging_ddl(df, "t")
-    assert ddl == "CREATE TABLE t (s TEXT, i BIGINT, d DOUBLE PRECISION, b BOOLEAN)"
+    assert ddl == (
+        'CREATE TABLE "t" ("s" TEXT, "i" BIGINT, '
+        '"d" DOUBLE PRECISION, "b" BOOLEAN)'
+    )
     with pytest.raises(TypeError, match="no COPY/text mapping"):
         staging_ddl(
             spark.createDataFrame([([1],)], "a array<int>"), "t"
