@@ -51,15 +51,21 @@ _GATE_PRIORITY = [
     # pricing_summary+grouped_distinct for grouped agg,
     # rollup_lineitem for rollup/grouping sets, tumbling+sessionize
     # for event-time windows, resample_hourly for spine/interp.)
-    "pricing_summary", "grouped_distinct",
+    # (Rotated OUT in r8, driver-green r1–r7 and still full-compare
+    # covered: grouped_distinct [pricing_summary keeps grouped agg],
+    # sessionize [tumbling_hourly keeps event-time windows],
+    # trailing_week_revenue [running_totals keeps window analytics],
+    # dedup_simhash_pairs [minhash/jaccard/embedding keep banded
+    # dedup], text_lm_score [text_stats_docs+ccnet keep text scoring],
+    # sample_fixed_per_source [sample_importance_dsir keeps sampling].)
+    "pricing_summary",
     "top_orders_per_customer", "running_totals", "rollup_lineitem",
     "set_ops_yearly", "semi_anti_join",
     "top_customers", "events_clean", "tumbling_hourly",
-    "sessionize", "props_variant_stats",
+    "props_variant_stats",
     "asof_click_before_purchase", "range_pairs_5min", "median_price",
     "embedding_centroids", "arrow_group_stats", "ccnet_buckets",
     "null_semantics",
-    "trailing_week_revenue",
     # event analytics / time series / profiling
     "events_funnel", "retention_cohorts", "status_history_scd2",
     "resample_hourly", "mixture_temperature",
@@ -67,10 +73,10 @@ _GATE_PRIORITY = [
     "salted_revenue", "bloom_pruned_join", "sketch_stats",
     # LLM-pipeline extensions
     "dedup_exact_docs", "dedup_jaccard_pairs", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "dedup_embedding_pairs", "dedup_neardup_clusters",
+    "dedup_embedding_pairs", "dedup_neardup_clusters",
     "dedup_contamination", "similarity_topk", "dedup_keep_best",
-    "text_stats_docs", "dedup_span_trim", "text_lm_score",
-    "sample_fixed_per_source", "sample_importance_dsir",
+    "text_stats_docs", "dedup_span_trim",
+    "sample_importance_dsir",
     # r6 rotation: round-5 ops with full oracles that had never been
     # driver-verified (VERDICT r5 #2)
     "text_tfidf_topk", "corpus_zipf",
@@ -81,6 +87,15 @@ _GATE_PRIORITY = [
     # manifest, and corpus vocabulary stats
     "text_bm25_topk", "curate_corpus", "pii_scrub", "pack_sequences",
     "multimodal_manifest", "corpus_vocabulary",
+    # r8 rotation (VERDICT r7 #5): six more full-oracle entries never
+    # driver-verified before — multimodal feature extraction, winnowing
+    # containment pairs, cross-source overlap, quality-top-fraction
+    # curation, char histograms, and source drift stats. (Remaining
+    # never-gated full-oracle entries for r9: profile_documents,
+    # quality_constraints, text_containment_capped.)
+    "multimodal_features", "text_containment_pairs",
+    "dedup_source_overlap", "curate_quality_top_frac",
+    "histogram_chars", "drift_sources",
 ]
 
 

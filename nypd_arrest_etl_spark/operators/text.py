@@ -597,31 +597,26 @@ def ccnet_perplexity_buckets(
     # retries, rather than a task. The alternative (value-derived
     # bucket boundaries) is deterministic but degrades under heavy
     # score ties; exactness wins here.
-    jsc = df.sparkSession.sparkContext._jsc
-    before = (
-        {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-        if unpersist_into is not None
-        else None
-    )
     parted = (
         scored.repartitionByRange(F.col("lang"), *order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     if unpersist_into is not None:
-        # the checkpoint registers exactly this call's new persistent
-        # RDD(s); the handle re-resolves ids at call time so a block
-        # already cleaned by ContextCleaner is a no-op, not an error
-        new_ids = {
-            int(i) for i in jsc.getPersistentRDDs().keySet().toArray()
-        } - before
+        # the checkpointed DataFrame's analyzed plan is a LogicalRDD
+        # holding EXACTLY the persisted RDD — read its id directly, so
+        # the handle can never capture a persist/cache registered
+        # concurrently by another driver thread (a global
+        # getPersistentRDDs before/after diff would). The handle
+        # re-resolves the id at call time so a block already cleaned
+        # by ContextCleaner is a no-op, not an error.
+        rdd_id = int(parted._jdf.queryExecution().analyzed().rdd().id())
+        jsc = df.sparkSession.sparkContext._jsc
 
-        def _free(ids=frozenset(new_ids), jsc=jsc):
-            m = jsc.getPersistentRDDs()
-            for i in ids:
-                r = m.get(i)
-                if r is not None:
-                    r.unpersist(False)
+        def _free(i=rdd_id, jsc=jsc):
+            r = jsc.getPersistentRDDs().get(i)
+            if r is not None:
+                r.unpersist(False)
 
         unpersist_into.append(_free)
     # local rank within this data partition's slice of the language

@@ -321,10 +321,12 @@ class PgWireClient:
                 self._send(b"d", bytes(buf))
         except BaseException:
             # tell the server the copy is abandoned, keep session sane
-            self._send(b"f", b"client-side failure\0")
+            # — but if the SOCKET is what failed, CopyFail/drain raise
+            # OSError too; swallow those so the ROOT cause propagates
             try:
+                self._send(b"f", b"client-side failure\0")
                 self._drain(collect_rows=False)
-            except PgError:
+            except (PgError, OSError):
                 pass
             raise
         self._send(b"c")  # CopyDone
@@ -458,13 +460,40 @@ _SPARK_TYPES = {
 
 
 def _ident(name: str) -> str:
-    """SQL identifier, ALWAYS double-quoted (embedded quotes doubled):
-    exact-name semantics with no case folding, and reserved words stay
-    column references (an unquoted column named ``user`` would
-    silently evaluate the SQL function instead — wrong data, no
+    """POSTGRES SQL identifier, ALWAYS double-quoted (embedded quotes
+    doubled): exact-name semantics with no case folding, and reserved
+    words stay column references (an unquoted column named ``user``
+    would silently evaluate the SQL function instead — wrong data, no
     error). Callers pass catalog-exact names, the same contract the
-    information_schema lookup already imposes."""
+    information_schema lookup already imposes. This helper serves ONE
+    dialect — the SQL sent over the wire. Spark-side schemas are built
+    as a StructType (:func:`_spark_struct`), never as a DDL string, so
+    the two engines' quoting rules can't cross-contaminate (the r7
+    bug: double-quoted identifiers in a Spark DDL string are a
+    ParseException)."""
     return '"' + name.replace('"', '""') + '"'
+
+
+def _spark_struct(fields: list[tuple[str, str]]):
+    """Spark schema for ``read_postgres`` built programmatically —
+    field names go in verbatim, no SQL-dialect quoting involved."""
+    from pyspark.sql import types as T
+
+    atom = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "smallint": T.ShortType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    return T.StructType(
+        [T.StructField(n, atom[t], nullable=True) for n, t in fields]
+    )
 
 
 def read_postgres(
@@ -562,7 +591,7 @@ def read_postgres(
     names = [f[0] for f in fields]
     sel = ", ".join(_ident(n) for n in names)
     tbl = _ident(table)
-    schema = ", ".join(f"{_ident(n)} {t}" for n, t in fields)
+    schema = _spark_struct(fields)
 
     def _convert(raw: list[list[str | None]]) -> "pd.DataFrame":
         import datetime
@@ -613,9 +642,17 @@ def read_postgres(
                     if rows:
                         yield _convert(rows)
 
+    # exactly ONE clause per task: parallelize with numSlices == len
+    # deterministically places one element in each slice, so the n
+    # COPY streams run simultaneously. (repartition(n) round-robins
+    # from a random start — two ranges can share a task while another
+    # idles, halving effective parallelism with no correctness signal.)
     ranges = spark.createDataFrame(
-        [(cl,) for cl in clauses], "clause string"
-    ).repartition(len(clauses))
+        spark.sparkContext.parallelize(
+            [(cl,) for cl in clauses], numSlices=len(clauses)
+        ),
+        "clause string",
+    )
     return ranges.mapInPandas(_scan, schema=schema)
 
 

@@ -427,18 +427,74 @@ def test_ccnet_checkpoint_blocks_freed_by_unpersist_handle(spark):
         assert out == expect
         assert len(handles) == 1
         handles[0]()
-        assert census() == base, "handle left checkpoint blocks behind"
+        # subset, not equality: ContextCleaner may asynchronously
+        # reclaim an EARLIER test's blocks mid-test, shrinking the
+        # census below base — the contract is only that no ids THIS
+        # call registered remain
+        assert not (census() - base), "handle left checkpoint blocks behind"
 
-    # without the handle, blocks accumulate across calls
+    # without the handle, blocks accumulate across calls. PIN the
+    # results in a local list: a dropped DataFrame is GC'd and
+    # ContextCleaner asynchronously unpersists its checkpoint blocks,
+    # which made this arm flaky (observed len(leaked)==1) — the leak
+    # being demonstrated is the LOOP-caller-holds-results shape anyway.
     before = census()
-    for _ in range(2):
-        ccnet_perplexity_buckets(df).count()
+    pinned = [ccnet_perplexity_buckets(df) for _ in range(2)]
+    for p in pinned:
+        p.count()
     leaked = census() - before
     assert len(leaked) >= 2, "expected un-handled calls to accumulate blocks"
+    del pinned
     for i in leaked:  # clean up so later tests see a quiet block manager
         r = jsc.getPersistentRDDs().get(i)
         if r is not None:
             r.unpersist(False)
+
+
+def test_ccnet_unpersist_handle_immune_to_concurrent_caches(spark):
+    """The handle is derived from the checkpointed DataFrame's own
+    LogicalRDD id, NOT a global persistent-RDD census diff — so
+    persists registered by OTHER driver threads while the operator
+    runs must survive the handle. (The census-diff implementation
+    captured any concurrent registration and silently dropped an
+    unrelated caller's cached blocks when the handle fired.)"""
+    import threading
+
+    from nypd_arrest_etl_spark.operators.text import ccnet_perplexity_buckets
+
+    rows = [(i, "en" if i % 3 else "de", f"doc {i} words repeat {i} words")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    stop = threading.Event()
+    bystanders: list = []
+
+    def cache_loop():
+        # continuously register persists while the operator runs, so a
+        # census-diff handle would almost surely capture one of them
+        while not stop.is_set() and len(bystanders) < 64:
+            d = spark.range(5).cache()
+            d.count()
+            bystanders.append(d)
+
+    t = threading.Thread(target=cache_loop)
+    t.start()
+    try:
+        handles: list = []
+        ccnet_perplexity_buckets(df, unpersist_into=handles).count()
+    finally:
+        stop.set()
+        t.join()
+    assert len(handles) == 1
+    assert len(bystanders) >= 1, "race never materialized — widen the loop"
+    handles[0]()
+    # every bystander cached by the other thread must STILL be cached
+    # after the handle fires (we hold strong refs, so ContextCleaner
+    # can't be the one to evict them — only a stealing handle could)
+    stolen = [d for d in bystanders if not d.storageLevel.useMemory]
+    for d in bystanders:
+        d.unpersist()
+    assert stolen == []
 
 
 def test_ccnet_buckets_respects_custom_lang_col(spark):
