@@ -496,6 +496,135 @@ def _spark_struct(fields: list[tuple[str, str]]):
     )
 
 
+def copy_rows_to_pandas(raw: list[list[str | None]], fields: list[tuple[str, str]]):
+    """Parsed COPY-text rows (post :func:`copy_unescape`) into a typed
+    pandas frame per the Spark-type tags in ``fields`` — nullable
+    extension dtypes for integrals/booleans so NULLs survive without
+    a float round-trip."""
+    import datetime
+
+    import pandas as pd
+
+    names = [f[0] for f in fields]
+    data = {}
+    for j, (name, t) in enumerate(fields):
+        col = [r[j] for r in raw]
+        if t in ("int", "bigint", "smallint"):
+            width = {"int": "Int32", "bigint": "Int64", "smallint": "Int16"}[t]
+            data[name] = pd.array(
+                [None if v is None else int(v) for v in col], dtype=width
+            )
+        elif t in ("float", "double"):
+            data[name] = pd.array(
+                [None if v is None else float(v) for v in col],
+                dtype="float64" if t == "double" else "float32",
+            )
+        elif t == "boolean":
+            data[name] = pd.array(
+                [None if v is None else v == "t" for v in col],
+                dtype="boolean",
+            )
+        elif t == "date":
+            data[name] = [
+                None if v is None else datetime.date.fromisoformat(v)
+                for v in col
+            ]
+        elif t.startswith("timestamp"):
+            data[name] = pd.to_datetime(pd.Series(col, dtype="object"))
+        else:
+            data[name] = pd.Series(col, dtype="object")
+    return pd.DataFrame(data, columns=names)
+
+
+def copy_out_pandas_batches(
+    conn: PgWireClient, sql: str, fields: list[tuple[str, str]], batch_rows: int = 20_000
+):
+    """Stream a ``COPY ... TO STDOUT`` statement as typed pandas
+    frames of at most ``batch_rows`` rows — the shared scan kernel
+    under both ``read_postgres`` (mapInPandas) and the registered
+    ``pgwire`` DataSource (arrow batches)."""
+    rows: list[list[str | None]] = []
+    for line in conn.copy_out(sql):
+        rows.append([copy_unescape(f) for f in line.decode().split("\t")])
+        if len(rows) >= batch_rows:
+            yield copy_rows_to_pandas(rows, fields)
+            rows = []
+    if rows:
+        yield copy_rows_to_pandas(rows, fields)
+
+
+def fetch_table_fields(
+    c: PgWireClient, table: str, columns: list[str] | None = None
+) -> list[tuple[str, str]]:
+    """``(column, spark_type)`` pairs for ``table`` in the
+    connection's current schema, in ordinal order (or the caller's
+    projection order when ``columns`` is given — positional consumers
+    must not get table ordinal order)."""
+    cols_sql = (
+        "SELECT column_name, data_type FROM information_schema.columns "
+        f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
+        # scope to the connection's schema: a same-named table in
+        # another schema would interleave foreign columns into the
+        # inferred field list
+        "AND table_schema = current_schema() "
+        "ORDER BY ordinal_position"
+    )
+    _, meta = c.query(cols_sql)
+    if not meta:
+        raise ValueError(f"table {table!r} not found in information_schema")
+    fields = [(name, _SPARK_TYPES.get(dtype, "string")) for name, dtype in meta]
+    if columns is not None:
+        by_name = {f[0]: f for f in fields}
+        missing = [x for x in columns if x not in by_name]
+        if missing:
+            raise ValueError(f"unknown columns {missing} on {table!r}")
+        fields = [by_name[x] for x in columns]
+    return fields
+
+
+def range_clauses(
+    c: PgWireClient,
+    table: str,
+    partition_col: str | None,
+    num_partitions: int,
+    predicate: str | None,
+) -> list[str]:
+    """The JDBC-source range split: ``num_partitions`` strided
+    [min, max] slices of ``partition_col`` (numeric), first/last
+    unbounded, NULL keys riding the first range, the user predicate
+    parenthesized into every slice (a top-level OR would bind tighter
+    than intended and duplicate rows across slices)."""
+    pred = f"({predicate})" if predicate else None
+    clauses = [pred or "TRUE"]
+    if partition_col is not None and num_partitions > 1:
+        pc = _ident(partition_col)
+        base = f" FROM {_ident(table)} WHERE {pred or 'TRUE'}"
+        _, mm = c.query(f"SELECT min({pc}), max({pc}){base}")
+        lo_s, hi_s = mm[0]
+        if lo_s is not None and hi_s is not None:
+            lo, hi = float(lo_s), float(hi_s)
+            n = num_partitions
+            stride = (hi - lo) / n
+            if stride > 0:
+                bounds = [lo + stride * i for i in range(1, n)]
+                clauses = []
+                for i in range(n):
+                    parts = [pred] if pred else []
+                    if i == 0:
+                        # first range is lower-unbounded and owns NULL
+                        # partition keys (Spark JDBC drops them;
+                        # dropping rows is never ok here)
+                        parts.append(f"({pc} < {bounds[0]!r} OR {pc} IS NULL)")
+                    elif i == n - 1:
+                        parts.append(f"{pc} >= {bounds[i - 1]!r}")
+                    else:
+                        parts.append(
+                            f"{pc} >= {bounds[i - 1]!r} AND {pc} < {bounds[i]!r}"
+                        )
+                    clauses.append(" AND ".join(parts))
+    return clauses
+
+
 def read_postgres(
     spark,
     conninfo: dict,
@@ -527,120 +656,24 @@ def read_postgres(
     the other end of the merge sink), not a data lake — parallelism
     bounded by ``num_partitions`` server connections, each a single
     sequential COPY stream."""
-    import pandas as pd
-
-    cols_sql = (
-        "SELECT column_name, data_type FROM information_schema.columns "
-        f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
-        # scope to the connection's schema: a same-named table in
-        # another schema would interleave foreign columns into the
-        # inferred field list
-        "AND table_schema = current_schema() "
-        "ORDER BY ordinal_position"
-    )
     with PgWireClient(**conninfo) as c:
-        _, meta = c.query(cols_sql)
-        if not meta:
-            raise ValueError(f"table {table!r} not found in information_schema")
-        fields = [
-            (name, _SPARK_TYPES.get(dtype, "string")) for name, dtype in meta
-        ]
-        if columns is not None:
-            by_name = {f[0]: f for f in fields}
-            missing = [x for x in columns if x not in by_name]
-            if missing:
-                raise ValueError(f"unknown columns {missing} on {table!r}")
-            # caller's projection ORDER is part of the contract — a
-            # positional consumer must not get table ordinal order
-            fields = [by_name[x] for x in columns]
-        # the user predicate is parenthesized EVERYWHERE it combines
-        # with range conditions: a top-level OR would otherwise bind
-        # tighter than intended and duplicate rows across slices
-        pred = f"({predicate})" if predicate else None
-        clauses = [pred or "TRUE"]
-        if partition_col is not None and num_partitions > 1:
-            pc = _ident(partition_col)
-            base = f" FROM {_ident(table)} WHERE {pred or 'TRUE'}"
-            _, mm = c.query(f"SELECT min({pc}), max({pc}){base}")
-            lo_s, hi_s = mm[0]
-            if lo_s is not None and hi_s is not None:
-                lo, hi = float(lo_s), float(hi_s)
-                n = num_partitions
-                stride = (hi - lo) / n
-                if stride > 0:
-                    bounds = [lo + stride * i for i in range(1, n)]
-                    clauses = []
-                    for i in range(n):
-                        parts = [pred] if pred else []
-                        if i == 0:
-                            # first range is lower-unbounded and owns
-                            # NULL partition keys (Spark JDBC drops
-                            # them; dropping rows is never ok here)
-                            parts.append(
-                                f"({pc} < {bounds[0]!r} OR {pc} IS NULL)"
-                            )
-                        elif i == n - 1:
-                            parts.append(f"{pc} >= {bounds[i - 1]!r}")
-                        else:
-                            parts.append(
-                                f"{pc} >= {bounds[i - 1]!r} "
-                                f"AND {pc} < {bounds[i]!r}"
-                            )
-                        clauses.append(" AND ".join(parts))
+        fields = fetch_table_fields(c, table, columns)
+        clauses = range_clauses(c, table, partition_col, num_partitions, predicate)
 
     names = [f[0] for f in fields]
     sel = ", ".join(_ident(n) for n in names)
     tbl = _ident(table)
     schema = _spark_struct(fields)
 
-    def _convert(raw: list[list[str | None]]) -> "pd.DataFrame":
-        import datetime
-
-        data = {}
-        for j, (name, t) in enumerate(fields):
-            col = [r[j] for r in raw]
-            if t in ("int", "bigint", "smallint"):
-                width = {"int": "Int32", "bigint": "Int64", "smallint": "Int16"}[t]
-                data[name] = pd.array(
-                    [None if v is None else int(v) for v in col], dtype=width
-                )
-            elif t in ("float", "double"):
-                data[name] = pd.array(
-                    [None if v is None else float(v) for v in col],
-                    dtype="float64" if t == "double" else "float32",
-                )
-            elif t == "boolean":
-                data[name] = pd.array(
-                    [None if v is None else v == "t" for v in col],
-                    dtype="boolean",
-                )
-            elif t == "date":
-                data[name] = [
-                    None if v is None else datetime.date.fromisoformat(v)
-                    for v in col
-                ]
-            elif t.startswith("timestamp"):
-                data[name] = pd.to_datetime(pd.Series(col, dtype="object"))
-            else:
-                data[name] = pd.Series(col, dtype="object")
-        return pd.DataFrame(data, columns=names)
-
     def _scan(batches):
         for pdf in batches:
             for clause in pdf["clause"]:
                 with PgWireClient(**conninfo) as conn:
-                    rows: list[list[str | None]] = []
-                    for line in conn.copy_out(
-                        f"COPY (SELECT {sel} FROM {tbl} WHERE {clause}) TO STDOUT"
-                    ):
-                        rows.append(
-                            [copy_unescape(f) for f in line.decode().split("\t")]
-                        )
-                        if len(rows) >= 20_000:
-                            yield _convert(rows)
-                            rows = []
-                    if rows:
-                        yield _convert(rows)
+                    yield from copy_out_pandas_batches(
+                        conn,
+                        f"COPY (SELECT {sel} FROM {tbl} WHERE {clause}) TO STDOUT",
+                        fields,
+                    )
 
     # exactly ONE clause per task: parallelize with numSlices == len
     # deterministically places one element in each slice, so the n

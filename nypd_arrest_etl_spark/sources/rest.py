@@ -11,13 +11,23 @@ high-watermark predicate into the API as a SoQL ``$where``
   probe sizes the result under the pushed predicate, then each page
   offset becomes an ``InputPartition`` — executors fetch pages in
   parallel instead of the reference's serial loop.
-- **predicate pushdown**: Catalyst hands comparison/In/IsNotNull
-  filters to ``pushFilters``; supported ones compile to one SoQL
-  ``$where`` conjunction sent with every request (so the API, not
-  Spark, prunes rows — the reference's watermark trick, generalized
-  to arbitrary predicates). Unsupported filters are returned to Spark
-  for post-scan evaluation; pushed ones are also kept for re-check,
-  which is safe (idempotent filters).
+- **predicate pushdown** (OPT-IN via ``option("pushdown", "true")``):
+  Catalyst hands comparison/In/IsNotNull filters to ``pushFilters``;
+  supported ones compile to one SoQL ``$where`` conjunction sent with
+  every request (so the API, not Spark, prunes rows — the reference's
+  watermark trick, generalized to arbitrary predicates). Unsupported
+  filters are returned to Spark for post-scan evaluation.
+
+  Opt-in because Spark 4.1's Python-source planner reuses the most
+  recently planned scan for FILTERLESS queries on the same loaded
+  DataFrame object: after ``df.filter(x).count()``, a plain
+  ``df.count()`` replays the scan with ``x`` baked into ``$where``
+  and silently under-counts (characterized empirically; see
+  sources/pg_source.py's module docstring for the full analysis and
+  tests/test_pgwire.py for the canary pinned to the wrong-result
+  shape). The reference's extract is one query per load — opting in
+  there is safe and keeps API-side pruning. The static ``where``
+  option is always honored and always safe (fixed per load).
 - **ordering**: pages are ordered by ``:id`` so offset pagination is
   stable across requests (the reference's unordered paging can skip /
   duplicate rows if the dataset changes mid-extract).
@@ -116,7 +126,9 @@ def _filter_to_soql(flt: Filter) -> str | None:
     if isinstance(flt, LessThanOrEqual):
         return f"{col} <= {_soql_literal(flt.value)}"
     if isinstance(flt, In):
-        vals = ", ".join(_soql_literal(v) for v in flt.values)
+        # the dataclass field is `value` (a sequence) — `.values` was
+        # an AttributeError whenever Catalyst actually pushed an IN
+        vals = ", ".join(_soql_literal(v) for v in flt.value)
         return f"{col} in ({vals})"
     if isinstance(flt, IsNotNull):
         return f"{col} IS NOT NULL"
@@ -147,21 +159,6 @@ class SocrataRestReader(DataSourceReader):
         self.batch_size = int(options.get("batchsize", DEFAULT_BATCH_SIZE))
         self.fixture_dir = options.get("fixturedir")
         self.where: str | None = options.get("where")  # pre-set predicate
-
-    # -- pushdown ---------------------------------------------------------
-    def pushFilters(self, filters):  # noqa: N802 (API name)
-        clauses = [self.where] if self.where else []
-        unsupported = []
-        for flt in filters:
-            soql = _filter_to_soql(flt)
-            if soql is None:
-                unsupported.append(flt)  # Spark evaluates it post-scan
-            else:
-                # not returned: fully handled source-side
-                clauses.append(soql)
-        if clauses:
-            self.where = " AND ".join(clauses)
-        return unsupported
 
     # -- planning ---------------------------------------------------------
     def _params(self, extra: dict) -> dict:
@@ -202,6 +199,28 @@ class SocrataRestReader(DataSourceReader):
                 else:
                     out.append(str(v))
             yield tuple(out)
+
+
+class SocrataPushdownReader(SocrataRestReader):
+    """Opt-in Catalyst pushdown (``option("pushdown", "true")``) — a
+    separate class because merely IMPLEMENTING ``pushFilters`` makes a
+    source unusable when ``spark.sql.python.filterPushdown.enabled``
+    is false (Spark's default), and because of the plan-reuse hazard
+    in the module docstring."""
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        clauses = [self.where] if self.where else []
+        unsupported = []
+        for flt in filters:
+            soql = _filter_to_soql(flt)
+            if soql is None:
+                unsupported.append(flt)  # Spark evaluates it post-scan
+            else:
+                # not returned: fully handled source-side
+                clauses.append(soql)
+        if clauses:
+            self.where = " AND ".join(clauses)
+        return unsupported
 
 
 def _rows_to_tuples(rows, fields):
@@ -291,7 +310,10 @@ class SocrataRestDataSource(DataSource):
         return RAW_SCHEMA
 
     def reader(self, schema: StructType) -> SocrataRestReader:
-        return SocrataRestReader(schema, dict(self.options))
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "false")).lower() == "true":
+            return SocrataPushdownReader(schema, opts)
+        return SocrataRestReader(schema, opts)
 
     def simpleStreamReader(self, schema: StructType) -> SocrataStreamReader:
         return SocrataStreamReader(schema, dict(self.options))

@@ -131,14 +131,21 @@ def _read_file_as_batches(
 
 
 class ManifestBatchReader(DataSourceReader):
-    """Batch reads with DATA SKIPPING through the DataSource pushdown
-    API: Catalyst hands comparison filters to ``pushFilters``; they
-    are translated into the manifest layer's ``(col, op, value)``
-    triples and applied at partition planning, so files (and whole
-    manifests) whose stat ranges exclude the predicate are never
-    opened. Every filter is also RETURNED as unsupported — Spark
-    re-applies it row-level after the scan, so skipping stays a pure
-    optimization (exactly ``Snapshot.read``'s contract)."""
+    """Batch reads of the manifest table. Base class plans EVERY live
+    file; :class:`ManifestSkippingBatchReader` (selected by
+    ``option("pushdown", "true")``) adds stats-based data skipping
+    through the DataSource pushdown API.
+
+    Skipping is OPT-IN because of the Spark 4.1 Python-source
+    plan-reuse quirk (full analysis in sources/pg_source.py): a
+    FILTERLESS query on a previously filtered DataFrame object reuses
+    the filtered plan's PARTITIONS — files pruned by the earlier
+    predicate simply aren't read, and Spark's row-level recheck cannot
+    resurrect rows that never left the source (verified empirically:
+    filtered-count-then-plain-count returned the filtered count
+    twice). ``Snapshot.read`` — the primary batch API — prunes
+    per-call and is immune; use it when you need skipping without the
+    option."""
 
     def __init__(self, schema, options: dict):
         self.fields = _arrow_fields(schema)
@@ -146,34 +153,6 @@ class ManifestBatchReader(DataSourceReader):
         version = options.get("versionasof")
         self.version = int(version) if version is not None else None
         self.skip_filters: list[tuple] = []
-
-    def pushFilters(self, filters):  # noqa: N802 (API name)
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        ops = {
-            EqualTo: "=",
-            GreaterThan: ">",
-            GreaterThanOrEqual: ">=",
-            LessThan: "<",
-            LessThanOrEqual: "<=",
-            In: "in",
-        }
-        for flt in filters:
-            attr = getattr(flt, "attribute", None)
-            op = ops.get(type(flt))
-            if op is not None and attr is not None and len(attr) == 1:
-                val = list(flt.value) if op == "in" else flt.value
-                self.skip_filters.append((attr[0], op, val))
-        # report ALL as unsupported: the engine rechecks row-level, so
-        # stats-based skipping can never change results
-        return filters
 
     def partitions(self):
         snap = M.snapshot(self.table_path, version=self.version)
@@ -258,6 +237,44 @@ class ManifestBatchReader(DataSourceReader):
             partition.eq_deletes,
             partition.col_map,
         )
+
+
+class ManifestSkippingBatchReader(ManifestBatchReader):
+    """Opt-in data skipping (``option("pushdown", "true")``):
+    Catalyst filters translate into the manifest layer's
+    ``(col, op, value)`` triples and apply at partition planning, so
+    files (and whole manifests) whose stat ranges exclude the
+    predicate are never opened. Every filter is also RETURNED as
+    unsupported — Spark re-applies it row-level after the scan — so
+    skipping stays a pure optimization WITHIN one query; see the base
+    class for the cross-query reuse hazard that makes this opt-in."""
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+            In: "in",
+        }
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            op = ops.get(type(flt))
+            if op is not None and attr is not None and len(attr) == 1:
+                val = list(flt.value) if op == "in" else flt.value
+                self.skip_filters.append((attr[0], op, val))
+        # report ALL as unsupported: the engine rechecks row-level
+        return filters
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -507,7 +524,10 @@ class ManifestTableDataSource(DataSource):
         return _table_schema_ddl(self.options["path"])
 
     def reader(self, schema) -> ManifestBatchReader:
-        return ManifestBatchReader(schema, dict(self.options))
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "false")).lower() == "true":
+            return ManifestSkippingBatchReader(schema, opts)
+        return ManifestBatchReader(schema, opts)
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(schema, dict(self.options))

@@ -677,6 +677,7 @@ def test_manifest_table_batch_pushdown_skips_files(spark, tmp_path):
     df = (
         spark.read.format("manifest_table")
         .option("path", t)
+        .option("pushdown", "true")  # opt-in: see ManifestBatchReader docs
         .load()
         .filter(F.col("v") >= 1000)
     )
@@ -685,6 +686,28 @@ def test_manifest_table_batch_pushdown_skips_files(spark, tmp_path):
     # the low-range file contributes no input partition: with one file
     # per generation, exactly one task reads data
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_manifest_table_default_read_is_reuse_safe(spark, tmp_path):
+    """Without option("pushdown"), a filterless query on a previously
+    filtered DataFrame object must still see every row — the Spark 4.1
+    plan-reuse quirk (see sources/pg_source.py) would otherwise replay
+    the pruned partition list and silently drop the skipped files'
+    rows (this exact sequence returned 50-for-300 before r8 made
+    skipping opt-in)."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_manifest_table(spark)
+    t = str(tmp_path / "tbl")
+    M.append(spark, _df(spark, [(f"lo{i}", i) for i in range(5)]).coalesce(1), t)
+    M.append(
+        spark, _df(spark, [(f"hi{i}", 1000 + i) for i in range(5)]).coalesce(1), t
+    )
+    ds = spark.read.format("manifest_table").option("path", t).load()
+    assert ds.filter(F.col("v") >= 1000).count() == 5
+    assert ds.count() == 10, "plan reuse dropped pruned files' rows"
 
 
 @pytest.mark.parametrize("backend", ["hardlink", "conditional_put"])

@@ -88,6 +88,7 @@ def test_predicate_pushdown_reaches_the_api(socrata, tmp_path):
     df = (
         socrata.read.format("socrata")
         .option("url", BASE)
+        .option("pushdown", "true")
         .option("fixtureDir", fixtures)
         .load()
         .filter(F.col("arrest_date") > "2024-01-03")
@@ -108,6 +109,7 @@ def test_like_pushdown(socrata, tmp_path):
     df = (
         socrata.read.format("socrata")
         .option("url", BASE)
+        .option("pushdown", "true")
         .option("fixtureDir", fixtures)
         .load()
         .filter(F.col("arrest_key").endswith("4"))
@@ -131,6 +133,7 @@ def test_unsupported_filter_still_correct(socrata, tmp_path):
     df = (
         socrata.read.format("socrata")
         .option("url", BASE)
+        .option("pushdown", "true")
         .option("fixtureDir", fixtures)
         .load()
         .filter(F.substring(F.col("arrest_key"), 2, 1) == "4")
@@ -161,6 +164,7 @@ def test_feeds_clean_pipeline(socrata, tmp_path):
     raw = (
         socrata.read.format("socrata")
         .option("url", BASE)
+        .option("pushdown", "true")
         .option("fixtureDir", fixtures)
         .load()
     )
@@ -202,3 +206,16 @@ def test_streaming_reads_pages_as_offsets(socrata, tmp_path):
     q.awaitTermination(120)
     got = {r["arrest_key"] for r in socrata.sql("SELECT * FROM t_socrata_stream").collect()}
     assert got == {f"K{i}" for i in range(5)}
+
+
+def test_in_filter_compiles_to_soql():
+    """Regression: the `In` dataclass field is `value` (a sequence);
+    accessing `.values` raised AttributeError the moment Catalyst
+    pushed an IN-list into the source."""
+    from pyspark.sql.datasource import In
+
+    from nypd_arrest_etl_spark.sources.rest import _filter_to_soql
+
+    assert _filter_to_soql(In(("law_cat_cd",), ("F", "M"))) == (
+        "law_cat_cd in ('F', 'M')"
+    )
