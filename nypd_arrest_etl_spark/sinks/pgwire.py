@@ -368,19 +368,24 @@ _PG_TYPES = {
 }
 
 
+def pg_type_for(field) -> str:
+    """The Postgres DDL type for one Spark StructField — the ONE
+    Spark-type -> PG-type seam (staging DDL and the pgwire DataSource
+    writer both build tables through it)."""
+    t = _PG_TYPES.get(field.dataType.simpleString())
+    if t is None:
+        raise TypeError(
+            f"no COPY/text mapping for column {field.name!r} of type "
+            f"{field.dataType.simpleString()!r}"
+        )
+    return t
+
+
 def staging_ddl(df: DataFrame, table: str) -> str:
     """CREATE TABLE for a staging target matching ``df``'s schema
     (unconstrained: staging holds the raw batch, the merge statement
     owns dedup and domain guards)."""
-    cols = []
-    for f in df.schema.fields:
-        t = _PG_TYPES.get(f.dataType.simpleString())
-        if t is None:
-            raise TypeError(
-                f"no COPY/text mapping for column {f.name!r} of type "
-                f"{f.dataType.simpleString()!r}"
-            )
-        cols.append(f"{_ident(f.name)} {t}")
+    cols = [f"{_ident(f.name)} {pg_type_for(f)}" for f in df.schema.fields]
     return f"CREATE TABLE {_ident(table)} ({', '.join(cols)})"
 
 
@@ -529,7 +534,13 @@ def copy_rows_to_pandas(raw: list[list[str | None]], fields: list[tuple[str, str
                 None if v is None else datetime.date.fromisoformat(v)
                 for v in col
             ]
-        elif t.startswith("timestamp"):
+        elif t == "timestamp":
+            # timestamptz text carries the server's session-TZ offset,
+            # which changes across DST — utc=True normalizes (without
+            # it, mixed offsets take pandas' object-dtype path today
+            # and raise ValueError on pandas 3)
+            data[name] = pd.to_datetime(pd.Series(col, dtype="object"), utc=True)
+        elif t.startswith("timestamp"):  # timestamp_ntz: naive
             data[name] = pd.to_datetime(pd.Series(col, dtype="object"))
         else:
             data[name] = pd.Series(col, dtype="object")

@@ -67,6 +67,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualNullSafe,
     EqualTo,
@@ -80,6 +81,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -88,13 +90,14 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..sinks.pgwire import (
-    _PG_TYPES,
     PgWireClient,
     _ident,
     _spark_struct,
     copy_field,
     copy_out_pandas_batches,
+    copy_unescape,
     fetch_table_fields,
+    pg_type_for,
     range_clauses,
 )
 
@@ -149,7 +152,12 @@ def _pg_literal(v) -> str | None:
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
-        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        # tz-aware (Spark delivers TimestampType filter values as UTC
+        # aware datetimes) MUST render TIMESTAMPTZ: a plain TIMESTAMP
+        # literal silently DROPS the offset, so the comparison would
+        # use the server session TimeZone — wrong rows, no error
+        kind = "TIMESTAMPTZ" if v.tzinfo is not None else "TIMESTAMP"
+        return f"{kind} '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
     if isinstance(v, str):
@@ -310,6 +318,168 @@ class PgWirePushdownReader(PgWireReader):
 
 
 # ---------------------------------------------------------------------------
+# streaming reader (high-watermark offsets)
+# ---------------------------------------------------------------------------
+
+
+def _parse_value(v: str | None, t: str):
+    """One COPY text field to the Python value for Spark-type tag ``t``."""
+    if v is None:
+        return None
+    if t in ("int", "bigint", "smallint"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v == "t"
+    if t == "date":
+        return datetime.date.fromisoformat(v)
+    if t.startswith("timestamp"):
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
+def _wm_literal(text: str, t: str) -> str:
+    """The checkpointed watermark TEXT value as a SQL literal of the
+    watermark column's type. Numeric values embed raw (validated);
+    date/timestamp quote — Postgres compares them natively."""
+    if t in ("int", "bigint", "smallint", "float", "double"):
+        import math
+
+        v = float(text)  # raises on anything that isn't a number
+        if not math.isfinite(v):
+            # PG renders float8 specials as NaN/Infinity — raw text
+            # would be invalid SQL, and a quoted 'NaN'::float8 sorts
+            # ABOVE every real so the stream would stall silently at
+            # it forever. Fail loudly BEFORE the offset is committed.
+            raise ValueError(
+                f"non-finite watermark value {text!r}: a NaN/Infinity "
+                "row in the watermark column cannot order a stream — "
+                "clean the column or use a serial key"
+            )
+        return text
+    if t == "date" or t.startswith("timestamp"):
+        return "'" + text.replace("'", "''") + "'"
+    raise TypeError(f"watermark column must be numeric/date/timestamp, not {t!r}")
+
+
+class PgWireStreamReader(SimpleDataSourceStreamReader):
+    """The reference's high-watermark incremental extract
+    (extract.py:60-64: ``$where arrest_date > hwm``) as a REAL
+    streaming offset over the operational table: the offset is the
+    watermark column's last-seen value, persisted by Spark in the
+    checkpointLocation; each microbatch pulls ``w > last AND w <=
+    current`` over one COPY stream, and crash recovery replays the
+    exact closed range via ``readBetweenOffsets``. Paired with the
+    exactly-once ``manifest_table`` sink this gives end-to-end
+    exactly-once Postgres -> lake ingestion.
+
+    Options: ``watermarkColumn`` — STRICTLY INCREASING per commit and
+    NOT NULL (a serial/identity key). A merely non-decreasing column
+    (updated_at) LOSES rows: a row committing late with a watermark
+    tied to an already-read offset lands behind ``w > last`` and is
+    never streamed, and late ties make ``readBetweenOffsets`` replay
+    non-deterministic. NULL-watermark rows are never streamed.
+    ``maxRowsPerBatch`` (backlog bound: the batch end-watermark is the
+    max of the first N ordered rows, so one trigger can't swallow an
+    unbounded backlog; value-tied boundary rows already visible ride
+    along, keeping ranges closed under replay), ``startingOffset`` =
+    earliest (default: stream the whole table then increments) |
+    latest (only rows after stream start)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._conninfo = _conninfo(options)
+        self._table = _table(options)
+        wm = options.get("watermarkcolumn")
+        if not wm:
+            raise ValueError("pgwire streaming requires option 'watermarkColumn'")
+        self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        by_name = dict(self._fields)
+        if wm not in by_name:
+            raise ValueError(f"watermarkColumn {wm!r} not in schema {list(by_name)}")
+        self._wm, self._wm_type = wm, by_name[wm]
+        ordered = ("int", "bigint", "smallint", "float", "double", "date")
+        if self._wm_type not in ordered and not self._wm_type.startswith("timestamp"):
+            raise TypeError(
+                f"watermarkColumn must be numeric/date/timestamp, "
+                f"got {wm!r}: {self._wm_type}"
+            )
+        self._max_rows = int(options.get("maxrowsperbatch", 100_000))
+        if self._max_rows < 1:
+            # LIMIT 0 would return NULL for every max() probe — a
+            # stream that silently never emits while a backlog waits
+            raise ValueError("maxRowsPerBatch must be >= 1")
+        self._starting = str(options.get("startingoffset", "earliest")).lower()
+        if self._starting not in ("earliest", "latest"):
+            # a typo ('lastest') would silently re-stream the whole
+            # operational table — the opposite of what was asked
+            raise ValueError(
+                f"startingOffset must be 'earliest' or 'latest', "
+                f"got {self._starting!r}"
+            )
+
+    def initialOffset(self) -> dict:
+        if self._starting == "latest":
+            with PgWireClient(**self._conninfo) as c:
+                _, mm = c.query(
+                    f"SELECT max({_ident(self._wm)}) FROM {_ident(self._table)}"
+                )
+            return {"w": mm[0][0]}
+        return {"w": None}
+
+    def _bounds_sql(self, last: str | None, end: str | None) -> str:
+        w = _ident(self._wm)
+        parts = []
+        if last is not None:
+            parts.append(f"{w} > {_wm_literal(last, self._wm_type)}")
+        if end is not None:
+            parts.append(f"{w} <= {_wm_literal(end, self._wm_type)}")
+        return " AND ".join(parts) or "TRUE"
+
+    def _fetch(self, c: PgWireClient, last: str | None, end: str | None) -> list:
+        sel = ", ".join(_ident(n) for n, _t in self._fields)
+        sql = (
+            f"COPY (SELECT {sel} FROM {_ident(self._table)} "
+            f"WHERE {self._bounds_sql(last, end)}) TO STDOUT"
+        )
+        out = []
+        for line in c.copy_out(sql):
+            raw = [copy_unescape(f) for f in line.decode().split("\t")]
+            out.append(
+                tuple(_parse_value(v, t) for v, (_n, t) in zip(raw, self._fields))
+            )
+        return out  # a LIST: the prefetch cache replays it (rest.py note)
+
+    def read(self, start: dict):
+        last = start.get("w")
+        with PgWireClient(**self._conninfo) as c:
+            # batch end-watermark = max of the first N ordered rows
+            # past the checkpoint: bounds the batch without OFFSET
+            # scans, stays exact under boundary ties (<= end)
+            w = _ident(self._wm)
+            cond = self._bounds_sql(last, None)
+            _, mm = c.query(
+                f"SELECT max({w}) FROM (SELECT {w} FROM {_ident(self._table)} "
+                f"WHERE {cond} ORDER BY {w} LIMIT {self._max_rows}) s"
+            )
+            end = mm[0][0]
+            # the wrapper REQUIRES an iterator (it calls next() to
+            # validate the caught-up case) over a materialized list
+            # (the prefetch cache copy.copy()s it for replay)
+            if end is None:
+                return iter([]), start  # caught up: poll next trigger
+            return iter(self._fetch(c, last, end)), {"w": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("w"), end.get("w")
+        if hi is None:
+            return iter([])
+        with PgWireClient(**self._conninfo) as c:
+            return iter(self._fetch(c, lo, hi))
+
+
+# ---------------------------------------------------------------------------
 # writer (exactly-once under task retries)
 # ---------------------------------------------------------------------------
 
@@ -324,17 +494,26 @@ class PgWireWriter(DataSourceWriter):
     tables; the driver's ``commit`` merges only the attempts Spark
     declared successful, atomically, then sweeps the run prefix. A
     retried task's half-written staging table is swept, never merged
-    — COPY-append without staging would double its rows."""
+    — COPY-append without staging would double its rows.
+
+    A DRIVER crash between the transaction and the sweep (or before
+    commit/abort runs at all) orphans that run's staging tables — no
+    later run knows a dead run's prefix. The run prefix embeds the
+    wall-clock epoch for exactly this reason: schedule
+    :func:`vacuum_staging` (age-bounded, Iceberg's orphan-file idea
+    applied to tables) to reclaim them."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import time
+
         self._schema = schema
         self._conninfo = _conninfo(options)
         self._table = _table(options)
         self._overwrite = overwrite
-        self._run = f"_pgw_{uuid.uuid4().hex[:12]}"
+        self._run = f"_pgw_{int(time.time())}_{uuid.uuid4().hex[:8]}"
         self._cols = [f.name for f in schema.fields]
         self._ddl_cols = ", ".join(
-            f"{_ident(f.name)} {_pg_type(f)}" for f in schema.fields
+            f"{_ident(f.name)} {pg_type_for(f)}" for f in schema.fields
         )
 
     # executor-side: one staging table per task ATTEMPT
@@ -343,19 +522,18 @@ class PgWireWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         stg = f"{self._run}_{ctx.partitionId()}_{ctx.attemptNumber()}"
-        cols = self._cols
-        with PgWireClient(**self._conninfo) as c:
-            c.execute(f"CREATE TABLE {_ident(stg)} ({self._ddl_cols})")
-            c.copy_in(
-                f"COPY {_ident(stg)} ({', '.join(_ident(x) for x in cols)}) "
-                "FROM STDIN",
-                ("\t".join(copy_field(r[i]) for i in range(len(cols))) for r in rows),
-            )
-        return PgCommitMessage(staging_table=stg)
+        n = _copy_rows_to_staging(
+            self._conninfo, stg, self._ddl_cols, self._cols, rows
+        )
+        return PgCommitMessage(staging_table=stg if n is not None else None)
 
-    # driver-side
+    # driver-side (the pickled instance: batch commit workers restore
+    # it with the same _run — unlike the streaming runner, which
+    # constructs a fresh writer per commit/abort)
     def commit(self, messages) -> None:
-        good = [m.staging_table for m in messages if m is not None]
+        good = [
+            m.staging_table for m in messages if m is not None and m.staging_table
+        ]
         col_list = ", ".join(_ident(x) for x in self._cols)
         with PgWireClient(**self._conninfo) as c:
             c.execute("BEGIN")
@@ -373,7 +551,7 @@ class PgWireWriter(DataSourceWriter):
                     )
                 c.execute("COMMIT")
             except BaseException:
-                c.execute("ROLLBACK")
+                _rollback_guarded(c)
                 raise
             self._sweep(c)
 
@@ -384,23 +562,215 @@ class PgWireWriter(DataSourceWriter):
     def _sweep(self, c: PgWireClient) -> None:
         # drop EVERYTHING under the run prefix — committed staging
         # tables and orphans from failed/retried attempts alike
+        _sweep_tables(c, f"{self._run}\\_%")
+
+# streaming writer (exactly-once into the operational table)
+# ---------------------------------------------------------------------------
+
+
+COMMITS_TABLE = "pgw_stream_commits"  # deliberately OUTSIDE _pgw_* (vacuum scans it)
+
+
+def _sweep_tables(c: PgWireClient, like_pattern: str) -> None:
+    """Drop every table in the current schema matching ``like_pattern``
+    (the ONE sweep implementation both writers share)."""
+    _, rows = c.query(
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = current_schema() "
+        f"AND table_name LIKE '{like_pattern}'"
+    )
+    for (name,) in rows:
+        c.execute(f"DROP TABLE IF EXISTS {_ident(name)}")
+
+
+def _rollback_guarded(c: PgWireClient) -> None:
+    """ROLLBACK without masking the root cause: if the failure was the
+    CONNECTION, the rollback raises too — swallow it so the original
+    exception propagates (same contract as copy_in's CopyFail)."""
+    try:
+        c.execute("ROLLBACK")
+    except (PgError, OSError):
+        pass
+
+
+def _copy_rows_to_staging(
+    conninfo: dict, stg: str, ddl_cols: str, cols: list[str], rows
+) -> int | None:
+    """Executor-side staging COPY shared by both writers: create the
+    per-attempt table and stream the task's rows into it. Returns the
+    rowcount, or None without touching the server when the partition
+    is empty."""
+    it = iter(rows)
+    try:
+        first = next(it)
+    except StopIteration:
+        return None  # empty partition: no connection, no table
+    from itertools import chain
+
+    with PgWireClient(**conninfo) as c:
+        c.execute(f"CREATE TABLE {_ident(stg)} ({ddl_cols})")
+        return c.copy_in(
+            f"COPY {_ident(stg)} ({', '.join(_ident(x) for x in cols)}) "
+            "FROM STDIN",
+            (
+                "\t".join(copy_field(r[i]) for i in range(len(cols)))
+                for r in chain([first], it)
+            ),
+        )
+
+
+@dataclass
+class PgStreamCommitMessage(WriterCommitMessage):
+    staging_table: str | None
+    rows: int
+
+
+def _stream_ns(stream_id: str) -> str:
+    """Stable per-stream staging namespace token. It must be DERIVED
+    (not random, not time-based): Spark constructs a FRESH writer
+    instance for every commit/abort (python_streaming_sink_runner.py
+    calls data_source.streamWriter per call), so only a value
+    recomputable from the stream's identity lets the commit-side sweep
+    find the write-side tables."""
+    import hashlib
+
+    return "s" + hashlib.sha1(stream_id.encode()).hexdigest()[:10]
+
+
+class PgWireStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming SINK into Postgres — the write half of
+    the streaming matrix (the read half streams out by watermark
+    offsets). Same idempotence protocol as the manifest sink
+    (Delta's txn/appId), expressed in the database's own transaction:
+
+    each microbatch's tasks COPY into per-attempt staging tables named
+    ``_pgw_<epoch>_<streamns>_<taskAttemptId>`` — the epoch is stamped
+    at WRITE time (so :func:`vacuum_staging`'s age bound protects a
+    long-running stream's in-flight batches), the stream namespace is
+    derived from ``streamId`` (so the commit-side writer, which Spark
+    constructs FRESH for every commit/abort, can still find them), and
+    taskAttemptId is application-unique (so attempts never collide
+    across microbatches). The driver then, in ONE transaction, claims
+    the batch in ``pgw_stream_commits`` — one row per stream holding
+    the LAST committed batch id, advanced by ``INSERT ... ON CONFLICT
+    (stream_id) DO UPDATE ... WHERE batch_id < EXCLUDED.batch_id`` —
+    and merges the successful attempts' staging only when the claim
+    advanced (rowcount 1). A REPLAYED microbatch (crash after the
+    database commit, before Spark's checkpoint commit) fails the
+    forward-only claim and merges nothing. After commit (and on
+    abort) the stream's whole staging namespace is swept: orphans from
+    task retries or earlier crashed batches are never merged, only
+    dropped. ``outputMode("complete")`` is rejected loudly — this sink
+    appends."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._conninfo = _conninfo(options)
+        self._table = _table(options)
+        self._stream_id = options.get("streamid", "default")
+        self._ns = _stream_ns(self._stream_id)
+        self._cols = [f.name for f in schema.fields]
+        self._ddl_cols = ", ".join(
+            f"{_ident(f.name)} {pg_type_for(f)}" for f in schema.fields
+        )
+
+    # executor-side: one staging table per task ATTEMPT per microbatch
+    def write(self, rows) -> PgStreamCommitMessage:
+        import time
+
+        from pyspark import TaskContext
+
+        stg = f"_pgw_{int(time.time())}_{self._ns}_{TaskContext.get().taskAttemptId()}"
+        n = _copy_rows_to_staging(self._conninfo, stg, self._ddl_cols, self._cols, rows)
+        if n is None:
+            return PgStreamCommitMessage(staging_table=None, rows=0)
+        return PgStreamCommitMessage(staging_table=stg, rows=n)
+
+    # driver-side, once per microbatch
+    def commit(self, messages, batchId: int) -> None:
+        good = [
+            m.staging_table
+            for m in messages
+            if m is not None and m.staging_table
+        ]
+        col_list = ", ".join(_ident(x) for x in self._cols)
+        with PgWireClient(**self._conninfo) as c:
+            c.execute("BEGIN")
+            try:
+                c.execute(
+                    f"CREATE TABLE IF NOT EXISTS {_ident(self._table)} "
+                    f"({self._ddl_cols})"
+                )
+                c.execute(
+                    f"CREATE TABLE IF NOT EXISTS {_ident(COMMITS_TABLE)} "
+                    "(stream_id TEXT PRIMARY KEY, batch_id BIGINT NOT NULL)"
+                )
+                sid = self._stream_id.replace("'", "''")
+                # forward-only claim, ONE row per stream (batch ids are
+                # monotonic per stream — Delta's txn/appId shape, so
+                # the claims table never grows with stream lifetime)
+                claimed = c.execute(
+                    f"INSERT INTO {_ident(COMMITS_TABLE)} VALUES "
+                    f"('{sid}', {int(batchId)}) "
+                    "ON CONFLICT (stream_id) DO UPDATE "
+                    "SET batch_id = EXCLUDED.batch_id "
+                    f"WHERE {_ident(COMMITS_TABLE)}.batch_id "
+                    "< EXCLUDED.batch_id"
+                )
+                if claimed == 1:  # not a replay: merge the batch
+                    for stg in good:
+                        c.execute(
+                            f"INSERT INTO {_ident(self._table)} ({col_list}) "
+                            f"SELECT {col_list} FROM {_ident(stg)}"
+                        )
+                c.execute("COMMIT")
+            except BaseException:
+                _rollback_guarded(c)
+                raise
+            self._sweep(c)
+
+    def abort(self, messages, batchId: int) -> None:
+        with PgWireClient(**self._conninfo) as c:
+            self._sweep(c)
+
+    def _sweep(self, c: PgWireClient) -> None:
+        # the stream's WHOLE namespace, any epoch: this stream's
+        # batches are serialized by its checkpoint, so everything
+        # still standing at commit/abort is merged-or-orphan garbage
+        _sweep_tables(c, f"\\_pgw\\_%\\_{self._ns}\\_%")
+
+
+def vacuum_staging(conninfo: dict, max_age_seconds: int = 86_400) -> list[str]:
+    """Drop ``_pgw_*`` staging tables orphaned by crashed writer runs
+    (driver died before its own commit/abort sweep could run). The
+    run epoch is parsed from the table name; anything older than
+    ``max_age_seconds`` is reclaimed — age-bounded so a LIVE writer's
+    staging tables are never swept from under it (streaming staging
+    stamps the epoch per WRITE, so long-running streams stay safe;
+    batch staging stamps it at writer construction, so keep
+    ``max_age_seconds`` above the longest batch write you run).
+    Returns the dropped names. Schedule alongside other maintenance."""
+    import time
+
+    cutoff = int(time.time()) - max_age_seconds
+    dropped = []
+    with PgWireClient(**conninfo) as c:
         _, rows = c.query(
             "SELECT table_name FROM information_schema.tables "
             "WHERE table_schema = current_schema() "
-            f"AND table_name LIKE '{self._run}\\_%'"
+            "AND table_name LIKE '\\_pgw\\_%'"
         )
         for (name,) in rows:
-            c.execute(f"DROP TABLE IF EXISTS {_ident(name)}")
-
-
-def _pg_type(field) -> str:
-    t = _PG_TYPES.get(field.dataType.simpleString())
-    if t is None:
-        raise TypeError(
-            f"no COPY/text mapping for column {field.name!r} of type "
-            f"{field.dataType.simpleString()!r}"
-        )
-    return t
+            parts = name.split("_")  # ['', 'pgw', '<epoch>', ...]
+            # ONLY reclaim names whose epoch segment parses: anything
+            # else is not ours to drop (an epoch=0 fallback once made
+            # a claims-table-shaped name "always stale" — data loss
+            # one rename away)
+            if len(parts) < 3 or not parts[2].isdigit():
+                continue
+            if int(parts[2]) <= cutoff:
+                c.execute(f"DROP TABLE IF EXISTS {_ident(name)}")
+                dropped.append(name)
+    return dropped
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +813,20 @@ class PgWireDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> PgWireWriter:
         return PgWireWriter(schema, dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> PgWireStreamReader:
+        return PgWireStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> PgWireStreamWriter:
+        if overwrite:
+            # outputMode("complete") truncate semantics would need the
+            # target replaced every microbatch under the same claim —
+            # refuse loudly rather than silently appending duplicates
+            raise ValueError(
+                "pgwire streaming sink is append-only: "
+                "outputMode('complete')/truncate is not supported"
+            )
+        return PgWireStreamWriter(schema, dict(self.options))
 
 
 def register_pgwire(spark) -> None:

@@ -284,13 +284,18 @@ class SocrataStreamReader(SimpleDataSourceStreamReader):
             offset += len(rows)
             if len(rows) < self.batch_size:
                 break
-        return out, {"offset": offset}
+        # MUST be an iterator over a materialized list: the wrapper
+        # calls next() on the caught-up (offset-unchanged) result to
+        # validate emptiness — a bare list raises TypeError the first
+        # trigger after the stream catches up — and copy.copy()s the
+        # iterator for replay, which a generator cannot survive.
+        return iter(out), {"offset": offset}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         offset, end_offset = int(start["offset"]), int(end["offset"])
         n = end_offset - offset
         rows = self._fetch_page(offset, n) if n > 0 else []
-        return _rows_to_tuples(rows, self.fields)
+        return iter(_rows_to_tuples(rows, self.fields))
 
 
 class SocrataRestDataSource(DataSource):

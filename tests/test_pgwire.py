@@ -623,3 +623,412 @@ def test_pgwire_pushdown_plan_reuse_canary(spark, pg):
         "Spark now re-plans filterless queries on Python sources — "
         "the pushdown option can default to true"
     )
+
+
+# -- streaming source (high-watermark offsets) ------------------------------
+
+
+def _pg_opts(builder, pg):
+    return (
+        builder.option("host", pg["host"])
+        .option("port", pg["port"])
+        .option("user", pg["user"])
+        .option("database", pg["database"])
+    )
+
+
+def test_pgwire_stream_incremental_and_resume(spark, pg, tmp_path):
+    """The high-watermark extract as a streaming offset: first drain
+    streams the whole table, rows inserted afterwards stream
+    incrementally on the SAME checkpoint (no re-delivery), and the
+    maxRowsPerBatch bound splits the backlog across microbatches."""
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS stream_src")
+        c.execute("CREATE TABLE stream_src (k bigint NOT NULL, v text)")
+        c.copy_in(
+            "COPY stream_src FROM STDIN", [f"{i}\tv{i}" for i in range(100)]
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = _pg_opts(spark.readStream.format("pgwire"), pg) \
+            .option("table", "stream_src") \
+            .option("watermarkColumn", "k") \
+            .option("maxRowsPerBatch", 30) \
+            .load()
+        q = (
+            stream.writeStream.format("parquet")  # recoverable sink
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def rows():
+        try:
+            return sorted(r["k"] for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    def drain_all(limit=10):
+        # one availableNow run processes ONE prefetched microbatch of a
+        # simple stream reader — re-drain the same checkpoint until the
+        # sink stops growing (each restart is also a resume test)
+        prev = None
+        for _ in range(limit):
+            drain()
+            n = rows()
+            if n == prev:
+                return n
+            prev = n
+        return prev
+
+    assert drain_all() == list(range(100))
+
+    # rows inserted after the first drain stream incrementally
+    with PgWireClient(**pg) as c:
+        c.copy_in(
+            "COPY stream_src FROM STDIN", [f"{i}\tv{i}" for i in range(100, 120)]
+        )
+    assert drain_all() == list(range(120)), (
+        "re-delivery or loss across checkpointed drains"
+    )
+
+
+def test_pgwire_stream_latest_and_type_guard(spark, pg, tmp_path):
+    """startingOffset=latest skips pre-existing rows; a text watermark
+    column is rejected loudly at stream construction."""
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS stream_latest")
+        c.execute("CREATE TABLE stream_latest (k bigint NOT NULL, v text)")
+        c.copy_in("COPY stream_latest FROM STDIN", ["1\told", "2\told"])
+
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+
+    def drain():
+        stream = _pg_opts(spark.readStream.format("pgwire"), pg) \
+            .option("table", "stream_latest") \
+            .option("watermarkColumn", "k") \
+            .option("startingOffset", "latest") \
+            .load()
+        q = (
+            stream.writeStream.format("parquet")  # recoverable sink
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def rows():
+        try:
+            return [(r["k"], r["v"]) for r in spark.read.parquet(out).collect()]
+        except Exception:
+            return []
+
+    drain()
+    assert rows() == []
+    with PgWireClient(**pg) as c:
+        c.execute("INSERT INTO stream_latest VALUES (3, 'new')")
+    drain()
+    assert rows() == [(3, "new")]
+
+    # loud failure on a non-orderable watermark type
+    import pytest as _pytest
+
+    bad = _pg_opts(spark.readStream.format("pgwire"), pg) \
+        .option("table", "stream_latest") \
+        .option("watermarkColumn", "v") \
+        .load()
+    with _pytest.raises(Exception, match="numeric/date/timestamp"):
+        (bad.writeStream.format("memory").queryName("t_pg_bad")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start().awaitTermination(60))
+
+
+def test_pgwire_stream_to_manifest_sink_exactly_once(spark, pg, tmp_path):
+    """End-to-end exactly-once Postgres -> lake: the watermark stream
+    feeds the transactional manifest_table sink; a second drain of the
+    same checkpoint commits nothing and row counts stay exact."""
+    from nypd_arrest_etl_spark.sinks import manifest as M
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+    from nypd_arrest_etl_spark.sources.table_stream import register_manifest_table
+
+    register_pgwire(spark)
+    register_manifest_table(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS stream_lake")
+        c.execute("CREATE TABLE stream_lake (k bigint NOT NULL, v text)")
+        c.copy_in("COPY stream_lake FROM STDIN", [f"{i}\tv{i}" for i in range(50)])
+
+    t = str(tmp_path / "laketbl")
+    ckpt = str(tmp_path / "ckpt_lake")
+
+    def drain():
+        stream = _pg_opts(spark.readStream.format("pgwire"), pg) \
+            .option("table", "stream_lake") \
+            .option("watermarkColumn", "k") \
+            .load()
+        q = (
+            stream.writeStream.format("manifest_table")
+            .option("path", t)
+            .option("streamId", "pg-lake-test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert M.row_count(t) == 50
+    drain()  # caught up: no new version, no duplicate rows
+    assert M.row_count(t) == 50
+    with PgWireClient(**pg) as c:
+        c.copy_in("COPY stream_lake FROM STDIN", [f"{i}\tv{i}" for i in range(50, 60)])
+    drain()
+    assert M.row_count(t) == 60
+    rows = sorted(r["k"] for r in M.snapshot(t).read(spark).collect())
+    assert rows == list(range(60))
+
+
+# -- review fixes (r8): tz literals, NaN watermark, orphan vacuum -----------
+
+
+def test_pg_literal_timestamptz_and_wm_guards():
+    import datetime
+
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.sources.pg_source import _pg_literal, _wm_literal
+
+    aware = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+    naive = datetime.datetime(2024, 1, 1, 12, 0)
+    # a plain TIMESTAMP literal silently drops the offset — aware
+    # values MUST render TIMESTAMPTZ so the instant survives
+    assert _pg_literal(aware).startswith("TIMESTAMPTZ '")
+    assert _pg_literal(naive).startswith("TIMESTAMP '")
+    # PG emits NaN/Infinity for float8 specials; both pass float() but
+    # would be invalid raw SQL / stall the stream — loud failure
+    for bad in ("NaN", "Infinity", "-Infinity"):
+        with _pytest.raises(ValueError, match="non-finite watermark"):
+            _wm_literal(bad, "double")
+    assert _wm_literal("1.5", "double") == "1.5"
+
+
+def test_pgwire_pushdown_timestamptz_honors_instant(spark, pg):
+    """A pushed timestamp comparison against a timestamptz column must
+    filter by INSTANT even when the server session TimeZone is not
+    UTC — the TIMESTAMPTZ literal keeps the offset a plain TIMESTAMP
+    literal would silently drop."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS tz_src")
+        c.execute("CREATE TABLE tz_src (k int, ts timestamptz)")
+        # instants 10:00 and 16:00 UTC on 2024-01-01
+        c.copy_in(
+            "COPY tz_src FROM STDIN",
+            ["1\t2024-01-01 10:00:00+00", "2\t2024-01-01 16:00:00+00"],
+        )
+        # future sessions (the reader's connections) see New York time:
+        # 10:00 UTC prints as 05:00 -05, 16:00 UTC as 11:00 -05
+        c.execute("ALTER DATABASE postgres SET timezone = 'America/New_York'")
+    try:
+        register_pgwire(spark)
+        ds = (
+            spark.read.format("pgwire")
+            .option("host", pg["host"])
+            .option("port", pg["port"])
+            .option("user", pg["user"])
+            .option("database", pg["database"])
+            .option("table", "tz_src")
+            .option("pushdown", "true")
+            .load()
+        )
+        cut = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+        got = ds.filter(F.col("ts") > F.lit(cut)).collect()
+        # only the 16:00 UTC instant is after 12:00 UTC — a dropped
+        # offset would compare NY wall-clock and keep/lose wrong rows
+        assert [r["k"] for r in got] == [2]
+    finally:
+        with PgWireClient(**pg) as c:
+            c.execute("ALTER DATABASE postgres RESET timezone")
+
+
+def test_vacuum_staging_reclaims_crashed_runs(pg):
+    """Orphans from a crashed writer run (driver died before its own
+    sweep) are reclaimed age-bounded: stale epochs drop, a live run's
+    fresh tables survive."""
+    import time
+
+    from nypd_arrest_etl_spark.sources.pg_source import vacuum_staging
+
+    now = int(time.time())
+    with PgWireClient(**pg) as c:
+        c.execute('CREATE TABLE "_pgw_1000000000_dead_0_0" (x int)')
+        c.execute(f'CREATE TABLE "_pgw_{now}_live_0_0" (x int)')
+    dropped = vacuum_staging(pg, max_age_seconds=3600)
+    assert "_pgw_1000000000_dead_0_0" in dropped
+    with PgWireClient(**pg) as c:
+        _, rows = c.query(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_name LIKE '\\_pgw\\_%'"
+        )
+        names = {r[0] for r in rows}
+        assert f"_pgw_{now}_live_0_0" in names, "live run's staging was swept"
+        assert "_pgw_1000000000_dead_0_0" not in names
+        c.execute(f'DROP TABLE "_pgw_{now}_live_0_0"')
+
+
+def test_pgwire_stream_writer_replay_commits_nothing(pg):
+    """The (stream_id, batch_id) claim makes a replayed microbatch a
+    no-op: driver-level simulation of crash-after-db-commit — the
+    second commit() of the same batchId finds the claim present and
+    merges nothing, and a different stream_id is independent."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        PgStreamCommitMessage,
+        PgWireStreamWriter,
+    )
+
+    import time
+
+    schema = StructType([StructField("k", IntegerType())])
+    opts = {k: str(v) for k, v in pg.items()} | {
+        "table": "stream_sink_tgt", "streamid": "s1",
+    }
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS stream_sink_tgt")
+        c.execute("DROP TABLE IF EXISTS pgw_stream_commits")
+
+    def staged(w, vals):
+        # a name in the writer's namespace, as a real task would make
+        stg = f"_pgw_{int(time.time())}_{w._ns}_{vals[0]}"
+        with PgWireClient(**pg) as c:
+            c.execute(f'CREATE TABLE "{stg}" (k INTEGER)')
+            c.copy_in(f'COPY "{stg}" FROM STDIN', [str(v) for v in vals])
+        return PgStreamCommitMessage(staging_table=stg, rows=len(vals))
+
+    # commit-side writers are constructed FRESH by Spark per call —
+    # model that by using a new instance for every commit
+    def committer():
+        return PgWireStreamWriter(schema, opts)
+
+    committer().commit([staged(committer(), [1, 2, 3])], batchId=0)
+    committer().commit([staged(committer(), [1, 2, 3])], batchId=0)  # replay
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM stream_sink_tgt")
+        assert n[0][0] == "3", "replayed batch was merged twice"
+    # a LATER batch advances the one-row claim and merges
+    committer().commit([staged(committer(), [10, 11])], batchId=1)
+    # ...and replaying an OLDER batch after it still merges nothing
+    committer().commit([staged(committer(), [1, 2, 3])], batchId=0)
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM stream_sink_tgt")
+        assert n[0][0] == "5"
+        _, rows = c.query("SELECT count(*) FROM pgw_stream_commits")
+        assert rows[0][0] == "1", "claims table must stay one row per stream"
+
+    # a different STREAM writing the same batch id is independent
+    w2 = PgWireStreamWriter(schema, dict(opts) | {"streamid": "s2"})
+    w2.commit([staged(w2, [4])], batchId=0)
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM stream_sink_tgt")
+        assert n[0][0] == "6"
+        # sweeps left no staging behind in either stream's namespace
+        _, stg = c.query(
+            "SELECT count(*) FROM information_schema.tables "
+            "WHERE table_name LIKE '\\_pgw\\_%'"
+        )
+        assert stg[0][0] == "0"
+
+
+def test_pgwire_stream_pg_to_pg_exactly_once(spark, pg, tmp_path):
+    """Full streaming matrix closed: watermark stream OUT of one
+    table, exactly-once stream INTO another — re-draining the same
+    checkpoint adds nothing, incremental rows flow through."""
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS pipe_src")
+        c.execute("DROP TABLE IF EXISTS pipe_tgt")
+        c.execute("DROP TABLE IF EXISTS pgw_stream_commits")  # fresh claims
+        c.execute("CREATE TABLE pipe_src (k bigint NOT NULL, v text)")
+        c.copy_in("COPY pipe_src FROM STDIN", [f"{i}\tv{i}" for i in range(40)])
+
+    ckpt = str(tmp_path / "ckpt_pipe")
+
+    def drain():
+        stream = _pg_opts(spark.readStream.format("pgwire"), pg) \
+            .option("table", "pipe_src") \
+            .option("watermarkColumn", "k") \
+            .load()
+        q = (
+            _pg_opts(stream.writeStream.format("pgwire"), pg)
+            .option("table", "pipe_tgt")
+            .option("streamId", "pipe-test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def count_tgt():
+        with PgWireClient(**pg) as c:
+            _, n = c.query("SELECT count(*) FROM pipe_tgt")
+            return int(n[0][0])
+
+    drain()
+    assert count_tgt() == 40
+    drain()  # caught up: nothing re-delivered, nothing re-merged
+    assert count_tgt() == 40
+    with PgWireClient(**pg) as c:
+        c.copy_in("COPY pipe_src FROM STDIN", [f"{i}\tv{i}" for i in range(40, 55)])
+    drain()
+    assert count_tgt() == 55
+    with PgWireClient(**pg) as c:
+        _, rows = c.query("SELECT k FROM pipe_tgt ORDER BY k")
+        assert [int(r[0]) for r in rows] == list(range(55))
+
+
+def test_pgwire_stream_option_validation():
+    """Misconfigurations fail at construction, not as silent behavior:
+    maxRowsPerBatch=0 would stall forever, a startingOffset typo would
+    re-stream the whole table, complete-mode would append duplicates."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sinks.pgwire import _spark_struct
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        PgWireDataSource,
+        PgWireStreamReader,
+    )
+
+    schema = _spark_struct([("k", "bigint"), ("v", "string")])
+    base = {"host": "/nowhere", "table": "t", "watermarkcolumn": "k"}
+    with pytest.raises(ValueError, match="maxRowsPerBatch"):
+        PgWireStreamReader(schema, dict(base) | {"maxrowsperbatch": "0"})
+    with pytest.raises(ValueError, match="startingOffset"):
+        PgWireStreamReader(schema, dict(base) | {"startingoffset": "lastest"})
+    with pytest.raises(ValueError, match="watermarkColumn"):
+        PgWireStreamReader(schema, {"host": "/nowhere", "table": "t"})
+
+    ds = PgWireDataSource({"host": "/nowhere", "table": "t"})
+    out_schema = StructType([StructField("k", LongType())])
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(out_schema, overwrite=True)

@@ -188,24 +188,36 @@ def test_streaming_reads_pages_as_offsets(socrata, tmp_path):
         },
     )
     ckpt = str(tmp_path / "ckpt")
-    stream = (
-        socrata.readStream.format("socrata")
-        .option("url", BASE)
-        .option("batchSize", 2)
-        .option("fixtureDir", fixtures)
-        .load()
-        .select("arrest_key")
-    )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("t_socrata_stream")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {r["arrest_key"] for r in socrata.sql("SELECT * FROM t_socrata_stream").collect()}
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            socrata.readStream.format("socrata")
+            .option("url", BASE)
+            .option("batchSize", 2)
+            .option("fixtureDir", fixtures)
+            .load()
+            .select("arrest_key")
+            .writeStream.format("parquet")  # recoverable sink
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    drain()
+    got = {r["arrest_key"] for r in socrata.read.parquet(out).collect()}
     assert got == {f"K{i}" for i in range(5)}
+
+    # caught-up trigger on the same checkpoint: read() returns an
+    # empty result at an UNCHANGED offset — the wrapper validates it
+    # by calling next() on it, which crashed (TypeError) when read
+    # returned a bare list instead of an iterator
+    q2 = drain()
+    assert q2.exception() is None
+    assert socrata.read.parquet(out).count() == 5, "caught-up drain changed rows"
 
 
 def test_in_filter_compiles_to_soql():

@@ -179,19 +179,25 @@ def test_zorder_layout_tightens_per_file_stats(spark, sf_dir, tmp_path):
         row = stats.agg(F.avg("rp").alias("ap"), F.avg("rs").alias("as_")).first()
         return row.ap, row.as_
 
-    plain = str(tmp_path / "plain")
-    li.repartition(8).write.parquet(plain)  # round-robin: every file spans full ranges
     zed = str(tmp_path / "zed")
     write_zordered(li, zed, ["l_partkey", "l_suppkey"], n_files=8, bits_per_col=4)
 
-    pp, ps = spread_per_file(plain)
+    # baseline = the GLOBAL ranges, not a measured round-robin layout:
+    # repartition(8) starts round-robin at a random partition, so a
+    # measured "plain" spread varies run to run (observed flaking in
+    # full-suite runs); a random row placement's expected per-file
+    # spread is ~the full range anyway, which IS the global range
+    full = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("rp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("rs"),
+    ).first()
     zp, zs = spread_per_file(zed)
     # interleaving clusters BOTH dimensions at once: each file's
     # min/max window shrinks on both columns, not just the leading
     # one (l_suppkey has ~10 distinct values at this sf, so its
     # achievable shrink is coarser than the high-cardinality partkey)
-    assert zp < pp * 0.5
-    assert zs < ps * 0.75
+    assert zp < full.rp * 0.5
+    assert zs < full.rs * 0.75
     # layout change only — same rows
     assert spark.read.parquet(zed).count() == li.count()
 
