@@ -363,7 +363,10 @@ _PG_TYPES = {
     "float": "REAL",
     "double": "DOUBLE PRECISION",
     "boolean": "BOOLEAN",
-    "timestamp": "TIMESTAMP",
+    # Spark TimestampType is an INSTANT — a naive TIMESTAMP column
+    # would re-interpret its wall text in the SERVER's session zone,
+    # silently shifting values on any non-UTC server
+    "timestamp": "TIMESTAMPTZ",
     "timestamp_ntz": "TIMESTAMP",
 }
 
@@ -379,6 +382,42 @@ def pg_type_for(field) -> str:
             f"{field.dataType.simpleString()!r}"
         )
     return t
+
+
+def instant_utc_text(v):
+    """A Spark TimestampType value as explicit-offset UTC text for
+    COPY into TIMESTAMPTZ. Spark hands Python code naive datetimes in
+    the WORKER's local zone (``fromInternal`` uses ``fromtimestamp``);
+    ``astimezone()`` on a naive value attaches exactly that zone —
+    the correct inverse — before normalizing to UTC. Emitting the
+    offset makes the stored instant independent of the server's
+    session TimeZone."""
+    if v is None:
+        return None
+    if v.tzinfo is None:
+        v = v.astimezone()
+    import datetime as _dt
+
+    return v.astimezone(_dt.timezone.utc).isoformat(sep=" ")
+
+
+def timestamp_field_indexes(schema) -> frozenset[int]:
+    """Positions of instant (TimestampType) columns — the ones whose
+    COPY text must go through :func:`instant_utc_text`."""
+    return frozenset(
+        i
+        for i, f in enumerate(schema.fields)
+        if f.dataType.simpleString() == "timestamp"
+    )
+
+
+def copy_line(row, n_cols: int, ts_idx: frozenset[int]) -> str:
+    """One row as a COPY text line: instants normalized to explicit
+    UTC, everything else through :func:`copy_field`."""
+    return "\t".join(
+        copy_field(instant_utc_text(row[i]) if i in ts_idx else row[i])
+        for i in range(n_cols)
+    )
 
 
 def staging_ddl(df: DataFrame, table: str) -> str:
@@ -400,6 +439,7 @@ def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
         c.execute(f"DROP TABLE IF EXISTS {_ident(staging_table)}")
         c.execute(staging_ddl(df, staging_table))
     cols = list(df.columns)
+    ts_idx = timestamp_field_indexes(df.schema)
     copy_sql = (
         f"COPY {_ident(staging_table)} "
         f"({', '.join(_ident(c) for c in cols)}) FROM STDIN"
@@ -416,10 +456,7 @@ def stage_dataframe(df: DataFrame, conninfo: dict, staging_table: str) -> None:
         with PgWireClient(**conninfo) as conn:
             conn.copy_in(
                 copy_sql,
-                (
-                    "\t".join(copy_field(r[c]) for c in cols)
-                    for r in chain([first], it)
-                ),
+                (copy_line(r, len(cols), ts_idx) for r in chain([first], it)),
             )
 
     df.foreachPartition(_load)

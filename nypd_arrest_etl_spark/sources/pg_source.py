@@ -90,15 +90,17 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..sinks.pgwire import (
+    PgError,
     PgWireClient,
     _ident,
     _spark_struct,
-    copy_field,
+    copy_line,
     copy_out_pandas_batches,
     copy_unescape,
     fetch_table_fields,
     pg_type_for,
     range_clauses,
+    timestamp_field_indexes,
 )
 
 # ---------------------------------------------------------------------------
@@ -339,11 +341,23 @@ def _parse_value(v: str | None, t: str):
     return v
 
 
+_WM_PG_CAST = {
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "float": "REAL",
+    "double": "DOUBLE PRECISION",
+}
+
+
 def _wm_literal(text: str, t: str) -> str:
-    """The checkpointed watermark TEXT value as a SQL literal of the
-    watermark column's type. Numeric values embed raw (validated);
-    date/timestamp quote — Postgres compares them natively."""
-    if t in ("int", "bigint", "smallint", "float", "double"):
+    """The checkpointed watermark TEXT value as a SQL literal CAST to
+    the watermark column's own type. The cast matters for floats: a
+    bare decimal constant is float8, so a REAL column's max value can
+    compare strictly GREATER than its own float8 rendering — the
+    boundary row would fail ``w <= end`` forever. Date/timestamp
+    values quote; Postgres casts them to the column type natively."""
+    if t in _WM_PG_CAST:
         import math
 
         v = float(text)  # raises on anything that isn't a number
@@ -357,7 +371,7 @@ def _wm_literal(text: str, t: str) -> str:
                 "row in the watermark column cannot order a stream — "
                 "clean the column or use a serial key"
             )
-        return text
+        return f"CAST({text} AS {_WM_PG_CAST[t]})"
     if t == "date" or t.startswith("timestamp"):
         return "'" + text.replace("'", "''") + "'"
     raise TypeError(f"watermark column must be numeric/date/timestamp, not {t!r}")
@@ -512,6 +526,7 @@ class PgWireWriter(DataSourceWriter):
         self._overwrite = overwrite
         self._run = f"_pgw_{int(time.time())}_{uuid.uuid4().hex[:8]}"
         self._cols = [f.name for f in schema.fields]
+        self._ts_cols = timestamp_field_indexes(schema)
         self._ddl_cols = ", ".join(
             f"{_ident(f.name)} {pg_type_for(f)}" for f in schema.fields
         )
@@ -523,7 +538,7 @@ class PgWireWriter(DataSourceWriter):
         ctx = TaskContext.get()
         stg = f"{self._run}_{ctx.partitionId()}_{ctx.attemptNumber()}"
         n = _copy_rows_to_staging(
-            self._conninfo, stg, self._ddl_cols, self._cols, rows
+            self._conninfo, stg, self._ddl_cols, self._cols, rows, self._ts_cols
         )
         return PgCommitMessage(staging_table=stg if n is not None else None)
 
@@ -553,7 +568,14 @@ class PgWireWriter(DataSourceWriter):
             except BaseException:
                 _rollback_guarded(c)
                 raise
-            self._sweep(c)
+            # the merge is DURABLE now: a transient sweep failure must
+            # not fail the job — a rerun would insert every row twice
+            # (no claim protects the batch path); orphans are
+            # vacuum_staging's job anyway
+            try:
+                self._sweep(c)
+            except (PgError, OSError):
+                pass
 
     def abort(self, messages) -> None:
         with PgWireClient(**self._conninfo) as c:
@@ -594,12 +616,18 @@ def _rollback_guarded(c: PgWireClient) -> None:
 
 
 def _copy_rows_to_staging(
-    conninfo: dict, stg: str, ddl_cols: str, cols: list[str], rows
+    conninfo: dict,
+    stg: str,
+    ddl_cols: str,
+    cols: list[str],
+    rows,
+    ts_idx: frozenset[int],
 ) -> int | None:
     """Executor-side staging COPY shared by both writers: create the
-    per-attempt table and stream the task's rows into it. Returns the
-    rowcount, or None without touching the server when the partition
-    is empty."""
+    per-attempt table and stream the task's rows into it (instant
+    columns normalized to explicit-offset UTC — ``ts_idx``). Returns
+    the rowcount, or None without touching the server when the
+    partition is empty."""
     it = iter(rows)
     try:
         first = next(it)
@@ -612,17 +640,13 @@ def _copy_rows_to_staging(
         return c.copy_in(
             f"COPY {_ident(stg)} ({', '.join(_ident(x) for x in cols)}) "
             "FROM STDIN",
-            (
-                "\t".join(copy_field(r[i]) for i in range(len(cols)))
-                for r in chain([first], it)
-            ),
+            (copy_line(r, len(cols), ts_idx) for r in chain([first], it)),
         )
 
 
 @dataclass
 class PgStreamCommitMessage(WriterCommitMessage):
     staging_table: str | None
-    rows: int
 
 
 def _stream_ns(stream_id: str) -> str:
@@ -666,9 +690,22 @@ class PgWireStreamWriter(DataSourceStreamWriter):
     def __init__(self, schema: StructType, options: dict):
         self._conninfo = _conninfo(options)
         self._table = _table(options)
-        self._stream_id = options.get("streamid", "default")
+        sid = options.get("streamid")
+        if not sid:
+            # a shared default id would be a SILENT cross-stream
+            # collision: two unnamed streams share one claims row, so
+            # the one that starts behind merges nothing forever (and
+            # their sweeps drop each other's in-flight staging)
+            raise ValueError(
+                "pgwire streaming sink requires option 'streamId' — a "
+                "stable, per-stream-unique identity (Delta's txn appId "
+                "role). Reprocessing from a FRESH checkpoint with the "
+                "same streamId also needs reset_stream_claim()."
+            )
+        self._stream_id = sid
         self._ns = _stream_ns(self._stream_id)
         self._cols = [f.name for f in schema.fields]
+        self._ts_cols = timestamp_field_indexes(schema)
         self._ddl_cols = ", ".join(
             f"{_ident(f.name)} {pg_type_for(f)}" for f in schema.fields
         )
@@ -680,10 +717,10 @@ class PgWireStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         stg = f"_pgw_{int(time.time())}_{self._ns}_{TaskContext.get().taskAttemptId()}"
-        n = _copy_rows_to_staging(self._conninfo, stg, self._ddl_cols, self._cols, rows)
-        if n is None:
-            return PgStreamCommitMessage(staging_table=None, rows=0)
-        return PgStreamCommitMessage(staging_table=stg, rows=n)
+        n = _copy_rows_to_staging(
+            self._conninfo, stg, self._ddl_cols, self._cols, rows, self._ts_cols
+        )
+        return PgStreamCommitMessage(staging_table=stg if n is not None else None)
 
     # driver-side, once per microbatch
     def commit(self, messages, batchId: int) -> None:
@@ -726,7 +763,13 @@ class PgWireStreamWriter(DataSourceStreamWriter):
             except BaseException:
                 _rollback_guarded(c)
                 raise
-            self._sweep(c)
+            # post-COMMIT sweep: never fail a durably-committed batch
+            # over staging cleanup (replay would no-op on the claim,
+            # but the query would still report a spurious failure)
+            try:
+                self._sweep(c)
+            except (PgError, OSError):
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         with PgWireClient(**self._conninfo) as c:
@@ -737,6 +780,27 @@ class PgWireStreamWriter(DataSourceStreamWriter):
         # batches are serialized by its checkpoint, so everything
         # still standing at commit/abort is merged-or-orphan garbage
         _sweep_tables(c, f"\\_pgw\\_%\\_{self._ns}\\_%")
+
+
+def reset_stream_claim(conninfo: dict, stream_id: str) -> bool:
+    """Delete a stream's claim row so a FRESH checkpoint can reprocess
+    under the same ``streamId`` (batch ids restart at 0, which the
+    forward-only claim would otherwise treat as replays and merge
+    nothing — silently). Returns True if a claim existed. Pair with
+    clearing/truncating the target as the reprocessing job requires."""
+    sid = stream_id.replace("'", "''")
+    with PgWireClient(**conninfo) as c:
+        _, exists = c.query(
+            "SELECT 1 FROM information_schema.tables "
+            f"WHERE table_schema = current_schema() "
+            f"AND table_name = '{COMMITS_TABLE}'"
+        )
+        if not exists:
+            return False
+        n = c.execute(
+            f"DELETE FROM {_ident(COMMITS_TABLE)} WHERE stream_id = '{sid}'"
+        )
+        return n > 0
 
 
 def vacuum_staging(conninfo: dict, max_age_seconds: int = 86_400) -> list[str]:

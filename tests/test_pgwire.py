@@ -822,7 +822,7 @@ def test_pg_literal_timestamptz_and_wm_guards():
     for bad in ("NaN", "Infinity", "-Infinity"):
         with _pytest.raises(ValueError, match="non-finite watermark"):
             _wm_literal(bad, "double")
-    assert _wm_literal("1.5", "double") == "1.5"
+    assert _wm_literal("1.5", "double") == "CAST(1.5 AS DOUBLE PRECISION)"
 
 
 def test_pgwire_pushdown_timestamptz_honors_instant(spark, pg):
@@ -922,7 +922,7 @@ def test_pgwire_stream_writer_replay_commits_nothing(pg):
         with PgWireClient(**pg) as c:
             c.execute(f'CREATE TABLE "{stg}" (k INTEGER)')
             c.copy_in(f'COPY "{stg}" FROM STDIN', [str(v) for v in vals])
-        return PgStreamCommitMessage(staging_table=stg, rows=len(vals))
+        return PgStreamCommitMessage(staging_table=stg)
 
     # commit-side writers are constructed FRESH by Spark per call —
     # model that by using a new instance for every commit
@@ -1032,3 +1032,114 @@ def test_pgwire_stream_option_validation():
     out_schema = StructType([StructField("k", LongType())])
     with pytest.raises(ValueError, match="append-only"):
         ds.streamWriter(out_schema, overwrite=True)
+    # an unnamed stream would silently share the 'default' claim row
+    # and staging namespace with every other unnamed stream
+    with pytest.raises(ValueError, match="streamId"):
+        ds.streamWriter(out_schema, overwrite=False)
+    # float watermark literals cast to the COLUMN type (float8 vs
+    # float4 rendering would strand the max row outside w <= end)
+    from nypd_arrest_etl_spark.sources.pg_source import _wm_literal
+
+    assert _wm_literal("0.1", "float") == "CAST(0.1 AS REAL)"
+    assert _wm_literal("7", "bigint") == "CAST(7 AS BIGINT)"
+
+
+def test_pgwire_write_preserves_timestamp_instants(spark, pg):
+    """Spark TimestampType is an INSTANT: the writers store it as
+    TIMESTAMPTZ with explicit-offset UTC text, so the value survives a
+    server whose session TimeZone is not UTC, through BOTH write paths
+    (DataSource two-phase and stage_dataframe), and reads back as the
+    same instant."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    with PgWireClient(**pg) as c:
+        c.execute("ALTER DATABASE postgres SET timezone = 'America/New_York'")
+    try:
+        register_pgwire(spark)
+        inst = datetime.datetime(2024, 6, 1, 16, 0, tzinfo=datetime.timezone.utc)
+        df = spark.createDataFrame(
+            [(1,)], "k int"
+        ).select("k", F.lit(inst).alias("ts"))
+        assert df.schema["ts"].dataType.simpleString() == "timestamp"
+
+        w = (
+            df.write.format("pgwire")
+            .option("host", pg["host"])
+            .option("port", pg["port"])
+            .option("user", pg["user"])
+            .option("database", pg["database"])
+            .option("table", "inst_tgt")
+        )
+        w.mode("overwrite").save()
+        stage_dataframe(df, pg, "inst_stage")
+
+        for table in ("inst_tgt", "inst_stage"):
+            with PgWireClient(**pg) as c:
+                _, t = c.query(
+                    f"SELECT data_type FROM information_schema.columns "
+                    f"WHERE table_name = '{table}' AND column_name = 'ts'"
+                )
+                assert t[0][0] == "timestamp with time zone", table
+            back = (
+                spark.read.format("pgwire")
+                .option("host", pg["host"])
+                .option("port", pg["port"])
+                .option("user", pg["user"])
+                .option("database", pg["database"])
+                .option("table", table)
+                .load()
+                .collect()
+            )
+            got = back[0]["ts"]
+            # Spark returns instants as naive session-zone datetimes
+            # (session tz is UTC here): 16:00 UTC must come back 16:00
+            assert (got.year, got.hour, got.minute) == (2024, 16, 0), (table, got)
+    finally:
+        with PgWireClient(**pg) as c:
+            c.execute("ALTER DATABASE postgres RESET timezone")
+
+
+def test_reset_stream_claim_enables_reprocessing(pg):
+    """A fresh checkpoint under the SAME streamId restarts batch ids
+    at 0; without resetting the claim every batch replays as a no-op —
+    reset_stream_claim deletes the row so reprocessing merges again."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        PgStreamCommitMessage,
+        PgWireStreamWriter,
+        reset_stream_claim,
+    )
+
+    schema = StructType([StructField("k", IntegerType())])
+    opts = {k: str(v) for k, v in pg.items()} | {
+        "table": "reset_tgt", "streamid": "reset-me",
+    }
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS reset_tgt")
+
+    import time
+
+    def staged(w, vals):
+        stg = f"_pgw_{int(time.time())}_{w._ns}_{vals[0]}"
+        with PgWireClient(**pg) as c:
+            c.execute(f'CREATE TABLE "{stg}" (k INTEGER)')
+            c.copy_in(f'COPY "{stg}" FROM STDIN', [str(v) for v in vals])
+        return PgStreamCommitMessage(staging_table=stg)
+
+    w = PgWireStreamWriter(schema, opts)
+    w.commit([staged(w, [1])], batchId=5)
+    w.commit([staged(w, [2])], batchId=0)  # fresh checkpoint, no reset: no-op
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM reset_tgt")
+        assert n[0][0] == "1"
+    assert reset_stream_claim(pg, "reset-me") is True
+    PgWireStreamWriter(schema, opts).commit([staged(w, [3])], batchId=0)
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM reset_tgt")
+        assert n[0][0] == "2"
+    assert reset_stream_claim(pg, "never-existed") is False
