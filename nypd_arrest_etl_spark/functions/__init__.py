@@ -59,10 +59,26 @@ def parse_date_with_epoch_fallback(col: Column | str) -> Column:
     return F.coalesce(iso, F.when(is_numeric, epoch))
 
 
+# Exactly the characters Python's str.strip() treats as whitespace
+# (str.isspace() == True): ASCII space/control whitespace INCLUDING
+# the information separators \x1c-\x1f, NEL, NBSP, and the Unicode
+# space separators. Spark's trim() strips only ' ' — the reference
+# filters blanks with pandas .str.strip() (transform.py:100-104), so
+# a key like '\\x1f' must be treated as blank here too (hypothesis
+# found the divergence in round 8).
+_PY_WHITESPACE_ONLY = (
+    "^[ \\t\\n\\x0b\\x0c\\r\\x1c-\\x1f\\x85\\xa0"
+    "\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]*$"
+)
+
+
 def non_blank(col: Column | str) -> Column:
-    """Not-null and not whitespace-only (required-key filter, transform.py:100-104)."""
+    """Not-null and not whitespace-only (required-key filter,
+    transform.py:100-104) — Python-strip semantics, see
+    :data:`_PY_WHITESPACE_ONLY`. The null guard stays a separate
+    conjunct so Catalyst still pushes IsNotNull into the scan."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNotNull() & (F.trim(c.cast("string")) != "")
+    return c.isNotNull() & ~c.cast("string").rlike(_PY_WHITESPACE_ONLY)
 
 
 def scrub_nan_strings(col: Column | str) -> Column:

@@ -36,6 +36,7 @@ driver on a real deployment.
 
 from __future__ import annotations
 
+import datetime
 import os
 import socket
 import struct
@@ -388,17 +389,13 @@ def instant_utc_text(v):
     """A Spark TimestampType value as explicit-offset UTC text for
     COPY into TIMESTAMPTZ. Spark hands Python code naive datetimes in
     the WORKER's local zone (``fromInternal`` uses ``fromtimestamp``);
-    ``astimezone()`` on a naive value attaches exactly that zone —
-    the correct inverse — before normalizing to UTC. Emitting the
-    offset makes the stored instant independent of the server's
-    session TimeZone."""
+    ``astimezone(utc)`` on a naive value attaches exactly that zone —
+    the correct inverse — while normalizing. Emitting the offset makes
+    the stored instant independent of the server's session TimeZone.
+    Hot path: one call per timestamp cell of every COPYed row."""
     if v is None:
         return None
-    if v.tzinfo is None:
-        v = v.astimezone()
-    import datetime as _dt
-
-    return v.astimezone(_dt.timezone.utc).isoformat(sep=" ")
+    return v.astimezone(datetime.timezone.utc).isoformat(sep=" ")
 
 
 def timestamp_field_indexes(schema) -> frozenset[int]:

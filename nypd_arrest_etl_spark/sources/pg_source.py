@@ -90,7 +90,6 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..sinks.pgwire import (
-    PgError,
     PgWireClient,
     _ident,
     _spark_struct,
@@ -551,6 +550,7 @@ class PgWireWriter(DataSourceWriter):
         ]
         col_list = ", ".join(_ident(x) for x in self._cols)
         with PgWireClient(**self._conninfo) as c:
+            _check_instant_columns(c, self._table, self._cols, self._ts_cols)
             c.execute("BEGIN")
             try:
                 c.execute(
@@ -574,7 +574,7 @@ class PgWireWriter(DataSourceWriter):
             # vacuum_staging's job anyway
             try:
                 self._sweep(c)
-            except (PgError, OSError):
+            except OSError:  # includes PgError
                 pass
 
     def abort(self, messages) -> None:
@@ -611,7 +611,7 @@ def _rollback_guarded(c: PgWireClient) -> None:
     exception propagates (same contract as copy_in's CopyFail)."""
     try:
         c.execute("ROLLBACK")
-    except (PgError, OSError):
+    except OSError:  # includes PgError
         pass
 
 
@@ -641,6 +641,39 @@ def _copy_rows_to_staging(
             f"COPY {_ident(stg)} ({', '.join(_ident(x) for x in cols)}) "
             "FROM STDIN",
             (copy_line(r, len(cols), ts_idx) for r in chain([first], it)),
+        )
+
+
+def _check_instant_columns(c: PgWireClient, table: str, cols, ts_idx) -> None:
+    """Fail LOUDLY if an already-existing target stores an instant
+    column as naive TIMESTAMP: the staging->target INSERT would
+    implicitly cast TIMESTAMPTZ to the server's session wall time —
+    silent, server-config-dependent value shifts (CREATE TABLE IF NOT
+    EXISTS tolerates the mismatch, so nothing else would catch it)."""
+    if not ts_idx:
+        return
+    _, rows = c.query(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
+        "AND table_schema = current_schema()"
+    )
+    if not rows:
+        return  # target doesn't exist yet: we create it correctly
+    types = dict(rows)
+    bad = [
+        cols[i]
+        for i in sorted(ts_idx)
+        if types.get(cols[i]) == "timestamp without time zone"
+    ]
+    if bad:
+        raise TypeError(
+            f"target {table!r} stores instant column(s) {bad} as naive "
+            "TIMESTAMP; writing TIMESTAMPTZ staging into it would shift "
+            "values by the server's session TimeZone. Migrate the column "
+            "(ALTER ... TYPE timestamptz USING <col> AT TIME ZONE 'UTC' "
+            "— pick the zone the legacy wall times were written in) or "
+            "cast the DataFrame column to timestamp_ntz to keep naive "
+            "semantics."
         )
 
 
@@ -731,6 +764,7 @@ class PgWireStreamWriter(DataSourceStreamWriter):
         ]
         col_list = ", ".join(_ident(x) for x in self._cols)
         with PgWireClient(**self._conninfo) as c:
+            _check_instant_columns(c, self._table, self._cols, self._ts_cols)
             c.execute("BEGIN")
             try:
                 c.execute(
@@ -768,7 +802,7 @@ class PgWireStreamWriter(DataSourceStreamWriter):
             # but the query would still report a spurious failure)
             try:
                 self._sweep(c)
-            except (PgError, OSError):
+            except OSError:  # includes PgError
                 pass
 
     def abort(self, messages, batchId: int) -> None:

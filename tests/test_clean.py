@@ -143,3 +143,22 @@ def test_missing_required_column_raises(spark, tmp_path):
     schema = T.StructType([T.StructField("arrest_key", T.StringType())])
     with pytest.raises(MissingRequiredColumns):
         read_jsonl(spark, str(p), schema=schema)
+
+
+def test_blank_key_filter_matches_python_strip_semantics(spark):
+    """The reference filters blanks with pandas .str.strip()
+    (transform.py:100-104), which treats \\x1c-\\x1f, NEL, and NBSP as
+    whitespace; Spark's trim() strips only ' '. Keys that Python-strip
+    to empty must be dropped (hypothesis found '\\x1f' surviving in
+    round 8); keys with any real character survive."""
+    from nypd_arrest_etl_spark.operators.clean import clean
+
+    rows = [
+        ("\x1f", "2024-01-05"),        # information separator: blank
+        ("\xa0\t \x85", "2024-01-05"),  # NBSP/tab/NEL mix: blank
+        (" k1 ", "2024-01-05"),         # real key survives
+        ("\x1fk2", "2024-01-05"),       # control char + content survives
+    ]
+    df = spark.createDataFrame(rows, "ARREST_KEY string, ARREST_DATE string")
+    keys = {r["arrest_key"] for r in clean(df).collect()}
+    assert keys == {" k1 ", "\x1fk2"}

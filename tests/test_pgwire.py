@@ -1095,9 +1095,10 @@ def test_pgwire_write_preserves_timestamp_instants(spark, pg):
                 .collect()
             )
             got = back[0]["ts"]
-            # Spark returns instants as naive session-zone datetimes
-            # (session tz is UTC here): 16:00 UTC must come back 16:00
-            assert (got.year, got.hour, got.minute) == (2024, 16, 0), (table, got)
+            # compare INSTANTS: collect() renders naive datetimes in
+            # the OS-local zone, so attach it back before comparing —
+            # robust on machines whose TZ is not UTC
+            assert got.astimezone(datetime.timezone.utc) == inst, (table, got)
     finally:
         with PgWireClient(**pg) as c:
             c.execute("ALTER DATABASE postgres RESET timezone")
@@ -1143,3 +1144,34 @@ def test_reset_stream_claim_enables_reprocessing(pg):
         _, n = c.query("SELECT count(*) FROM reset_tgt")
         assert n[0][0] == "2"
     assert reset_stream_claim(pg, "never-existed") is False
+
+
+def test_pgwire_write_rejects_naive_timestamp_target(spark, pg):
+    """Writing an instant column into a PRE-EXISTING naive-TIMESTAMP
+    target fails loudly: the implicit timestamptz->timestamp cast in
+    the merge would shift values by the server's session TimeZone."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS legacy_naive")
+        c.execute("CREATE TABLE legacy_naive (k int, ts timestamp)")
+    inst = datetime.datetime(2024, 6, 1, 16, 0, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame([(1,)], "k int").select(
+        "k", F.lit(inst).alias("ts")
+    )
+    with pytest.raises(Exception, match="naive"):
+        (
+            df.write.format("pgwire")
+            .option("host", pg["host"])
+            .option("port", pg["port"])
+            .option("user", pg["user"])
+            .option("database", pg["database"])
+            .option("table", "legacy_naive")
+            .mode("append")
+            .save()
+        )
