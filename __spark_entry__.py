@@ -90,12 +90,20 @@ _GATE_PRIORITY = [
     # r8 rotation (VERDICT r7 #5): six more full-oracle entries never
     # driver-verified before — multimodal feature extraction, winnowing
     # containment pairs, cross-source overlap, quality-top-fraction
-    # curation, char histograms, and source drift stats. (Remaining
-    # never-gated full-oracle entries for r9: profile_documents,
-    # quality_constraints, text_containment_capped.)
-    "multimodal_features", "text_containment_pairs",
+    # curation, char histograms, and source drift stats.
+    "multimodal_features",
     "dedup_source_overlap", "curate_quality_top_frac",
-    "histogram_chars", "drift_sources",
+    # r9 rotation (VERDICT r8 #1): the LAST three full-oracle entries
+    # that had never been in a driver gate window. Family coverage is
+    # preserved by same-family swaps, each swapped-out entry
+    # driver-verified green in r8 and still full-compare covered:
+    # text_containment_pairs -> text_containment_capped (winnowing
+    # containment), histogram_chars -> profile_documents (profiling),
+    # drift_sources -> quality_constraints (data-quality checks).
+    # After this rotation every full-oracle registry entry has been
+    # driver-verified at least once.
+    "text_containment_capped", "profile_documents",
+    "quality_constraints",
 ]
 
 

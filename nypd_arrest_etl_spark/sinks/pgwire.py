@@ -749,6 +749,18 @@ def merge_via_pgwire(
     rowcount (reference metric, load.py:151-155)."""
     from .jdbc import merge_via_staging
 
+    # Same guard as PgWireWriter.commit: staging is recreated with
+    # TIMESTAMPTZ for instants, but a PRE-EXISTING target whose instant
+    # column is naive TIMESTAMP would silently cast via the server's
+    # session TimeZone during the staging->target merge. Fail loudly
+    # BEFORE any rows move.
+    ts_idx = timestamp_field_indexes(df.schema)
+    if ts_idx:
+        from ..sources.pg_source import _check_instant_columns
+
+        with PgWireClient(**conninfo) as c:
+            _check_instant_columns(c, target_table, list(df.columns), ts_idx)
+
     def _stage(d: DataFrame, table: str) -> None:
         stage_dataframe(d, conninfo, table)
 

@@ -302,8 +302,18 @@ class PgWirePushdownReader(PgWireReader):
     """Opt-in Catalyst filter pushdown (``option("pushdown", "true")``)
     — see the module docstring for why this is not the default."""
 
+    def __init__(self, schema: StructType, options: dict):
+        super().__init__(schema, options)
+        self._user_predicate = self._predicate
+
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        clauses = [f"({self._predicate})"] if self._predicate else []
+        # The user's option("predicate", ...) is kept apart from the
+        # pushed clauses and the combined predicate is rebuilt from
+        # scratch on every call: if Spark ever re-plans and invokes
+        # pushFilters twice on the same reader instance, a cumulative
+        # fold would leave the earlier query's clauses ANDed in and
+        # silently drop rows for the later one.
+        clauses = [f"({self._user_predicate})"] if self._user_predicate else []
         unsupported = []
         for flt in filters:
             sql = _filter_to_pg(flt)
@@ -313,8 +323,7 @@ class PgWirePushdownReader(PgWireReader):
                 # not returned: COLLATE "C" pinning makes the pushed
                 # predicate exactly Spark's semantics, so no recheck
                 clauses.append(f"({sql})")
-        if clauses:
-            self._predicate = " AND ".join(clauses)
+        self._predicate = " AND ".join(clauses) if clauses else self._user_predicate
         return unsupported
 
 
@@ -372,6 +381,16 @@ def _wm_literal(text: str, t: str) -> str:
             )
         return f"CAST({text} AS {_WM_PG_CAST[t]})"
     if t == "date" or t.startswith("timestamp"):
+        if text.strip().lower().lstrip("+-") in ("infinity", "inf"):
+            # Postgres date/timestamp columns admit the special values
+            # 'infinity'/'-infinity'; max(w) returning infinity makes
+            # "w > infinity" never true, so the stream would stall at
+            # it silently forever — same failure mode as float NaN.
+            raise ValueError(
+                f"non-finite watermark value {text!r}: an infinity "
+                "row in the watermark column cannot order a stream — "
+                "clean the column or use a serial key"
+            )
         return "'" + text.replace("'", "''") + "'"
     raise TypeError(f"watermark column must be numeric/date/timestamp, not {t!r}")
 
@@ -583,8 +602,11 @@ class PgWireWriter(DataSourceWriter):
 
     def _sweep(self, c: PgWireClient) -> None:
         # drop EVERYTHING under the run prefix — committed staging
-        # tables and orphans from failed/retried attempts alike
-        _sweep_tables(c, f"{self._run}\\_%")
+        # tables and orphans from failed/retried attempts alike.
+        # The run prefix's own underscores (_pgw_<epoch>_<hex>) are
+        # escaped so they match literally instead of acting as LIKE
+        # single-char wildcards (same discipline as the stream writer).
+        _sweep_tables(c, self._run.replace("_", "\\_") + "\\_%")
 
 # streaming writer (exactly-once into the operational table)
 # ---------------------------------------------------------------------------

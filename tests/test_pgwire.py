@@ -521,6 +521,14 @@ def test_pgwire_datasource_reader_pushdown_unit(pg):
     leftover = r.pushFilters([EqualTo(("a", "b"), 1), GreaterThan(("k",), 7)])
     assert [type(f).__name__ for f in leftover] == ["EqualTo"]
     assert r._predicate == '(k < 250) AND ("k" > 7)'
+    # re-planning invokes pushFilters AGAIN on the same instance: the
+    # combined predicate must be rebuilt from the user predicate +
+    # THIS call's filters only — a cumulative fold would keep the
+    # first query's "k > 7" ANDed in and silently drop rows
+    r.pushFilters([GreaterThan(("k",), 3)])
+    assert r._predicate == '(k < 250) AND ("k" > 3)'
+    r.pushFilters([])
+    assert r._predicate == "(k < 250)"
 
 
 def test_pgwire_datasource_write_modes(spark, pg):
@@ -823,6 +831,14 @@ def test_pg_literal_timestamptz_and_wm_guards():
         with _pytest.raises(ValueError, match="non-finite watermark"):
             _wm_literal(bad, "double")
     assert _wm_literal("1.5", "double") == "CAST(1.5 AS DOUBLE PRECISION)"
+    # date/timestamp columns admit 'infinity'/'-infinity' specials:
+    # max(w) = infinity makes "w > infinity" never true — the stream
+    # would stall silently forever, same failure mode as float NaN
+    for bad in ("infinity", "-infinity", "Infinity"):
+        for t in ("date", "timestamp", "timestamp_ntz"):
+            with _pytest.raises(ValueError, match="non-finite watermark"):
+                _wm_literal(bad, t)
+    assert _wm_literal("2024-01-01", "date") == "'2024-01-01'"
 
 
 def test_pgwire_pushdown_timestamptz_honors_instant(spark, pg):
@@ -1175,3 +1191,66 @@ def test_pgwire_write_rejects_naive_timestamp_target(spark, pg):
             .mode("append")
             .save()
         )
+
+
+def test_batch_writer_sweep_escapes_run_prefix_underscores(pg):
+    """PgWireWriter._sweep must treat the run prefix's own underscores
+    as literals, not LIKE single-char wildcards: a foreign table whose
+    name matches the prefix only via wildcard underscores must survive
+    the sweep (ADVICE r8; the stream writer already escaped)."""
+    from nypd_arrest_etl_spark.sinks.pgwire import _spark_struct
+    from nypd_arrest_etl_spark.sources.pg_source import PgWireWriter
+
+    opts = {k: str(v) for k, v in pg.items()} | {"table": "sweep_tgt"}
+    w = PgWireWriter(_spark_struct([("k", "int")]), opts, overwrite=False)
+    own = f"{w._run}_0_0"
+    # same length as the run prefix but 'X' where it has '_': matches
+    # the UNescaped pattern (each _ a wildcard), not the escaped one
+    foreign = w._run.replace("_", "X") + "_keepme"
+    with PgWireClient(**pg) as c:
+        c.execute(f'CREATE TABLE "{own}" (k int)')
+        c.execute(f'CREATE TABLE "{foreign}" (k int)')
+        w._sweep(c)
+        _, rows = c.query(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = current_schema() "
+            f"AND table_name IN ('{own}', '{foreign}')"
+        )
+        names = {r[0] for r in rows}
+        c.execute(f'DROP TABLE IF EXISTS "{foreign}"')
+    assert own not in names, "the run's own staging table must be swept"
+    assert foreign in names, "a foreign table matched via wildcard _ was dropped"
+
+
+def test_merge_via_pgwire_rejects_naive_timestamp_target(spark, pg):
+    """merge_via_pgwire guards the PRE-EXISTING target's instant
+    columns exactly like PgWireWriter.commit: merging TIMESTAMPTZ
+    staging into a naive-TIMESTAMP target would silently shift values
+    by the server's session TimeZone (ADVICE r8)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS legacy_merge_naive")
+        c.execute(
+            "CREATE TABLE legacy_merge_naive (arrest_key text PRIMARY KEY, "
+            "ts timestamp)"
+        )
+    inst = datetime.datetime(2024, 6, 1, 16, 0, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame([("k1",)], "arrest_key string").select(
+        "arrest_key", F.lit(inst).alias("ts")
+    )
+    with pytest.raises(TypeError, match="naive"):
+        merge_via_pgwire(
+            df,
+            pg,
+            target_table="legacy_merge_naive",
+            staging_table="legacy_merge_stg",
+            key="arrest_key",
+        )
+    with PgWireClient(**pg) as c:
+        _, n = c.query("SELECT count(*) FROM legacy_merge_naive")
+        assert n[0][0] == "0"  # nothing moved before the guard fired
+        c.execute("DROP TABLE IF EXISTS legacy_merge_naive")
+        c.execute("DROP TABLE IF EXISTS legacy_merge_stg")
