@@ -376,7 +376,11 @@ def pg_type_for(field) -> str:
     """The Postgres DDL type for one Spark StructField — the ONE
     Spark-type -> PG-type seam (staging DDL and the pgwire DataSource
     writer both build tables through it)."""
-    t = _PG_TYPES.get(field.dataType.simpleString())
+    simple = field.dataType.simpleString()
+    if simple.startswith("decimal("):
+        # exact precision/scale carries into the DDL: NUMERIC(p,s)
+        return "NUMERIC" + simple[len("decimal") :]
+    t = _PG_TYPES.get(simple)
     if t is None:
         raise TypeError(
             f"no COPY/text mapping for column {field.name!r} of type "
@@ -490,7 +494,9 @@ _SPARK_TYPES = {
     "smallint": "smallint",
     "real": "float",
     "double precision": "double",
-    "numeric": "double",  # lossy by design: no DecimalType round-trip
+    # "numeric" is handled in fetch_table_fields: constrained
+    # NUMERIC(p,s) maps to the exact decimal(p,s); unconstrained
+    # NUMERIC falls back to decimal(38,18) (Spark's own JDBC default)
     "boolean": "boolean",
     "date": "date",
     "timestamp without time zone": "timestamp_ntz",
@@ -530,8 +536,15 @@ def _spark_struct(fields: list[tuple[str, str]]):
         "timestamp": T.TimestampType(),
         "timestamp_ntz": T.TimestampNTZType(),
     }
+
+    def one(t: str):
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        return atom[t]
+
     return T.StructType(
-        [T.StructField(n, atom[t], nullable=True) for n, t in fields]
+        [T.StructField(n, one(t), nullable=True) for n, t in fields]
     )
 
 
@@ -557,6 +570,18 @@ def copy_rows_to_pandas(raw: list[list[str | None]], fields: list[tuple[str, str
             data[name] = pd.array(
                 [None if v is None else float(v) for v in col],
                 dtype="float64" if t == "double" else "float32",
+            )
+        elif t.startswith("decimal("):
+            import decimal
+
+            # exact: COPY text -> Decimal, never through a float.
+            # Arrow converts the object column to decimal128(p,s) per
+            # the declared schema; an out-of-envelope value (possible
+            # only on the unconstrained-NUMERIC fallback) raises there
+            # instead of rounding silently.
+            data[name] = pd.Series(
+                [None if v is None else decimal.Decimal(v) for v in col],
+                dtype="object",
             )
         elif t == "boolean":
             data[name] = pd.array(
@@ -604,9 +629,15 @@ def fetch_table_fields(
     """``(column, spark_type)`` pairs for ``table`` in the
     connection's current schema, in ordinal order (or the caller's
     projection order when ``columns`` is given — positional consumers
-    must not get table ordinal order)."""
+    must not get table ordinal order). NUMERIC(p,s) maps to the exact
+    ``decimal(p,s)``; unconstrained NUMERIC (no typmod — Postgres
+    stores it with unbounded precision) has no lossless Spark type, so
+    it falls back to ``decimal(38,18)``, the same default Spark's JDBC
+    source applies; values outside that envelope fail the COPY parse
+    loudly rather than rounding silently."""
     cols_sql = (
-        "SELECT column_name, data_type FROM information_schema.columns "
+        "SELECT column_name, data_type, numeric_precision, numeric_scale "
+        "FROM information_schema.columns "
         f"WHERE table_name = '{table.replace(chr(39), chr(39) * 2)}' "
         # scope to the connection's schema: a same-named table in
         # another schema would interleave foreign columns into the
@@ -617,7 +648,15 @@ def fetch_table_fields(
     _, meta = c.query(cols_sql)
     if not meta:
         raise ValueError(f"table {table!r} not found in information_schema")
-    fields = [(name, _SPARK_TYPES.get(dtype, "string")) for name, dtype in meta]
+    fields = []
+    for name, dtype, prec, scale in meta:
+        if dtype == "numeric":
+            if prec is not None and int(prec) <= 38:
+                fields.append((name, f"decimal({int(prec)},{int(scale or 0)})"))
+            else:
+                fields.append((name, "decimal(38,18)"))
+        else:
+            fields.append((name, _SPARK_TYPES.get(dtype, "string")))
     if columns is not None:
         by_name = {f[0]: f for f in fields}
         missing = [x for x in columns if x not in by_name]
@@ -686,8 +725,9 @@ def read_postgres(
     rows as COPY text, load.py:96) from an executor task.
 
     - schema from ``information_schema.columns`` (one driver query),
-      PG types mapped to Spark types (numeric -> double, documented
-      lossy);
+      PG types mapped to Spark types (NUMERIC(p,s) -> exact
+      DecimalType(p,s); unconstrained NUMERIC -> decimal(38,18)
+      fallback, Spark's own JDBC default);
     - ``partition_col`` (numeric) splits [min, max] into
       ``num_partitions`` strided ranges exactly like Spark's JDBC
       source — first/last ranges unbounded so concurrent inserts

@@ -340,6 +340,8 @@ def _parse_value(v: str | None, t: str):
         return int(v)
     if t in ("float", "double"):
         return float(v)
+    if t.startswith("decimal("):
+        return decimal.Decimal(v)  # exact, never through a float
     if t == "boolean":
         return v == "t"
     if t == "date":
@@ -365,6 +367,17 @@ def _wm_literal(text: str, t: str) -> str:
     compare strictly GREATER than its own float8 rendering — the
     boundary row would fail ``w <= end`` forever. Date/timestamp
     values quote; Postgres casts them to the column type natively."""
+    if t.startswith("decimal("):
+        d = decimal.Decimal(text)  # raises on anything that isn't a number
+        if not d.is_finite():
+            # Postgres NUMERIC admits NaN (always) and Infinity (14+):
+            # same silent-stall failure mode as the float specials
+            raise ValueError(
+                f"non-finite watermark value {text!r}: a NaN/Infinity "
+                "row in the watermark column cannot order a stream — "
+                "clean the column or use a serial key"
+            )
+        return f"CAST({text} AS NUMERIC{t[len('decimal'):]})"
     if t in _WM_PG_CAST:
         import math
 
@@ -432,7 +445,11 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(f"watermarkColumn {wm!r} not in schema {list(by_name)}")
         self._wm, self._wm_type = wm, by_name[wm]
         ordered = ("int", "bigint", "smallint", "float", "double", "date")
-        if self._wm_type not in ordered and not self._wm_type.startswith("timestamp"):
+        if (
+            self._wm_type not in ordered
+            and not self._wm_type.startswith("timestamp")
+            and not self._wm_type.startswith("decimal(")
+        ):
             raise TypeError(
                 f"watermarkColumn must be numeric/date/timestamp, "
                 f"got {wm!r}: {self._wm_type}"

@@ -298,14 +298,17 @@ def test_read_postgres_round_trips_all_types(spark, pg):
         )
     df = read_postgres(spark, pg, "typezoo")
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
-        "int", "bigint", "smallint", "float", "double", "double",
+        "int", "bigint", "smallint", "float", "double", "decimal(10,2)",
         "string", "boolean", "date", "timestamp_ntz",
     ]
     rows = {r["i"]: r for r in df.collect()}
     assert set(rows) == {1, 2, None}
     r1, r2, rn = rows[1], rows[2], rows[None]
     assert (r1["b"], r1["s"], r1["t"], r1["f"]) == (9_000_000_000, 7, "plain", True)
-    assert r1["d"] == 2.25 and float(r1["n"]) == 12.34
+    import decimal as _dec
+
+    assert r1["d"] == 2.25 and r1["n"] == _dec.Decimal("12.34")
+    assert rows[2]["n"] == _dec.Decimal("0.01")
     assert str(r1["dt"]) == "2024-03-01" and "12:30" in str(r1["ts"])
     assert r2["t"] == "a\tb\nc\\d" and r2["f"] is False
     assert all(rn[k] is None for k in df.columns)
@@ -1254,3 +1257,171 @@ def test_merge_via_pgwire_rejects_naive_timestamp_target(spark, pg):
         assert n[0][0] == "0"  # nothing moved before the guard fired
         c.execute("DROP TABLE IF EXISTS legacy_merge_naive")
         c.execute("DROP TABLE IF EXISTS legacy_merge_stg")
+
+
+def test_numeric_decimal_round_trip_money(spark, pg):
+    """VERDICT r8 #2: NUMERIC maps to exact DecimalType — a
+    money-shaped column round-trips source -> Spark -> sink without a
+    float in the path. Covers: constrained NUMERIC(12,2) (exact p,s),
+    unconstrained NUMERIC (documented decimal(38,18) fallback), cents
+    that don't exist in binary floats, 38-digit-envelope values, NULL,
+    write-side DDL carrying NUMERIC(p,s), and the registered
+    DataSource's arrow path."""
+    import decimal
+
+    from nypd_arrest_etl_spark.sinks.pgwire import read_postgres
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    money = [
+        ("0.10", "0.1"),
+        ("1234567890.12", "12345678901234567890.123456789012345678"),
+        ("-0.01", "-0.000000000000000001"),
+        (None, None),
+    ]
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS money_src")
+        c.execute(
+            "CREATE TABLE money_src (id serial, amt numeric(12,2), "
+            "raw numeric)"
+        )
+        c.copy_in(
+            "COPY money_src (amt, raw) FROM STDIN",
+            (
+                "\t".join("\\N" if v is None else v for v in row)
+                for row in money
+            ),
+        )
+
+    df = read_postgres(spark, pg, "money_src")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "decimal(12,2)", "decimal(38,18)"
+    ]
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["amt"] == decimal.Decimal("0.10")
+    # the float-path would give 0.100000000000000005551...; exactness
+    # is the whole point
+    assert got[1]["raw"] == decimal.Decimal("0.1")
+    assert got[2]["amt"] == decimal.Decimal("1234567890.12")
+    assert got[2]["raw"] == decimal.Decimal(
+        "12345678901234567890.123456789012345678"
+    )
+    assert got[3]["raw"] == decimal.Decimal("-0.000000000000000001")
+    assert got[4]["amt"] is None and got[4]["raw"] is None
+
+    # the registered DataSource's arrow path agrees (decimal128 batches)
+    ds = (
+        spark.read.format("pgwire")
+        .option("host", pg["host"])
+        .option("port", pg["port"])
+        .option("user", pg["user"])
+        .option("database", pg["database"])
+        .option("table", "money_src")
+        .load()
+    )
+    assert dict(ds.dtypes)["amt"] == "decimal(12,2)"
+    ds_got = {r["id"]: r for r in ds.collect()}
+    assert ds_got[2]["amt"] == decimal.Decimal("1234567890.12")
+    assert ds_got[1]["raw"] == decimal.Decimal("0.1")
+
+    # write side: DecimalType DDL is NUMERIC(p,s), values render exact
+    out = df.select("amt", "raw")
+    (
+        out.write.format("pgwire")
+        .option("host", pg["host"])
+        .option("port", pg["port"])
+        .option("user", pg["user"])
+        .option("database", pg["database"])
+        .option("table", "money_tgt")
+        .mode("overwrite")
+        .save()
+    )
+    with PgWireClient(**pg) as c:
+        _, ddl = c.query(
+            "SELECT data_type, numeric_precision, numeric_scale "
+            "FROM information_schema.columns WHERE table_name = 'money_tgt' "
+            "ORDER BY ordinal_position"
+        )
+        assert ddl == [("numeric", "12", "2"), ("numeric", "38", "18")]
+        _, vals = c.query(
+            "SELECT amt, raw FROM money_tgt WHERE amt = 1234567890.12"
+        )
+        assert vals == [
+            ("1234567890.12", "12345678901234567890.123456789012345678")
+        ]
+        # full parity including NULLs
+        _, n = c.query(
+            "SELECT count(*) FROM money_tgt t JOIN money_src s "
+            "ON t.amt IS NOT DISTINCT FROM s.amt "
+            "AND t.raw IS NOT DISTINCT FROM s.raw"
+        )
+        assert int(n[0][0]) >= 4
+        c.execute("DROP TABLE IF EXISTS money_src")
+        c.execute("DROP TABLE IF EXISTS money_tgt")
+
+
+def test_pgwire_stream_decimal_watermark(spark, pg, tmp_path):
+    """A NUMERIC watermark column orders the stream exactly: offsets
+    render as CAST(text AS NUMERIC(p,s)) so boundary rows are never
+    stranded, and non-finite specials fail loudly."""
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        _wm_literal,
+        register_pgwire,
+    )
+
+    assert _wm_literal("10.50", "decimal(12,2)") == "CAST(10.50 AS NUMERIC(12,2))"
+    for bad in ("NaN", "Infinity", "-Infinity"):
+        with _pytest.raises(ValueError, match="non-finite watermark"):
+            _wm_literal(bad, "decimal(12,2)")
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS dec_stream_src")
+        c.execute("CREATE TABLE dec_stream_src (w numeric(12,2), v text)")
+        c.copy_in(
+            "COPY dec_stream_src FROM STDIN",
+            ["1.10\ta", "2.20\tb", "3.30\tc"],
+        )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        (
+            spark.readStream.format("pgwire")
+            .option("host", pg["host"])
+            .option("port", pg["port"])
+            .option("user", pg["user"])
+            .option("database", pg["database"])
+            .option("table", "dec_stream_src")
+            .option("watermarkColumn", "w")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drain()
+    import decimal
+
+    first = spark.read.parquet(out)
+    assert {r["v"] for r in first.collect()} == {"a", "b", "c"}
+    assert dict(first.dtypes)["w"] == "decimal(12,2)"
+    # increment past the checkpoint: only the new row arrives, and the
+    # boundary row (3.30 == last offset) is not re-read or stranded
+    with PgWireClient(**pg) as c:
+        c.copy_in("COPY dec_stream_src FROM STDIN", ["4.40\td"])
+    drain()
+    rows = {r["v"]: r["w"] for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        "a": decimal.Decimal("1.10"),
+        "b": decimal.Decimal("2.20"),
+        "c": decimal.Decimal("3.30"),
+        "d": decimal.Decimal("4.40"),
+    }
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS dec_stream_src")
