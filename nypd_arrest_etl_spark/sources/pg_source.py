@@ -28,6 +28,10 @@ can express:
   must be requested explicitly. ``tests/test_pgwire.py`` carries a
   canary test pinned to the wrong-result shape: when a Spark upgrade
   fixes the reuse, the canary fails, signalling the default can flip.
+  A minimal self-contained repro (no repo imports, no server —
+  suitable for filing upstream) lives at
+  ``tools/repro_python_source_plan_reuse.py``: exit 2 = reproduced,
+  exit 0 = fixed.
 - **Arrow-batch reads**: each partition yields ``pyarrow.RecordBatch``
   directly (the documented fast path for Python sources), built
   against the exact arrow schema Spark derives from the declared
