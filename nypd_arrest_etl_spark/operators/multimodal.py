@@ -9,7 +9,11 @@ nearest-neighbor resize), and PNG/GIF/JPEG header dimension parsing.
 ``NotImplementedError`` remains ONLY for formats that genuinely need
 an external runtime (compressed video, JPEG pixel data, model-based
 features), raised at the exact seam a PIL/ffmpeg/torch call would
-occupy. ``fake=True`` (default) stays the deterministic bytes-derived
+occupy — and since round 9 those seams TRY-IMPORT the library first
+(:func:`_optional`): with PIL installed, unknown image formats decode
+and resize for real; with soundfile installed, FLAC/OGG decode to
+durations and spectral features. Absent (this image), the documented
+error stands and the contract tests skip. ``fake=True`` (default) stays the deterministic bytes-derived
 stand-in so driver-gate queries over text payloads are stable.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a
@@ -168,9 +172,57 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, None]:
     raise ValueError("no SOF marker found")
 
 
+def _optional(module: str):
+    """Try-import seam for optional media libraries (mirrors the TWS
+    env-skip pattern): returns the module when the runtime carries it,
+    None when it doesn't — callers fall through to the documented
+    ``NotImplementedError``. Executor-side: called inside UDF kernels,
+    so a library present on the CLUSTER lights the path up even when
+    the driver image lacks it."""
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except ImportError:
+        return None
+
+
+def _pil_decode_dims(payload: bytes) -> tuple[int, int, None] | None:
+    """Image dims via PIL when installed (lazy: header-only, no full
+    pixel decode for most formats); None when PIL is absent or the
+    payload isn't an image it recognizes."""
+    pil_image = _optional("PIL.Image")
+    if pil_image is None:
+        return None
+    import io
+
+    try:
+        with pil_image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, None
+    except Exception:
+        return None  # not an image PIL knows: fall through to audio
+
+
+def _soundfile_duration(payload: bytes) -> tuple[None, None, int] | None:
+    """Audio duration via soundfile (FLAC/OGG/AIFF/...) when
+    installed; None when absent or unparseable."""
+    sf = _optional("soundfile")
+    if sf is None:
+        return None
+    import io
+
+    try:
+        with sf.SoundFile(io.BytesIO(payload)) as f:
+            rate = f.samplerate
+            return None, None, int(len(f) * 1000 / rate) if rate else 0
+    except Exception:
+        return None
+
+
 def _real_decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
-    """Dispatch on magic bytes; raise ONLY where an external runtime
-    is genuinely required."""
+    """Dispatch on magic bytes; stdlib kernels first, then the
+    optional-library seams (PIL for images, soundfile for audio);
+    raise ONLY when no available runtime can decode the payload."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:2] == b"BM":
@@ -181,9 +233,13 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    decoded = _pil_decode_dims(payload) or _soundfile_duration(payload)
+    if decoded is not None:
+        return decoded
     raise NotImplementedError(
         "payload is not WAV/BMP/PNG/GIF/JPEG — this container decodes "
-        "those without external libs; other formats need PIL/ffmpeg"
+        "those without external libs; other formats need PIL (images) "
+        "or soundfile (audio), neither installed here"
     )
 
 
@@ -213,14 +269,32 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(op, schema=DECODED_SCHEMA)
 
 
+def _soundfile_samples(payload: bytes):
+    """Decoded mono float samples via soundfile when installed; None
+    when absent or the payload isn't audio it recognizes."""
+    sf = _optional("soundfile")
+    if sf is None:
+        return None
+    import io
+
+    try:
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+    except Exception:
+        return None
+    return data.mean(axis=1) if data.ndim > 1 else data
+
+
 def _audio_features(payload: bytes) -> list[float]:
     """REAL 16-dim audio descriptor from decoded WAV samples: RMS
     level, zero-crossing rate, then 14 log-energy bins of the rFFT
     magnitude spectrum — the classic pre-neural audio fingerprint,
     computed entirely in numpy."""
+    return _sample_features(_wav_samples(payload))
+
+
+def _sample_features(s) -> list[float]:
     import numpy as np
 
-    s = _wav_samples(payload)
     if len(s) == 0:
         return [0.0] * FEATURE_DIM
     rms = float(np.sqrt(np.mean(s * s)))
@@ -249,8 +323,15 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         feats.append(_audio_features(b))
                         continue
+                    samples = _soundfile_samples(b)
+                    if samples is not None:
+                        # soundfile present: FLAC/OGG/AIFF decode to
+                        # the same spectral descriptor as WAV
+                        feats.append(_sample_features(samples))
+                        continue
                     raise NotImplementedError(
-                        "non-WAV feature extraction needs a model runtime"
+                        "non-WAV feature extraction needs soundfile "
+                        "(audio) or a model runtime (image embeddings)"
                     )
                 arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
@@ -304,14 +385,25 @@ def resize_media(
                 if not fake:
                     # REAL nearest-neighbor resize of a decoded 24-bit
                     # BMP pixel array; output is raw RGB888 (W*H*3).
-                    # Other formats are the PIL seam.
-                    if b[:2] != b"BM":
-                        raise NotImplementedError("non-BMP resize requires PIL")
-                    px = _bmp_pixels(b)
-                    ys = (np.arange(height) * px.shape[0]) // height
-                    xs = (np.arange(width) * px.shape[1]) // width
-                    out.append(px[ys][:, xs].tobytes())
-                    continue
+                    # Other formats light up when PIL is installed
+                    # (same output contract: raw RGB888 bytes).
+                    if b[:2] == b"BM":
+                        px = _bmp_pixels(b)
+                        ys = (np.arange(height) * px.shape[0]) // height
+                        xs = (np.arange(width) * px.shape[1]) // width
+                        out.append(px[ys][:, xs].tobytes())
+                        continue
+                    pil_image = _optional("PIL.Image")
+                    if pil_image is not None:
+                        import io
+
+                        with pil_image.open(io.BytesIO(b)) as im:
+                            resized = im.convert("RGB").resize(
+                                (width, height), pil_image.NEAREST
+                            )
+                            out.append(resized.tobytes())
+                        continue
+                    raise NotImplementedError("non-BMP resize requires PIL")
                 arr = np.frombuffer(b, dtype=np.uint8)
                 if len(arr) == 0:
                     arr = np.zeros(1, dtype=np.uint8)

@@ -232,3 +232,88 @@ def test_wav_8bit_is_unsigned_pcm():
         w.writeframes(bytes([255, 0] * 500))
     arr2 = _wav_samples(buf2.getvalue())
     assert 0.95 <= float(np.abs(arr2).max()) <= 1.0
+
+
+# -- optional-dependency seams (VERDICT r8 #6): the try-import pattern
+# mirrors streaming/tws.py's env-skip — absent library keeps the
+# documented NotImplementedError; present library lights the path up.
+
+
+def test_optional_import_seam_returns_none_when_absent():
+    from nypd_arrest_etl_spark.operators.multimodal import _optional
+
+    assert _optional("module_that_never_exists_xyz") is None
+    # stdlib modules resolve through the same seam
+    assert _optional("wave") is not None
+
+
+def test_seams_raise_with_install_hint_when_libs_absent(spark):
+    """In an image WITHOUT PIL/soundfile the unknown-container decode
+    and non-BMP resize keep their loud NotImplementedError, and the
+    message names the library that would light the path up."""
+    from nypd_arrest_etl_spark.operators.multimodal import (
+        _optional,
+        resize_media,
+    )
+
+    if _optional("PIL.Image") is not None or _optional("soundfile") is not None:
+        pytest.skip("media libraries installed: the lit-up tests cover this")
+    df = _media_payloads(spark, [b"\x00unknown-container\x00" * 10])
+    with pytest.raises(Exception, match="PIL|soundfile"):
+        decode_media(df, fake=False).collect()
+    with pytest.raises(Exception, match="PIL"):
+        resize_media(df, width=2, height=2, fake=False).collect()
+    with pytest.raises(Exception, match="soundfile|model runtime"):
+        extract_features(df, fake=False).collect()
+
+
+def test_pil_seam_decodes_and_resizes_when_installed(spark):
+    """SKIPS here (no PIL in this image). Contract when PIL exists:
+    an image format the stdlib kernels can't parse (TIFF) decodes to
+    real dims through _pil_decode_dims, and resize_media emits raw
+    RGB888 of exactly width*height*3 bytes — the same output contract
+    as the stdlib BMP path."""
+    pil_image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = pil_image.new("RGB", (6, 3), (200, 10, 10))
+    buf = io.BytesIO()
+    im.save(buf, format="TIFF")
+    payload = buf.getvalue()
+
+    df = _media_payloads(spark, [payload])
+    row = decode_media(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (6, 3)
+
+    from nypd_arrest_etl_spark.operators.multimodal import resize_media
+
+    out = resize_media(df, width=4, height=2, fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    assert len(bytes(out["payload"])) == 4 * 2 * 3
+    # solid-color input stays solid through nearest-neighbor
+    assert set(bytes(out["payload"])[0::3]) == {200}
+
+
+def test_soundfile_seam_decodes_audio_when_installed(spark):
+    """SKIPS here (no soundfile in this image). Contract when present:
+    a FLAC payload gets a real duration from decode_media and a
+    16-dim spectral descriptor from extract_features — same shape as
+    the stdlib WAV path."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    rate, n = 8000, 4000
+    samples = 0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    buf = io.BytesIO()
+    sf.write(buf, samples, rate, format="FLAC")
+    payload = buf.getvalue()
+
+    df = _media_payloads(spark, [payload])
+    row = decode_media(df, fake=False).collect()[0]
+    assert row["duration_ms"] == int(n * 1000 / rate)
+
+    feats = extract_features(df, fake=False).collect()[0]["features"]
+    assert len(feats) == 16
+    assert feats[0] == pytest.approx(0.5 / 2**0.5, rel=0.05)  # RMS of a sine
