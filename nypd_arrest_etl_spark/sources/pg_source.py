@@ -434,7 +434,19 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
     unbounded backlog; value-tied boundary rows already visible ride
     along, keeping ranges closed under replay), ``startingOffset`` =
     earliest (default: stream the whole table then increments) |
-    latest (only rows after stream start)."""
+    latest (only rows after stream start).
+
+    SIZING (measured in PGWIRE_BENCH.md): Spark's
+    ``SimpleDataSourceStreamReader`` contract materializes every
+    microbatch as a Python list ON THE DRIVER before distribution, so
+    ``maxRowsPerBatch`` is a DRIVER-memory bound (rows × row width vs
+    driver heap), not a task split — and each drain pays a fixed
+    startup + max(w) probe cost, so catch-up throughput scales almost
+    linearly with batch size (22k rows/s at 100k vs 5k rows/s at 10k
+    on the bench host). Use the largest batch the driver can hold for
+    backlog catch-up; for bulk history loads prefer the batch path
+    (:func:`~nypd_arrest_etl_spark.sinks.pgwire.read_postgres`,
+    executor-side COPY) and start the stream from the high watermark."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
