@@ -44,19 +44,41 @@ def dict_map(col: Column | str, mapping: Mapping[str, str], passthrough: bool = 
 def parse_date_with_epoch_fallback(col: Column | str) -> Column:
     """Date parse with epoch-millis rescue (transform.py:106-118).
 
-    Tries ISO date / ISO timestamp; for values that fail, retries the
-    value as epoch milliseconds (reference divides by 1000 then
-    converts; transform.py:38-46). Output DateType, null if hopeless.
-    A numeric string shorter than 11 digits would parse as epoch
-    seconds ambiguity — the reference always treats numerics as millis,
-    so we do too.
+    Tries ISO date / ISO timestamp via the cast grammar (accepts
+    ``yyyy-MM-dd`` and ``yyyy-MM-dd[ T]<time>``; rejects trailing
+    garbage glued to the date — r9 hypothesis twin-testing caught the
+    old ``substring(1,10)`` accepting '2024-01-05junk' that the
+    reference's ``to_datetime(errors='coerce')`` nulls). For values
+    that fail, retries the value as epoch MILLISECONDS exactly like
+    the reference's ``float(value)/1000`` (transform.py:38-46):
+    optional sign and fraction accepted (r9; hypothesis found the
+    old ``^\\d{11,}$`` dropping pre-1970 and fractional millis the
+    pandas twin rescued). Output DateType, null if hopeless.
+
+    Pinned intentional differences from the pandas twin:
+    - numerics with fewer than 11 integer digits are NOT rescued
+      (epoch-seconds ambiguity guard; the reference would read them
+      as tiny millis and emit ~1970-01-01 for every small int);
+    - magnitudes beyond pandas' ns-timestamp range (1677–2262) still
+      parse here up to Spark's full date range — the engine does not
+      inherit pandas' 64-bit-nanosecond ceiling.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.trim(c.cast("string"))
-    iso = F.try_to_date(F.substring(s, 1, 10), "yyyy-MM-dd")
-    is_numeric = s.rlike(r"^\d{11,}$")
-    epoch = F.to_date(F.timestamp_seconds(s.try_cast("long") / F.lit(1000.0)))
-    return F.coalesce(iso, F.when(is_numeric, epoch))
+    # full yyyy-mm-dd shape required before the cast: the bare cast
+    # grammar also accepts 'yyyy' and 'yyyy-mm', so a 4-digit numeric
+    # like '1000' would become year-1000 instead of falling through
+    # to the millis rescue / null (r9 hypothesis find)
+    iso = F.when(
+        s.rlike(r"^\d{4}-\d{1,2}-\d{1,2}([T ].*)?$"), s.try_cast("date")
+    )
+    is_numeric = s.rlike(r"^-?\d{11,}(\.\d+)?$")
+    ms = s.try_cast("double")
+    # stay inside Spark's timestamp range (±~year 0001/9999) so the
+    # rescue itself can never raise under ANSI mode
+    in_range = (ms >= F.lit(-62135596800000.0)) & (ms <= F.lit(253402300799000.0))
+    epoch = F.to_date(F.timestamp_seconds(ms / F.lit(1000.0)))
+    return F.coalesce(iso, F.when(is_numeric & in_range, epoch))
 
 
 # Exactly the characters Python's str.strip() treats as whitespace
