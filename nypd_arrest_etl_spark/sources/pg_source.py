@@ -36,6 +36,14 @@ can express:
   directly (the documented fast path for Python sources), built
   against the exact arrow schema Spark derives from the declared
   StructType.
+- **Two streaming readers**: the default
+  :class:`PgWireStreamReader` (simple contract: driver-staged
+  microbatches, any orderable watermark type) and the opt-in
+  :class:`PgWirePartitionedStreamReader`
+  (``option("streamPartitions", n)``): each microbatch's watermark
+  range splits into n sub-ranges COPYing on EXECUTORS as arrow
+  batches — flat driver memory for large backlogs; numeric
+  watermarks only.
 - **Exactly-once writes under task retries**: each write task COPYs
   into its OWN uniquely-named staging table and reports it in the
   commit message; the driver merges only the staging tables of tasks
@@ -71,6 +79,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualNullSafe,
@@ -545,6 +554,160 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
 
 
 # ---------------------------------------------------------------------------
+# partitioned streaming reader (executor-side COPY; opt-in)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WmRangePartition(InputPartition):
+    """One watermark sub-range of a microbatch: ``w > lo AND w <= hi``
+    (lo None = lower-unbounded). Bounds travel as the CHECKPOINTED
+    TEXT the offsets use, rendered through :func:`_wm_literal` on the
+    executor so boundary typing matches the simple reader exactly."""
+
+    lo: str | None
+    hi: str
+
+
+class PgWirePartitionedStreamReader(DataSourceStreamReader):
+    """Opt-in partition-planning streaming source
+    (``option("streamPartitions", n)``): same watermark-offset
+    semantics as :class:`PgWireStreamReader`, but each microbatch's
+    closed range (last, end] is split into ``n`` watermark sub-ranges
+    and every sub-range COPYs on an EXECUTOR, yielding arrow batches —
+    no driver-side row materialization at all (the
+    SimpleDataSourceStreamReader contract stages every batch as a
+    Python list on the driver; see the sizing note on the simple
+    reader). Use this when backlogs are large: catch-up throughput
+    becomes ``n`` concurrent COPY streams and driver memory stays
+    flat regardless of batch size.
+
+    Constraints vs the simple reader:
+
+    - ``watermarkColumn`` must be NUMERIC (int/bigint/smallint/float/
+      double/decimal) — sub-range planning interpolates bounds;
+      date/timestamp watermarks stay on the simple reader.
+    - ``maxRowsPerBatch`` still bounds a batch via the ordered-probe,
+      but after a RESTART the first planned batch is unbounded (the
+      fresh reader instance has no last-offset memory until Spark
+      hands it one through partitions()/commit(); correctness is
+      unaffected — ranges stay closed — only that one batch's size).
+    - Replay safety: partitions(start, end) is a pure function of the
+      offsets, so a crash-replayed batch re-plans the identical closed
+      sub-ranges (the strictly-increasing watermark contract makes the
+      row set deterministic) — the readBetweenOffsets equivalent.
+    """
+
+    def __init__(self, schema: StructType, options: dict, n_parts: int):
+        # reuse the simple reader's option validation wholesale
+        self._v = PgWireStreamReader(schema, options)
+        if not (
+            self._v._wm_type in _WM_PG_CAST
+            or self._v._wm_type.startswith("decimal(")
+        ):
+            raise TypeError(
+                "streamPartitions requires a NUMERIC watermarkColumn "
+                f"(got {self._v._wm_type!r}); date/timestamp watermarks "
+                "use the default (non-partitioned) stream reader"
+            )
+        if n_parts < 1:
+            raise ValueError("streamPartitions must be >= 1")
+        self._n = n_parts
+        self._conninfo = self._v._conninfo
+        self._table = self._v._table
+        self._fields = self._v._fields
+        self._schema = schema
+        self._last: str | None = None  # best-effort batch-size memory
+        self._have_last = False
+
+    def initialOffset(self) -> dict:
+        off = self._v.initialOffset()
+        self._last, self._have_last = off.get("w"), True
+        return off
+
+    def latestOffset(self) -> dict:
+        w = _ident(self._v._wm)
+        with PgWireClient(**self._conninfo) as c:
+            if self._have_last:
+                cond = self._v._bounds_sql(self._last, None)
+                _, mm = c.query(
+                    f"SELECT max({w}) FROM (SELECT {w} FROM "
+                    f"{_ident(self._table)} WHERE {cond} "
+                    f"ORDER BY {w} LIMIT {self._v._max_rows}) s"
+                )
+            else:
+                # fresh instance after restart: no last-offset memory,
+                # so the probe is unbounded this once (see class doc)
+                _, mm = c.query(
+                    f"SELECT max({w}) FROM {_ident(self._table)}"
+                )
+        end = mm[0][0]
+        if end is None and self._have_last:
+            return {"w": self._last}  # caught up: offset unchanged
+        if end is not None:
+            self._last, self._have_last = end, True
+        return {"w": end}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("w"), end.get("w")
+        self._last, self._have_last = hi, True  # authoritative
+        if hi is None or lo == hi:
+            return []  # empty range: engine planned a no-data batch
+        lo_f = None if lo is None else float(lo)
+        if lo_f is None:
+            # initial (lower-unbounded) batch: interpolate from the
+            # table's actual min so history splits evenly — without
+            # the probe every historical row would land in the first
+            # sub-range and the other n-1 tasks would idle
+            w = _ident(self._v._wm)
+            with PgWireClient(**self._conninfo) as c:
+                _, mm = c.query(f"SELECT min({w}) FROM {_ident(self._table)}")
+            lo_f = None if mm[0][0] is None else float(mm[0][0])
+        hi_f = float(hi)
+        n = self._n
+        if lo_f is not None and not (hi_f > lo_f):
+            n = 1  # zero-width float rendering: one exact range
+        bounds: list[str] = []
+        if n > 1:
+            span = (hi_f - lo_f) / n
+            base = lo_f
+            seen = set()
+            for i in range(1, n):
+                b = repr(base + span * i)
+                # drop duplicate/degenerate cut points (tiny spans):
+                # ranges chain on > lo / <= hi so correctness only
+                # needs the OUTER bounds exact
+                if b not in seen and (lo is None or b != lo) and b != hi:
+                    seen.add(b)
+                    bounds.append(b)
+        cuts = [lo, *bounds, hi]
+        return [
+            WmRangePartition(lo=cuts[i], hi=cuts[i + 1])
+            for i in range(len(cuts) - 1)
+        ]
+
+    def read(self, partition: WmRangePartition):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self._schema)
+        sel = ", ".join(_ident(nm) for nm, _t in self._fields)
+        cond = self._v._bounds_sql(partition.lo, partition.hi)
+        sql = (
+            f"COPY (SELECT {sel} FROM {_ident(self._table)} "
+            f"WHERE {cond}) TO STDOUT"
+        )
+        with PgWireClient(**self._conninfo) as conn:
+            for pdf in copy_out_pandas_batches(conn, sql, self._fields):
+                yield pa.RecordBatch.from_pandas(
+                    pdf, schema=arrow_schema, preserve_index=False
+                )
+
+    def commit(self, end: dict) -> None:
+        self._last, self._have_last = end.get("w"), True
+
+
+# ---------------------------------------------------------------------------
 # writer (exactly-once under task retries)
 # ---------------------------------------------------------------------------
 
@@ -969,6 +1132,23 @@ class PgWireDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> PgWireStreamReader:
         return PgWireStreamReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> PgWirePartitionedStreamReader:
+        """Partition-planning reader, OPT-IN via
+        ``option("streamPartitions", n)`` — raising the not-implemented
+        error otherwise makes Spark's dispatch fall back to
+        :meth:`simpleStreamReader` (datasource_internal._streamReader
+        tries streamReader first and catches exactly this error)."""
+        opts = dict(self.options)
+        n = int(opts.get("streampartitions", 0) or 0)
+        if n >= 1:
+            return PgWirePartitionedStreamReader(schema, opts, n)
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"},
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> PgWireStreamWriter:
         if overwrite:

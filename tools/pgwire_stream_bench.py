@@ -157,19 +157,23 @@ def main() -> None:
         # ---- 3. streaming SOURCE drains at two batch bounds --------------
         with PgWireClient(**conninfo) as c:
             c.execute("DROP TABLE IF EXISTS li_stream_tgt")
-        for max_rows in (100_000, 10_000):
+        for max_rows, stream_parts in ((100_000, 0), (10_000, 0), (100_000, 8)):
             out = tempfile.mkdtemp(prefix="pgout-", dir="/tmp")
             ck = tempfile.mkdtemp(prefix="pgck2-", dir="/tmp")
             drains = 0
             t0 = time.monotonic()
             got = 0
             while got < n:
-                (
+                rs = (
                     pg_opt(spark.readStream.format("pgwire"))
                     .option("table", "li_batch")
                     .option("watermarkColumn", "rid")
                     .option("maxRowsPerBatch", max_rows)
-                    .load()
+                )
+                if stream_parts:
+                    rs = rs.option("streamPartitions", stream_parts)
+                (
+                    rs.load()
                     .writeStream.format("parquet")
                     .option("path", out)
                     .option("checkpointLocation", ck)
@@ -183,10 +187,12 @@ def main() -> None:
                     sys.exit(f"stall: {got}/{n} after {drains} drains")
             t_drain = time.monotonic() - t0
             assert got == n, (got, n)
-            results.append(
-                (f"read, streaming source (maxRowsPerBatch={max_rows:,}, "
-                 f"{drains} drains)", t_drain, n)
+            label = (
+                f"read, streaming source (maxRowsPerBatch={max_rows:,}, "
+                f"{drains} drains"
+                + (f", streamPartitions={stream_parts})" if stream_parts else ")")
             )
+            results.append((label, t_drain, n))
 
         # ---- 4. vacuum interplay on a long stream ------------------------
         src2 = tempfile.mkdtemp(prefix="pgsrc2-", dir="/tmp")
