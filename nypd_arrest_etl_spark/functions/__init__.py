@@ -72,7 +72,7 @@ def parse_date_with_epoch_fallback(col: Column | str) -> Column:
     iso = F.when(
         s.rlike(r"^\d{4}-\d{1,2}-\d{1,2}([T ].*)?$"), s.try_cast("date")
     )
-    is_numeric = s.rlike(r"^-?\d{11,}(\.\d+)?$")
+    is_numeric = s.rlike(r"^[+-]?\d{11,}(\.\d*)?$")
     ms = s.try_cast("double")
     # stay inside Spark's timestamp range (±~year 0001/9999) so the
     # rescue itself can never raise under ANSI mode

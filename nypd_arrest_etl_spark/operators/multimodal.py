@@ -222,20 +222,30 @@ def _soundfile_duration(payload: bytes) -> tuple[None, None, int] | None:
 def _real_decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
     """Dispatch on magic bytes; stdlib kernels first, then the
     optional-library seams (PIL for images, soundfile for audio);
-    raise ONLY when no available runtime can decode the payload."""
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp_header(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(payload)
-    if payload[:4] in (b"GIF8",):
-        return _decode_gif(payload)
-    if payload[:2] == b"\xff\xd8":
-        return _decode_jpeg(payload)
+    raise ONLY when no available runtime can decode the payload.
+    A known-magic payload the stdlib kernel can't parse (IEEE-float
+    WAV, SOF-less JPEG) ALSO falls through to the optional seams —
+    the libraries decode strictly more than the stdlib, so magic must
+    not pin a payload to the weaker kernel (r9 review find)."""
+    stdlib_err: Exception | None = None
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp_header(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
+        if payload[:4] in (b"GIF8",):
+            return _decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
+    except Exception as exc:  # known magic, stdlib kernel failed
+        stdlib_err = exc
     decoded = _pil_decode_dims(payload) or _soundfile_duration(payload)
     if decoded is not None:
         return decoded
+    if stdlib_err is not None:
+        raise stdlib_err  # no optional lib could rescue it either
     raise NotImplementedError(
         "payload is not WAV/BMP/PNG/GIF/JPEG — this container decodes "
         "those without external libs; other formats need PIL (images) "
@@ -321,17 +331,24 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 b = bytes(b)
                 if not fake:
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        feats.append(_audio_features(b))
-                        continue
+                        try:
+                            feats.append(_audio_features(b))
+                            continue
+                        except Exception:
+                            # non-PCM WAV the stdlib can't read: give
+                            # soundfile a chance before failing
+                            pass
                     samples = _soundfile_samples(b)
                     if samples is not None:
-                        # soundfile present: FLAC/OGG/AIFF decode to
-                        # the same spectral descriptor as WAV
+                        # soundfile present: FLAC/OGG/AIFF (and WAV
+                        # encodings beyond stdlib PCM) decode to the
+                        # same spectral descriptor
                         feats.append(_sample_features(samples))
                         continue
                     raise NotImplementedError(
-                        "non-WAV feature extraction needs soundfile "
-                        "(audio) or a model runtime (image embeddings)"
+                        "feature extraction needs stdlib-PCM WAV, "
+                        "soundfile (other audio), or a model runtime "
+                        "(image embeddings)"
                     )
                 arr = np.frombuffer(b, dtype=np.uint8)
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float32")
@@ -385,14 +402,19 @@ def resize_media(
                 if not fake:
                     # REAL nearest-neighbor resize of a decoded 24-bit
                     # BMP pixel array; output is raw RGB888 (W*H*3).
-                    # Other formats light up when PIL is installed
-                    # (same output contract: raw RGB888 bytes).
+                    # Other formats — and BMP variants beyond the
+                    # stdlib kernel (8-bpp, RLE) — light up when PIL
+                    # is installed (same output contract).
+                    bmp_err: Exception | None = None
                     if b[:2] == b"BM":
-                        px = _bmp_pixels(b)
-                        ys = (np.arange(height) * px.shape[0]) // height
-                        xs = (np.arange(width) * px.shape[1]) // width
-                        out.append(px[ys][:, xs].tobytes())
-                        continue
+                        try:
+                            px = _bmp_pixels(b)
+                            ys = (np.arange(height) * px.shape[0]) // height
+                            xs = (np.arange(width) * px.shape[1]) // width
+                            out.append(px[ys][:, xs].tobytes())
+                            continue
+                        except Exception as exc:
+                            bmp_err = exc
                     pil_image = _optional("PIL.Image")
                     if pil_image is not None:
                         import io
@@ -403,6 +425,8 @@ def resize_media(
                             )
                             out.append(resized.tobytes())
                         continue
+                    if bmp_err is not None:
+                        raise bmp_err
                     raise NotImplementedError("non-BMP resize requires PIL")
                 arr = np.frombuffer(b, dtype=np.uint8)
                 if len(arr) == 0:

@@ -651,8 +651,15 @@ def fetch_table_fields(
     fields = []
     for name, dtype, prec, scale in meta:
         if dtype == "numeric":
-            if prec is not None and int(prec) <= 38:
-                fields.append((name, f"decimal({int(prec)},{int(scale or 0)})"))
+            p = None if prec is None else int(prec)
+            s_ = 0 if scale is None else int(scale)
+            # exact mapping only for typmods Spark's DecimalType can
+            # express: PG 15+ allows negative scale and scale >
+            # precision (numeric(5,-2), numeric(2,5)); those fall back
+            # to the same documented envelope as unconstrained NUMERIC
+            # instead of building an invalid Spark type
+            if p is not None and 0 <= s_ <= p <= 38:
+                fields.append((name, f"decimal({p},{s_})"))
             else:
                 fields.append((name, "decimal(38,18)"))
         else:

@@ -525,19 +525,30 @@ class PgWireStreamReader(SimpleDataSourceStreamReader):
             )
         return out  # a LIST: the prefetch cache replays it (rest.py note)
 
+    def _probe_end(self, c: PgWireClient, last: str | None) -> str | None:
+        """Batch end-watermark = max of the first maxRowsPerBatch
+        ordered rows past ``last`` (bounds the batch without OFFSET
+        scans, stays exact under boundary ties). The ONE probe both
+        stream readers share. The returned value is VALIDATED through
+        :func:`_wm_literal` before anything checkpoints it: a
+        NaN/Infinity watermark must fail loudly HERE — once a poisoned
+        offset reaches Spark's offset WAL every restart replays it and
+        the stream is wedged until checkpoint surgery."""
+        w = _ident(self._wm)
+        cond = self._bounds_sql(last, None)
+        _, mm = c.query(
+            f"SELECT max({w}) FROM (SELECT {w} FROM {_ident(self._table)} "
+            f"WHERE {cond} ORDER BY {w} LIMIT {self._max_rows}) s"
+        )
+        end = mm[0][0]
+        if end is not None:
+            _wm_literal(end, self._wm_type)  # validation only
+        return end
+
     def read(self, start: dict):
         last = start.get("w")
         with PgWireClient(**self._conninfo) as c:
-            # batch end-watermark = max of the first N ordered rows
-            # past the checkpoint: bounds the batch without OFFSET
-            # scans, stays exact under boundary ties (<= end)
-            w = _ident(self._wm)
-            cond = self._bounds_sql(last, None)
-            _, mm = c.query(
-                f"SELECT max({w}) FROM (SELECT {w} FROM {_ident(self._table)} "
-                f"WHERE {cond} ORDER BY {w} LIMIT {self._max_rows}) s"
-            )
-            end = mm[0][0]
+            end = self._probe_end(c, last)
             # the wrapper REQUIRES an iterator (it calls next() to
             # validate the caught-up case) over a materialized list
             # (the prefetch cache copy.copy()s it for replay)
@@ -626,22 +637,21 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self) -> dict:
-        w = _ident(self._v._wm)
         with PgWireClient(**self._conninfo) as c:
             if self._have_last:
-                cond = self._v._bounds_sql(self._last, None)
-                _, mm = c.query(
-                    f"SELECT max({w}) FROM (SELECT {w} FROM "
-                    f"{_ident(self._table)} WHERE {cond} "
-                    f"ORDER BY {w} LIMIT {self._v._max_rows}) s"
-                )
+                end = self._v._probe_end(c, self._last)
             else:
                 # fresh instance after restart: no last-offset memory,
                 # so the probe is unbounded this once (see class doc)
+                w = _ident(self._v._wm)
                 _, mm = c.query(
                     f"SELECT max({w}) FROM {_ident(self._table)}"
                 )
-        end = mm[0][0]
+                end = mm[0][0]
+                if end is not None:
+                    # validate BEFORE the offset can reach the WAL —
+                    # same loud NaN/Infinity guard as the bounded probe
+                    _wm_literal(end, self._v._wm_type)
         if end is None and self._have_last:
             return {"w": self._last}  # caught up: offset unchanged
         if end is not None:
@@ -665,7 +675,13 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
             lo_f = None if mm[0][0] is None else float(mm[0][0])
         hi_f = float(hi)
         n = self._n
-        if lo_f is not None and not (hi_f > lo_f):
+        if lo_f is None:
+            # min probe saw an emptied table while replaying a planned
+            # initial batch: plan one unbounded range instead of
+            # crashing on None arithmetic — COPY just returns whatever
+            # still satisfies w <= hi (nothing, for a truncated table)
+            n = 1
+        elif not (hi_f > lo_f):
             n = 1  # zero-width float rendering: one exact range
         bounds: list[str] = []
         if n > 1:

@@ -317,3 +317,29 @@ def test_soundfile_seam_decodes_audio_when_installed(spark):
     feats = extract_features(df, fake=False).collect()[0]["features"]
     assert len(feats) == 16
     assert feats[0] == pytest.approx(0.5 / 2**0.5, rel=0.05)  # RMS of a sine
+
+
+def test_known_magic_stdlib_failure_reaches_optional_seams(spark):
+    """r9 review find: a RIFF/WAVE payload the stdlib wave module
+    can't parse (IEEE-float WAV, format tag 3) must fall THROUGH to
+    the soundfile seam instead of dying on the magic dispatch. Without
+    soundfile (this image) the loud error still names the seam; with
+    it, decode/features succeed (covered by the lit-up tests)."""
+    import struct
+
+    from nypd_arrest_etl_spark.operators.multimodal import _optional
+
+    if _optional("soundfile") is not None:
+        pytest.skip("soundfile installed: the lit-up tests cover this")
+    # minimal RIFF/WAVE header declaring format 3 (IEEE float)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    df = _media_payloads(spark, [payload])
+    with pytest.raises(Exception, match="unknown format|soundfile"):
+        decode_media(df, fake=False).collect()
+    with pytest.raises(Exception, match="soundfile|stdlib-PCM"):
+        extract_features(df, fake=False).collect()

@@ -1536,3 +1536,94 @@ def test_pgwire_partitioned_stream_planner_unit(pg):
         )
     with PgWireClient(**pg) as c:
         c.execute("DROP TABLE IF EXISTS plan_src")
+
+
+def test_stream_nan_watermark_fails_before_offset_commit(spark, pg):
+    """r9 review find: a NaN/Infinity watermark row must fail LOUDLY
+    at probe time — before the offset can reach Spark's WAL — on BOTH
+    readers (a committed poisoned offset is replayed from the
+    checkpoint on every restart, wedging the stream permanently)."""
+    from nypd_arrest_etl_spark.sinks.pgwire import _spark_struct
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        PgWirePartitionedStreamReader,
+        PgWireStreamReader,
+    )
+
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS nan_src")
+        c.execute("CREATE TABLE nan_src (w double precision, v text)")
+        c.copy_in("COPY nan_src FROM STDIN", ["1.5\ta", "NaN\tb"])
+
+    opts = {str(k): str(v) for k, v in pg.items()} | {
+        "table": "nan_src", "watermarkcolumn": "w",
+    }
+    schema = _spark_struct([("w", "double"), ("v", "string")])
+
+    simple = PgWireStreamReader(schema, opts)
+    with pytest.raises(ValueError, match="non-finite watermark"):
+        simple.read({"w": None})  # probe sees max=NaN -> loud, no offset
+
+    parted = PgWirePartitionedStreamReader(schema, opts, 2)
+    with pytest.raises(ValueError, match="non-finite watermark"):
+        parted.latestOffset()  # restart (unbounded) probe path
+    parted2 = PgWirePartitionedStreamReader(schema, opts, 2)
+    parted2.initialOffset()
+    with pytest.raises(ValueError, match="non-finite watermark"):
+        parted2.latestOffset()  # bounded probe path
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS nan_src")
+
+
+def test_partitioned_stream_emptied_table_plans_one_range(pg):
+    """r9 review find: replaying an initial batch after the table was
+    emptied must plan one unbounded range, not crash on None
+    arithmetic from the min() probe."""
+    from nypd_arrest_etl_spark.sinks.pgwire import _spark_struct
+    from nypd_arrest_etl_spark.sources.pg_source import (
+        PgWirePartitionedStreamReader,
+    )
+
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS empty_src")
+        c.execute("CREATE TABLE empty_src (k bigint, v text)")
+
+    opts = {str(k): str(v) for k, v in pg.items()} | {
+        "table": "empty_src", "watermarkcolumn": "k",
+    }
+    r = PgWirePartitionedStreamReader(
+        _spark_struct([("k", "bigint"), ("v", "string")]), opts, 4
+    )
+    parts = r.partitions({"w": None}, {"w": "400"})
+    assert len(parts) == 1 and parts[0].lo is None and parts[0].hi == "400"
+    assert list(r.read(parts[0])) == []  # nothing satisfies w <= 400
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS empty_src")
+
+
+def test_numeric_exotic_typmods_fall_back_to_envelope(spark, pg):
+    """r9 review find: PG 15+ NUMERIC with negative scale or
+    scale > precision has no valid Spark DecimalType — such columns
+    read through the documented decimal(38,18) fallback instead of
+    building an invalid schema."""
+    from nypd_arrest_etl_spark.sinks.pgwire import read_postgres
+
+    with PgWireClient(**pg) as c:
+        _, ver = c.query("SHOW server_version_num")
+        if int(ver[0][0]) < 150000:
+            pytest.skip("negative-scale NUMERIC needs Postgres 15+")
+        c.execute("DROP TABLE IF EXISTS typmod_src")
+        c.execute(
+            "CREATE TABLE typmod_src (id int, a numeric(5,-2), b numeric(2,5))"
+        )
+        c.execute("INSERT INTO typmod_src VALUES (1, 12345, 0.00012)")
+    df = read_postgres(spark, pg, "typmod_src")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "int", "decimal(38,18)", "decimal(38,18)"
+    ]
+    import decimal
+
+    row = df.collect()[0]
+    assert row["a"] == decimal.Decimal("12300")  # PG rounds to scale -2
+    assert row["b"] == decimal.Decimal("0.00012")
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS typmod_src")

@@ -186,9 +186,18 @@ def _twin_parse_date(v: str):
 
 
 epoch_like = st.one_of(
-    # 11+ integer digits, optional sign/fraction: the rescued space
+    # 11+ integer digits, optional sign/fraction: the rescued space.
+    # '+'-signed and trailing-dot spellings included — the r9 review
+    # caught the regex omitting '+' while the docstring claimed parity
+    # with the reference's float(v)/1000
     st.integers(min_value=10_000_000_000, max_value=4_000_000_000_000).map(str),
+    st.integers(min_value=10_000_000_000, max_value=4_000_000_000_000).map(
+        lambda v: f"+{v}"
+    ),
     st.integers(min_value=-4_000_000_000_000, max_value=-10_000_000_000).map(str),
+    st.integers(min_value=10_000_000_000, max_value=4_000_000_000_000).map(
+        lambda v: f"{v}."
+    ),
     st.tuples(
         st.integers(min_value=10_000_000_000, max_value=4_000_000_000_000),
         st.integers(min_value=0, max_value=999),
