@@ -42,8 +42,8 @@ can express:
   :class:`PgWirePartitionedStreamReader`
   (``option("streamPartitions", n)``): each microbatch's watermark
   range splits into n sub-ranges COPYing on EXECUTORS as arrow
-  batches — flat driver memory for large backlogs; numeric
-  watermarks only.
+  batches — flat driver memory for large backlogs; numeric, decimal,
+  date and timestamp watermarks all plan (epoch/ordinal axis).
 - **Exactly-once writes under task retries**: each write task COPYs
   into its OWN uniquely-named staging table and reports it in the
   commit message; the driver merges only the staging tables of tasks
@@ -580,6 +580,38 @@ class WmRangePartition(InputPartition):
     hi: str
 
 
+def _wm_axis(t: str):
+    """``(parse, render)`` putting a watermark type on an
+    interpolatable float axis for sub-range planning: numerics map to
+    themselves, dates to day ordinals, timestamps to epoch seconds
+    (naive values pinned to UTC — parse/render stay a consistent
+    wall-time identity, and Postgres coerces the rendered literal to
+    the column's own type, discarding any offset for naive columns).
+    Interior cut points only need parse(render(x)) ~= x and rendered
+    text identical on BOTH sides of each cut; the outer bounds stay
+    the exact checkpointed text."""
+    if t == "date":
+        return (
+            lambda s: float(datetime.date.fromisoformat(s).toordinal()),
+            lambda f: datetime.date.fromordinal(round(f)).isoformat(),
+        )
+    if t.startswith("timestamp"):
+
+        def parse(s: str) -> float:
+            d = datetime.datetime.fromisoformat(s)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=datetime.timezone.utc)
+            return d.timestamp()
+
+        def render(f: float) -> str:
+            return datetime.datetime.fromtimestamp(
+                f, datetime.timezone.utc
+            ).isoformat(sep=" ")
+
+        return parse, render
+    return float, repr
+
+
 class PgWirePartitionedStreamReader(DataSourceStreamReader):
     """Opt-in partition-planning streaming source
     (``option("streamPartitions", n)``): same watermark-offset
@@ -595,9 +627,6 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
 
     Constraints vs the simple reader:
 
-    - ``watermarkColumn`` must be NUMERIC (int/bigint/smallint/float/
-      double/decimal) — sub-range planning interpolates bounds;
-      date/timestamp watermarks stay on the simple reader.
     - ``maxRowsPerBatch`` still bounds a batch via the ordered-probe,
       but after a RESTART the first planned batch is unbounded (the
       fresh reader instance has no last-offset memory until Spark
@@ -610,17 +639,10 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, schema: StructType, options: dict, n_parts: int):
-        # reuse the simple reader's option validation wholesale
+        # reuse the simple reader's option validation wholesale — it
+        # already restricts the watermark to orderable types, and
+        # _wm_axis covers all of them (numeric/decimal/date/timestamp)
         self._v = PgWireStreamReader(schema, options)
-        if not (
-            self._v._wm_type in _WM_PG_CAST
-            or self._v._wm_type.startswith("decimal(")
-        ):
-            raise TypeError(
-                "streamPartitions requires a NUMERIC watermarkColumn "
-                f"(got {self._v._wm_type!r}); date/timestamp watermarks "
-                "use the default (non-partitioned) stream reader"
-            )
         if n_parts < 1:
             raise ValueError("streamPartitions must be >= 1")
         self._n = n_parts
@@ -663,7 +685,8 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
         self._last, self._have_last = hi, True  # authoritative
         if hi is None or lo == hi:
             return []  # empty range: engine planned a no-data batch
-        lo_f = None if lo is None else float(lo)
+        parse, render = _wm_axis(self._v._wm_type)
+        lo_f = None if lo is None else parse(lo)
         if lo_f is None:
             # initial (lower-unbounded) batch: interpolate from the
             # table's actual min so history splits evenly — without
@@ -672,8 +695,8 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
             w = _ident(self._v._wm)
             with PgWireClient(**self._conninfo) as c:
                 _, mm = c.query(f"SELECT min({w}) FROM {_ident(self._table)}")
-            lo_f = None if mm[0][0] is None else float(mm[0][0])
-        hi_f = float(hi)
+            lo_f = None if mm[0][0] is None else parse(mm[0][0])
+        hi_f = parse(hi)
         n = self._n
         if lo_f is None:
             # min probe saw an emptied table while replaying a planned
@@ -689,7 +712,7 @@ class PgWirePartitionedStreamReader(DataSourceStreamReader):
             base = lo_f
             seen = set()
             for i in range(1, n):
-                b = repr(base + span * i)
+                b = render(base + span * i)
                 # drop duplicate/degenerate cut points (tiny spans):
                 # ranges chain on > lo / <= hi so correctness only
                 # needs the OUTER bounds exact

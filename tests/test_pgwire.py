@@ -1529,13 +1529,80 @@ def test_pgwire_partitioned_stream_planner_unit(pg):
     assert r.partitions({"w": "200"}, {"w": "200"}) == []
     assert r.partitions({"w": None}, {"w": None}) == []
 
-    with _pytest.raises(TypeError, match="NUMERIC watermarkColumn"):
+    # non-orderable watermark types still rejected (by the shared
+    # simple-reader validation the partitioned reader reuses)
+    with _pytest.raises(TypeError, match="watermarkColumn"):
         PgWirePartitionedStreamReader(
-            _spark_struct([("k", "timestamp"), ("v", "string")]),
-            opts, 4,
+            _spark_struct([("k", "string"), ("v", "string")]),
+            opts | {"watermarkcolumn": "k"}, 4,
         )
+
+    # r9: timestamp watermarks interpolate on the epoch axis — cuts
+    # chain on identical text and stay inside (lo, hi)
+    rt = PgWirePartitionedStreamReader(
+        _spark_struct([("k", "timestamp"), ("v", "string")]),
+        opts | {"table": "plan_src"}, 4,
+    )
+    pts = rt.partitions(
+        {"w": "2024-01-01 00:00:00+00"}, {"w": "2024-01-02 00:00:00+00"}
+    )
+    assert len(pts) == 4
+    assert pts[0].lo == "2024-01-01 00:00:00+00"
+    assert pts[-1].hi == "2024-01-02 00:00:00+00"
+    for a, b in zip(pts, pts[1:]):
+        assert a.hi == b.lo
+    assert pts[0].hi == "2024-01-01 06:00:00+00:00"
+
+    # date watermarks interpolate on the ordinal axis
+    rd = PgWirePartitionedStreamReader(
+        _spark_struct([("k", "date"), ("v", "string")]),
+        opts | {"table": "plan_src"}, 2,
+    )
+    pd_ = rd.partitions({"w": "2024-01-01"}, {"w": "2024-01-31"})
+    assert [(p.lo, p.hi) for p in pd_] == [
+        ("2024-01-01", "2024-01-16"), ("2024-01-16", "2024-01-31")
+    ]
     with PgWireClient(**pg) as c:
         c.execute("DROP TABLE IF EXISTS plan_src")
+
+
+def test_pgwire_partitioned_stream_timestamp_watermark_live(spark, pg, tmp_path):
+    """r9: a timestamptz watermark drives the partitioned reader
+    end-to-end — sub-range instants land rows exactly once across
+    cuts, including values ON a cut boundary."""
+    from nypd_arrest_etl_spark.sources.pg_source import register_pgwire
+
+    register_pgwire(spark)
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS tstream_src")
+        c.execute("CREATE TABLE tstream_src (w timestamptz, v int)")
+        c.copy_in(
+            "COPY tstream_src FROM STDIN",
+            [f"2024-01-01 {h:02d}:00:00+00\t{h}" for h in range(24)],
+        )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("pgwire")
+        .option("host", pg["host"])
+        .option("port", pg["port"])
+        .option("user", pg["user"])
+        .option("database", pg["database"])
+        .option("table", "tstream_src")
+        .option("watermarkColumn", "w")
+        .option("streamPartitions", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(24)), "timestamp sub-ranges lost or duped rows"
+    with PgWireClient(**pg) as c:
+        c.execute("DROP TABLE IF EXISTS tstream_src")
 
 
 def test_stream_nan_watermark_fails_before_offset_commit(spark, pg):
