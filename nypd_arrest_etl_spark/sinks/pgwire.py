@@ -10,7 +10,9 @@ executing the SQL. This module closes the remaining leg with a
 minimal client speaking the documented frontend/backend protocol v3
 (PostgreSQL docs, "Frontend/Backend Protocol" — public wire format):
 
-- startup + trust/cleartext auth,
+- startup + trust/cleartext/md5/SCRAM-SHA-256 auth (SCRAM is the
+  Postgres default since v14 — RFC 7677 client side with mutual
+  server-signature verification, pure stdlib pbkdf2/hmac),
 - the simple-query subprotocol (``execute``/``query``: one Query
   message, RowDescription/DataRow/CommandComplete/ReadyForQuery in),
 - ``COPY ... FROM STDIN`` text-format streaming (CopyInResponse /
@@ -28,10 +30,10 @@ task. Works over unix sockets and TCP; being stdlib-only, it is
 picklable config + socket code, so executors need no extra packages.
 
 NOT a general driver: text protocol only (no binary params, no
-prepared statements, no TLS, no SCRAM — trust or cleartext auth,
-i.e. a co-located or tunnel-secured server). That surface is exactly
-what the staged-merge load needs; anything more belongs to a real
-driver on a real deployment.
+prepared statements, no TLS — so no SCRAM-SHA-256-PLUS channel
+binding; pair with a unix socket, tunnel, or private network). That
+surface is exactly what the staged-merge load needs; anything more
+belongs to a real driver on a real deployment.
 """
 
 from __future__ import annotations
@@ -75,6 +77,82 @@ def _parse_notice(payload: bytes) -> dict[str, str]:
         fields[code] = payload[i + 1 : j].decode("utf-8", "replace")
         i = j + 1
     return fields
+
+
+def _md5_response(user: str, password: str, salt: bytes) -> bytes:
+    """AuthenticationMD5Password answer: the legacy double-MD5 —
+    ``'md5' + md5(md5(password+user) + salt)`` as a C string."""
+    import hashlib
+
+    inner = hashlib.md5(password.encode() + user.encode()).hexdigest()
+    outer = hashlib.md5(inner.encode() + salt).hexdigest()
+    return b"md5" + outer.encode() + b"\0"
+
+
+class _ScramClient:
+    """SCRAM-SHA-256 client side (RFC 5802/7677), the auth method
+    Postgres has DEFAULTED to since v14 (``password_encryption =
+    scram-sha-256``) — without it this client can only reach trust/
+    cleartext/md5 deployments. Pure stdlib: the salted password is
+    ``pbkdf2_hmac``, the proof is two HMACs and an XOR. Channel
+    binding is ``n,,`` (gs2 "client doesn't support") because the
+    client has no TLS; servers accept that for SCRAM-SHA-256 (only
+    -PLUS requires binding). The username field in the SCRAM exchange
+    stays empty per the Postgres convention (the startup-message user
+    is authoritative). Passwords go in UTF-8 as-is; SASLprep is a
+    no-op for the ASCII passwords this covers."""
+
+    def __init__(self, password: str):
+        import base64
+        import secrets
+
+        self._password = password.encode()
+        self._nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        self._client_first_bare = f"n=,r={self._nonce}"
+        self._auth_message: bytes | None = None
+        self._salted: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return b"n,," + self._client_first_bare.encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hashlib
+        import hmac
+
+        text = server_first.decode()
+        attrs = dict(kv.split("=", 1) for kv in text.split(","))
+        if not attrs["r"].startswith(self._nonce):
+            raise PgError({"M": "SCRAM server nonce does not extend ours"})
+        salt = base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        self._salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, salt, iters
+        )
+        client_key = hmac.new(self._salted, b"Client Key", "sha256").digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        final_bare = f"c=biws,r={attrs['r']}"  # biws = b64("n,,")
+        self._auth_message = (
+            f"{self._client_first_bare},{text},{final_bare}".encode()
+        )
+        sig = hmac.new(stored_key, self._auth_message, "sha256").digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        return (final_bare + ",p=" + base64.b64encode(proof).decode()).encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        """MUTUAL auth: a server that doesn't know the salted password
+        can't produce v= — skipping this check would accept a spoofed
+        server that replayed the salt/iteration parameters."""
+        import base64
+        import hmac
+
+        attrs = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",")
+        )
+        server_key = hmac.new(self._salted, b"Server Key", "sha256").digest()
+        want = hmac.new(server_key, self._auth_message, "sha256").digest()
+        if base64.b64decode(attrs["v"]) != want:
+            raise PgError({"M": "SCRAM server signature mismatch"})
 
 
 class PgWireClient:
@@ -142,6 +220,7 @@ class PgWireClient:
             body += k.encode() + b"\0" + v.encode() + b"\0"
         body += b"\0"
         self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+        scram = None
         while True:
             t, p = self._recv()
             if t == b"R":
@@ -151,9 +230,36 @@ class PgWireClient:
                 if code == 3 and password is not None:  # cleartext
                     self._send(b"p", password.encode() + b"\0")
                     continue
+                if code == 5 and password is not None:  # MD5Password
+                    self._send(b"p", _md5_response(user, password, p[4:8]))
+                    continue
+                if code == 10 and password is not None:  # SASL mech list
+                    mechs = p[4:].split(b"\0")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise PgError(
+                            {"M": f"server offers {mechs!r}; client speaks "
+                                  "SCRAM-SHA-256 (no channel binding/TLS)"}
+                        )
+                    scram = _ScramClient(password)
+                    first = scram.client_first()
+                    self._send(
+                        b"p",
+                        b"SCRAM-SHA-256\0"
+                        + struct.pack("!i", len(first))
+                        + first,
+                    )
+                    continue
+                if code == 11 and scram is not None:  # SASLContinue
+                    self._send(b"p", scram.client_final(p[4:]))
+                    continue
+                if code == 12 and scram is not None:  # SASLFinal
+                    scram.verify_server_final(p[4:])
+                    continue
                 raise PgError(
                     {"M": f"unsupported auth request {code} (client speaks "
-                          "trust/cleartext only; see module docstring)"}
+                          "trust/cleartext/md5/SCRAM-SHA-256"
+                          + ("" if password is not None else
+                             "; no password was supplied") + ")"}
                 )
             if t == b"E":
                 raise PgError(_parse_notice(p))

@@ -1694,3 +1694,94 @@ def test_numeric_exotic_typmods_fall_back_to_envelope(spark, pg):
     assert row["b"] == decimal.Decimal("0.00012")
     with PgWireClient(**pg) as c:
         c.execute("DROP TABLE IF EXISTS typmod_src")
+
+
+def test_scram_and_md5_auth_against_live_server(pg):
+    """r9: SCRAM-SHA-256 (the Postgres default since v14) and legacy
+    md5 auth against the real server — matching pg_hba rules are
+    prepended for dedicated roles and the config reloaded, so the
+    trust fixture keeps working for everything else. Also: wrong
+    password fails loudly, and SCRAM's mutual server-signature check
+    runs on the success path."""
+    import glob
+
+    with PgWireClient(**pg) as c:
+        c.execute("SET password_encryption = 'scram-sha-256'")
+        c.execute("DROP ROLE IF EXISTS scram_user")
+        c.execute("CREATE ROLE scram_user LOGIN PASSWORD 'sekret-scram'")
+        c.execute("SET password_encryption = 'md5'")
+        c.execute("DROP ROLE IF EXISTS md5_user")
+        c.execute("CREATE ROLE md5_user LOGIN PASSWORD 'sekret-md5'")
+        _, rows = c.query("SHOW data_directory")
+        datadir = rows[0][0]
+        # the stored verifiers really are scram/md5 shaped
+        _, vs = c.query(
+            "SELECT rolname, substring(rolpassword, 1, 13) FROM pg_authid "
+            "WHERE rolname IN ('scram_user','md5_user') ORDER BY rolname"
+        )
+        verifiers = dict(vs)
+        assert verifiers["scram_user"] == "SCRAM-SHA-256"
+        assert verifiers["md5_user"].startswith("md5")
+
+    hba = glob.glob(f"{datadir}/pg_hba.conf")[0]
+    original = open(hba).read()
+    open(hba, "w").write(
+        "local all scram_user scram-sha-256\n"
+        "local all md5_user md5\n" + original
+    )
+    try:
+        with PgWireClient(**pg) as c:
+            c.execute("SELECT pg_reload_conf()")
+
+        scram_conn = dict(pg) | {"user": "scram_user", "password": "sekret-scram"}
+        with PgWireClient(**scram_conn) as c:
+            _, r = c.query("SELECT current_user, 41 + 1")
+            assert r == [("scram_user", "42")]
+
+        md5_conn = dict(pg) | {"user": "md5_user", "password": "sekret-md5"}
+        with PgWireClient(**md5_conn) as c:
+            assert c.query("SELECT current_user")[1] == [("md5_user",)]
+
+        # wrong password: loud server error, not a hang or silent trust
+        with pytest.raises(PgError, match="authentication|password"):
+            PgWireClient(**(scram_conn | {"password": "wrong"}))
+        # missing password: loud client-side diagnosis
+        with pytest.raises(PgError, match="no password was supplied"):
+            PgWireClient(**{k: v for k, v in scram_conn.items() if k != "password"})
+    finally:
+        open(hba, "w").write(original)
+        with PgWireClient(**pg) as c:
+            c.execute("SELECT pg_reload_conf()")
+            c.execute("DROP ROLE IF EXISTS scram_user")
+            c.execute("DROP ROLE IF EXISTS md5_user")
+
+
+def test_scram_client_rfc_vectors():
+    """The SCRAM math against RFC 7677's published SCRAM-SHA-256 test
+    vector (user/pass 'user'/'pencil', fixed nonces) — proves the
+    proof/signature derivation without a server in the loop."""
+    import base64
+
+    from nypd_arrest_etl_spark.sinks.pgwire import _ScramClient
+
+    s = _ScramClient("pencil")
+    s._nonce = "rOprNGfwEbeRWgbNEkqO"
+    s._client_first_bare = f"n=user,r={s._nonce}"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = s.client_final(server_first).decode()
+    assert final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # server signature from the same vector verifies...
+    s.verify_server_final(
+        b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    # ...and a corrupted one is rejected
+    with pytest.raises(PgError, match="server signature"):
+        s.verify_server_final(
+            b"v=" + base64.b64encode(b"x" * 32)
+        )
