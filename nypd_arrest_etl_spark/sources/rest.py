@@ -208,8 +208,16 @@ class SocrataPushdownReader(SocrataRestReader):
     is false (Spark's default), and because of the plan-reuse hazard
     in the module docstring."""
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._user_where = self.where
+
     def pushFilters(self, filters):  # noqa: N802 (API name)
-        clauses = [self.where] if self.where else []
+        # user option("where") kept apart; the combined $where rebuilds
+        # from scratch per call — a re-plan invoking pushFilters twice
+        # on one instance must not keep the earlier query's clauses
+        # ANDed in (same fix as PgWirePushdownReader, ADVICE r8)
+        clauses = [self._user_where] if self._user_where else []
         unsupported = []
         for flt in filters:
             soql = _filter_to_soql(flt)
@@ -218,8 +226,7 @@ class SocrataPushdownReader(SocrataRestReader):
             else:
                 # not returned: fully handled source-side
                 clauses.append(soql)
-        if clauses:
-            self.where = " AND ".join(clauses)
+        self.where = " AND ".join(clauses) if clauses else self._user_where
         return unsupported
 
 

@@ -231,3 +231,26 @@ def test_in_filter_compiles_to_soql():
     assert _filter_to_soql(In(("law_cat_cd",), ("F", "M"))) == (
         "law_cat_cd in ('F', 'M')"
     )
+
+
+def test_pushdown_replan_rebuilds_where_from_scratch():
+    """r9 (same fix as the pgwire reader): a second pushFilters call on
+    one reader instance rebuilds $where from the user predicate + THIS
+    call's filters — a cumulative fold would keep the first query's
+    clauses ANDed in and silently drop rows."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from nypd_arrest_etl_spark.sources.rest import SocrataPushdownReader
+    from nypd_arrest_etl_spark.schema import RAW_SCHEMA
+
+    r = SocrataPushdownReader(
+        RAW_SCHEMA,
+        {"url": "https://example.test/resource/x.json", "where": "a > 1"},
+    )
+    r.pushFilters([GreaterThan(("arrest_precinct",), 7)])
+    first = r.where
+    assert "a > 1" in first and "7" in first
+    r.pushFilters([GreaterThan(("arrest_precinct",), 3)])
+    assert "7" not in r.where and "3" in r.where and "a > 1" in r.where
+    r.pushFilters([])
+    assert r.where == "a > 1"
