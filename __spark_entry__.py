@@ -59,11 +59,11 @@ _GATE_PRIORITY = [
     # dedup], text_lm_score [text_stats_docs+ccnet keep text scoring],
     # sample_fixed_per_source [sample_importance_dsir keeps sampling].)
     "pricing_summary",
-    "top_orders_per_customer", "running_totals", "rollup_lineitem",
+    "running_totals", "rollup_lineitem",
     "set_ops_yearly", "semi_anti_join",
     "top_customers", "events_clean", "tumbling_hourly",
     "props_variant_stats",
-    "asof_click_before_purchase", "range_pairs_5min", "median_price",
+    "asof_click_before_purchase", "median_price",
     "embedding_centroids", "arrow_group_stats", "ccnet_buckets",
     "null_semantics",
     # event analytics / time series / profiling
@@ -72,7 +72,7 @@ _GATE_PRIORITY = [
     # scale ops
     "salted_revenue", "bloom_pruned_join", "sketch_stats",
     # LLM-pipeline extensions
-    "dedup_exact_docs", "dedup_jaccard_pairs", "dedup_minhash_pairs",
+    "dedup_exact_docs", "dedup_minhash_pairs",
     "dedup_embedding_pairs", "dedup_neardup_clusters",
     "dedup_contamination", "similarity_topk", "dedup_keep_best",
     "text_stats_docs", "dedup_span_trim",
@@ -86,7 +86,7 @@ _GATE_PRIORITY = [
     # curation plan, PII scrubbing, sequence packing, the multimodal
     # manifest, and corpus vocabulary stats
     "text_bm25_topk", "curate_corpus", "pii_scrub", "pack_sequences",
-    "multimodal_manifest", "corpus_vocabulary",
+    "corpus_vocabulary",
     # r8 rotation (VERDICT r7 #5): six more full-oracle entries never
     # driver-verified before — multimodal feature extraction, winnowing
     # containment pairs, cross-source overlap, quality-top-fraction
@@ -104,6 +104,19 @@ _GATE_PRIORITY = [
     # driver-verified at least once.
     "text_containment_capped", "profile_documents",
     "quality_constraints",
+    # r9 second rotation (this session's additions): the four new
+    # full-oracle web/graph/sketch operators enter the gate for
+    # driver verification in their birth round. Family coverage of
+    # the four swapped out (all driver-verified green in earlier
+    # rounds, all still full-compare covered) is preserved:
+    # top_orders_per_customer -> running_totals/top_customers
+    # (window analytics), range_pairs_5min ->
+    # asof_click_before_purchase (temporal joins),
+    # dedup_jaccard_pairs -> minhash/embedding/neardup (banded
+    # dedup), multimodal_manifest -> multimodal_features
+    # (multimodal decode).
+    "web_html_extract", "web_domain_cap",
+    "graph_pagerank", "sketch_overlap_sources",
 ]
 
 

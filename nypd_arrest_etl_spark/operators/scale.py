@@ -356,3 +356,93 @@ def compact_files(
         dst_path
     )
     return n_before, n_after
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 128,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups from KMV sketches:
+    estimated |A∪B|, |A∩B| and Jaccard for every unordered group pair,
+    WITHOUT an exact pairwise distinct (which would re-shuffle the raw
+    key stream once per pair).
+
+    Estimator (Beyer et al. 2007, "On synopses for distinct-value
+    estimation"): take the k smallest distinct hash values of A∪B
+    (= merge of the two per-group sketches); |A∪B| ≈ (k-1)·2^32/h_(k);
+    Jaccard ≈ |{h in that window seen in BOTH sketches}| / k;
+    |A∩B| = Jaccard · |A∪B|. When the merged sketch isn't full the
+    values are exact (modulo hash collisions), not estimates.
+
+    Like ``kmv_distinct`` the hash is the engine-portable md5-derived
+    60-bit value folded into [0, 2^32), so a SQL oracle replays every
+    estimate bit-for-bit — this is the sketch whose STATE is portable,
+    next to the faster but engine-internal native HLL.
+
+    Plan: ONE distinct shuffle over (group, hash) — the only pass over
+    the raw data — then per-group top-k (WindowGroupLimit: each map
+    task forwards ≤ k rows per group), then the tiny O(G·k) sketch
+    table fans out to its G-1 partners. The pairwise stage costs
+    O(G²·k) rows independent of data volume: meant for mixture-level
+    audits (G = sources/shards, up to a few thousand), not for
+    per-document pairing — that's MinHash-LSH's job (dedup.py).
+    """
+    from pyspark.sql import Window
+
+    from nypd_arrest_etl_spark.operators.dedup import portable_str_hash60
+
+    h = (
+        hash_expr
+        if hash_expr is not None
+        else F.pmod(portable_str_hash60(F.col(key_col).cast("string")), F.lit(4294967296))
+    )
+    sk0 = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    skk = (
+        sk0.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("g", "h")
+    )
+    gs = skk.select("g").distinct()
+    tagged = (
+        skk.alias("s")
+        .join(F.broadcast(gs.alias("p")), F.col("s.g") != F.col("p.g"))
+        .select(
+            F.least(F.col("s.g"), F.col("p.g")).alias("ga"),
+            F.greatest(F.col("s.g"), F.col("p.g")).alias("gb"),
+            F.col("s.g").alias("src_g"),
+            F.col("s.h").alias("h"),
+        )
+    )
+    per_hash = tagged.groupBy("ga", "gb", "h").agg(
+        F.countDistinct("src_g").alias("nsrc")
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy("h")
+    ranked = per_hash.withColumn("rk", F.row_number().over(wp)).filter(
+        F.col("rk") <= k
+    )
+    agg = ranked.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"),
+        F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).alias("ik"),
+    )
+    union_raw = F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.lit(float(k - 1) * 4294967296.0) / F.col("kth")
+    )
+    jac_raw = F.col("ik") / F.col("m").cast("double")
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1) * 4294967296.0) / F.col("kth"), 2))
+        .alias("union_est"),
+        F.round(jac_raw, 6).alias("jaccard_est"),
+        F.round(jac_raw * union_raw, 2).alias("inter_est"),
+    )

@@ -22,6 +22,7 @@ from nypd_arrest_etl_spark.operators import dedup as D
 from nypd_arrest_etl_spark.operators import multimodal as M
 from nypd_arrest_etl_spark.operators import similarity as SIM
 from nypd_arrest_etl_spark.operators import text as TX
+from nypd_arrest_etl_spark.operators import web as WB
 from nypd_arrest_etl_spark.plans.queries import t
 
 # ---------------------------------------------------------------------------
@@ -1599,6 +1600,274 @@ FROM totals, slope
 """
 
 
+def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest boilerplate strip: wrap each document in a
+    deterministic HTML page (title/style/script/comment/entities/two
+    anchors — every feature the extractor handles), then recover the
+    display text, harvest + normalize the links. Map-only: one
+    codegen'd projection, no shuffle, linear in input splits — the
+    shape a 100 TB WARC sweep needs."""
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" #"), sid,
+        F.lit("</title><style>p{x:1}</style><script>var n="), sid,
+        F.lit(";//<p></script></head><body><!-- id "), sid,
+        F.lit(" --><h1>"), F.upper(F.col("source")), F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("a"), F.lit("&amp;")), F.lit("</p>"),
+        F.lit('<a href="HTTPS://'), F.col("source"),
+        F.lit(".Example.COM:443/doc/"), sid, F.lit('?v=1#top">self</a> '),
+        F.lit("<a href='http://Mirror."), F.col("source"), F.lit(".net:80/d/"),
+        sid, F.lit("'>m</a><br></body></html>"),
+    )
+    links = WB.extract_links(html)
+    return docs.select(
+        "doc_id",
+        WB.html_to_text(html).alias("text"),
+        F.size(links).cast("long").alias("n_links"),
+        WB.normalize_url(F.element_at(links, 1)).alias("self_url"),
+        WB.url_host(F.element_at(links, 2)).alias("mirror_host"),
+    )
+
+
+ORACLE_WEB_HTML_EXTRACT = r"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>' || source || ' #' || doc_id ||
+    '</title><style>p{x:1}</style><script>var n=' || doc_id ||
+    ';//<p></script></head><body><!-- id ' || doc_id ||
+    ' --><h1>' || upper(source) || '</h1><p>' ||
+    replace(text, 'a', '&amp;') || '</p>' ||
+    '<a href="HTTPS://' || source || '.Example.COM:443/doc/' || doc_id ||
+    '?v=1#top">self</a> ' ||
+    '<a href=''http://Mirror.' || source || '.net:80/d/' || doc_id ||
+    '''>m</a><br></body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id,
+    regexp_replace(trim(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)<(?:br|hr|/p|/div|/h[1-6]|/li|/tr|/title|/table|/ul|/ol)[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
+      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+      '[ \t]+', ' ', 'g'),
+      '[ \t]*\r?\n[ \t\r\n]*', chr(10), 'g')),
+      '^\n+|\n+$', '', 'g') AS text,
+    regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS links
+  FROM h
+), n AS (
+  SELECT doc_id, text, len(links)::BIGINT AS n_links,
+         links[1] AS u, links[2] AS v
+  FROM x
+), p AS (
+  SELECT doc_id, text, n_links, u, v,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^[^@]*@', '') AS hp,
+    regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                   '\?$', '') AS pq
+  FROM n
+)
+SELECT doc_id, text, n_links,
+  CASE WHEN sch = '' THEN u ELSE sch || '://' ||
+    CASE WHEN sch = 'http'  AND hp LIKE '%:80'  THEN substr(hp, 1, length(hp) - 3)
+         WHEN sch = 'https' AND hp LIKE '%:443' THEN substr(hp, 1, length(hp) - 4)
+         ELSE hp END ||
+    CASE WHEN pq = '' THEN '/' ELSE pq END
+  END AS self_url,
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+    '^[^@]*@', ''), ':[0-9]+$', '') AS mirror_host
+FROM p
+"""
+
+
+def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity quota: derive a deterministic URL per doc
+    (three host shapes per source — www .COM:80, cdn .com, apex .ORG —
+    so the registrable-domain key really folds hosts), keep the 10
+    longest docs per domain. One shuffle on the domain key; the rank
+    filter compiles to WindowGroupLimit so heavy domains arrive
+    pre-truncated per map task."""
+    from nypd_arrest_etl_spark.operators.web import cap_per_domain, normalize_url
+
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("HTTP://www."), F.col("source"), F.lit(".COM:80/p/"), sid))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".com/x/"), sid, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".ORG/y/"), sid, F.lit("?")))
+    )
+    base = docs.select("doc_id", "n_chars", url.alias("url"))
+    capped = cap_per_domain(base, "url", 10,
+                            order_by=[F.desc("n_chars"), F.asc("doc_id")])
+    return capped.select("doc_id", "domain", normalize_url("url").alias("norm_url"))
+
+
+ORACLE_WEB_DOMAIN_CAP = r"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTP://www.' || source || '.COM:80/p/' || doc_id
+      WHEN 1 THEN 'https://cdn.' || source || '.com/x/' || doc_id || '#frag'
+      ELSE 'https://' || source || '.ORG/y/' || doc_id || '?' END AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, n_chars, url,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM u
+), d AS (
+  SELECT doc_id, n_chars, url,
+    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM h
+), r AS (
+  SELECT doc_id, domain, url,
+    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+  FROM d
+), kept AS (
+  SELECT doc_id, domain, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^[^@]*@', '') AS hp,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                   '\?$', '') AS pq
+  FROM r WHERE rk <= 10
+)
+SELECT doc_id, domain,
+  CASE WHEN sch = '' THEN url ELSE sch || '://' ||
+    CASE WHEN sch = 'http'  AND hp LIKE '%:80'  THEN substr(hp, 1, length(hp) - 3)
+         WHEN sch = 'https' AND hp LIKE '%:443' THEN substr(hp, 1, length(hp) - 4)
+         ELSE hp END ||
+    CASE WHEN pq = '' THEN '/' ELSE pq END
+  END AS norm_url
+FROM kept
+"""
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed link graph derived from lineitem:
+    part-bucket -> supplier-bucket. The asymmetric moduli (97 vs 211
+    over suppkeys 1..100) leave nodes 97..100 destination-only, so the
+    dangling-mass redistribution path is really exercised."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_partkey") % 97).alias("src"),
+            (F.col("l_suppkey") % 211).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 3-iteration PageRank over the derived link graph — the
+    oracle replays the three join+agg rounds as chained CTEs. Ranks
+    sum to 1 (dangling mass redistributed)."""
+    from nypd_arrest_etl_spark.operators.graph import pagerank
+
+    return pagerank(_link_edges(spark, sf_dir), iterations=3, damping=0.85)
+
+
+_PR_ITER = """
+c{i} AS (SELECT e.dst AS node, sum(r.rank / d.odeg) AS c
+     FROM e JOIN r{p} r ON r.node = e.src JOIN deg d ON d.src = e.src
+     GROUP BY e.dst),
+m{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+     FROM r{p} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+r{i} AS (SELECT nodes.node,
+        (1.0 - 0.85) / (SELECT n FROM nn)
+        + 0.85 * (coalesce(c{i}.c, 0.0) + (SELECT dm FROM m{i}) / (SELECT n FROM nn)) AS rank
+     FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+
+ORACLE_GRAPH_PAGERANK = (
+    """
+WITH e AS (SELECT DISTINCT l_partkey % 97 AS src, l_suppkey % 211 AS dst
+           FROM lineitem WHERE l_partkey % 97 <> l_suppkey % 211),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, round(rank, 8) AS rank FROM r3
+"""
+)
+
+
+def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration to an L1 fixed point (rows-only: the data-
+    dependent iteration count is not SQL-expressible; convergence-vs-
+    fixed-iteration agreement is unit-tested in tests/test_graph.py).
+    Bounded at 25 rounds for the bench registry — power iteration
+    contracts by the damping factor per round (0.85^25 ≈ 2e-2 of the
+    initial error), audit-grade for rank ORDERING; production runs
+    pick their own tol/cap."""
+    from nypd_arrest_etl_spark.operators.graph import pagerank_converged
+
+    ranks, _its = pagerank_converged(
+        _link_edges(spark, sf_dir), tol=1e-7, max_iterations=25
+    )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def q_sketch_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-text overlap between every source pair from mergeable
+    KMV sketches — ONE pass over the corpus, O(sources²·k) sketch
+    arithmetic after. The sketch twin of the exact
+    ``dedup_source_overlap``."""
+    from nypd_arrest_etl_spark.operators.scale import kmv_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    return kmv_overlap(docs, "text", "source", k=128).orderBy("group_a", "group_b")
+
+
+ORACLE_SKETCH_OVERLAP_SOURCES = r"""
+WITH sk0 AS (
+  SELECT DISTINCT source AS g,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT % 4294967296 AS h
+  FROM documents WHERE text IS NOT NULL
+), skk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM sk0
+  ) WHERE rk <= 128
+), gs AS (SELECT DISTINCT g FROM skk),
+tagged AS (
+  SELECT least(s.g, p.g) AS ga, greatest(s.g, p.g) AS gb, s.g AS src_g, s.h AS h
+  FROM skk s JOIN gs p ON s.g <> p.g
+), ph AS (
+  SELECT ga, gb, h, count(DISTINCT src_g) AS nsrc FROM tagged GROUP BY ga, gb, h
+), rk AS (
+  SELECT ga, gb, h, nsrc, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+  FROM ph
+), ag AS (
+  SELECT ga, gb, count(*) AS m,
+         max(CASE WHEN rk = 128 THEN h END) AS kth,
+         sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS ik
+  FROM rk WHERE rk <= 128 GROUP BY ga, gb
+)
+SELECT ga AS group_a, gb AS group_b,
+  CASE WHEN m < 128 THEN m::DOUBLE
+       ELSE round(127 * 4294967296.0 / kth, 2) END AS union_est,
+  round(ik / m::DOUBLE, 6) AS jaccard_est,
+  round((ik / m::DOUBLE) *
+        CASE WHEN m < 128 THEN m::DOUBLE
+             ELSE 127 * 4294967296.0 / kth END, 2) AS inter_est
+FROM ag
+ORDER BY group_a, group_b
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -1652,4 +1921,9 @@ LLM_OPS: dict[str, tuple] = {
     "similarity_ann_pq": (q_ann_pq, None),
     "text_tfidf_topk": (q_tfidf_topk, ORACLE_TFIDF_TOPK),
     "corpus_zipf": (q_corpus_zipf, ORACLE_CORPUS_ZIPF),
+    "web_html_extract": (q_web_html_extract, ORACLE_WEB_HTML_EXTRACT),
+    "web_domain_cap": (q_web_domain_cap, ORACLE_WEB_DOMAIN_CAP),
+    "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
+    "graph_pagerank_converged": (q_graph_pagerank_converged, None),
+    "sketch_overlap_sources": (q_sketch_overlap_sources, ORACLE_SKETCH_OVERLAP_SOURCES),
 }

@@ -1,0 +1,86 @@
+"""PageRank operator: hand-computed values, mass conservation,
+dangling redistribution, and convergence agreement with the
+fixed-iteration (oracle-checked) variant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators.graph import pagerank, pagerank_converged
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_two_node_cycle_is_uniform(spark):
+    r = _ranks(pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iterations=7))
+    assert r == {"a": 0.5, "b": 0.5}
+
+
+def test_dangling_mass_redistributed_hand_computed(spark):
+    # a -> b, b dangling. N=2, r0=(.5,.5).
+    # iter1: contrib(b)=.5, dangling mass=.5:
+    #   a = .15/2 + .85*(0 + .25) = 0.2875 ; b = .075 + .85*.75 = 0.7125
+    r = _ranks(pagerank(_edges(spark, [("a", "b")]), iterations=1))
+    assert r == {"a": 0.2875, "b": 0.7125}
+
+
+def test_rank_mass_conserved(spark):
+    pairs = [(i, (i * 3 + 1) % 7) for i in range(7) if i != (i * 3 + 1) % 7]
+    pairs += [(0, 5), (2, 6), (6, 0)]
+    total = (
+        pagerank(_edges(spark, pairs), iterations=4, round_to=None)
+        .agg(F.sum("rank").alias("s")).collect()[0].s
+    )
+    assert total == pytest.approx(1.0, abs=1e-12)
+
+
+def test_authority_node_outranks_leaf(spark):
+    # star into 'hub', hub links only to n0 — so hub beats the plain
+    # leaves, and n0 (receiving hub's ENTIRE rank each round) beats
+    # even hub. Symmetric leaves tie exactly.
+    pairs = [(f"n{i}", "hub") for i in range(5)] + [("hub", "n0")]
+    r = _ranks(pagerank(_edges(spark, pairs), iterations=10))
+    assert r["n1"] == r["n2"] == r["n3"] == r["n4"]  # symmetric leaves
+    assert r["hub"] > r["n1"]
+    assert r["n0"] > r["hub"]
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_converged_reaches_a_fixed_point(spark):
+    # Power iteration contracts the L1 error by <= damping per round,
+    # so tol=1e-6 needs ~ln(1e-6)/ln(0.85) ≈ 85 rounds — cap above
+    # that so the stop is tol-driven, then PROVE the fixed point: one
+    # more explicit power step moves total mass by <= damping * tol.
+    from nypd_arrest_etl_spark.operators.graph import _prepared, _step
+
+    pairs = [(i, (i * i + 1) % 11) for i in range(11) if i != (i * i + 1) % 11]
+    e = _edges(spark, pairs)
+    conv, its = pagerank_converged(e, tol=1e-6, max_iterations=120)
+    assert 1 < its < 120  # actually iterated, actually stopped early
+    ep, deg, nodes = _prepared(e, "src", "dst")
+    nxt = _step(ep, deg, nodes, conv, float(nodes.count()), 0.85)
+    delta = (
+        nxt.join(conv.withColumnRenamed("rank", "prev"), "node")
+        .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+        .collect()[0].d
+    )
+    assert delta < 2e-6
+
+
+def test_multi_edges_are_collapsed(spark):
+    # duplicate (a,b) edges must not double b's contribution share
+    once = _ranks(pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iterations=3))
+    dup = _ranks(
+        pagerank(_edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]), iterations=3)
+    )
+    assert once == dup
+
+
+def test_rejects_zero_iterations(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [("a", "b")]), iterations=0)

@@ -213,3 +213,46 @@ def test_compact_files_merges_small_files(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 10_000
     assert got.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    from nypd_arrest_etl_spark.operators.scale import kmv_overlap
+
+    # A = {0..19}, B = {10..29}: |A∪B|=30, |A∩B|=10, J=1/3 — sketches
+    # not full at k=128, so every figure is exact.
+    rows = [(f"v{i}", "A") for i in range(20)] + [(f"v{i}", "B") for i in range(10, 30)]
+    df = spark.createDataFrame(rows, ["key", "grp"])
+    out = kmv_overlap(df, "key", "grp", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    assert r.union_est == 30.0
+    assert r.inter_est == 10.0
+    assert r.jaccard_est == round(10 / 30, 6)
+
+
+def test_kmv_overlap_estimates_within_bounds_when_full(spark):
+    from nypd_arrest_etl_spark.operators.scale import kmv_overlap
+
+    # 2000 distinct keys per group, 1000 shared: truth U=3000, J=1/3.
+    # k=512 -> sd(U)/U = 1/sqrt(k-2) ≈ 4.4%, sd(J)/J ≈ 4.5%; the draw
+    # is DETERMINISTIC (one fixed hash), so assert ~3.5σ envelopes.
+    a = [(f"k{i}", "A") for i in range(2000)]
+    b = [(f"k{i}", "B") for i in range(1000, 3000)]
+    df = spark.createDataFrame(a + b, ["key", "grp"])
+    r = kmv_overlap(df, "key", "grp", k=512).collect()[0]
+    assert abs(r.union_est - 3000) / 3000 < 0.15
+    assert abs(r.jaccard_est - 1 / 3) / (1 / 3) < 0.15
+    assert abs(r.inter_est - 1000) / 1000 < 0.25  # product of two estimates
+
+
+def test_kmv_overlap_all_pairs_and_null_keys_ignored(spark):
+    from nypd_arrest_etl_spark.operators.scale import kmv_overlap
+
+    rows = [(f"x{i}", g) for g in ("A", "B", "C") for i in range(5)] + [(None, "A")]
+    df = spark.createDataFrame(rows, ["key", "grp"])
+    out = {(r.group_a, r.group_b): r for r in kmv_overlap(df, "key", "grp").collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    # identical 5-element sets -> exact full overlap on every pair
+    for r in out.values():
+        assert r.union_est == 5.0 and r.inter_est == 5.0 and r.jaccard_est == 1.0
