@@ -33,8 +33,18 @@ from pyspark.sql import functions as F
 
 
 def _prepared(edges: DataFrame, src: str, dst: str):
-    """Distinct edge list co-partitioned on src, out-degrees, nodes."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    """Distinct edge list co-partitioned on src, out-degrees, nodes.
+
+    NULL endpoints are dropped: a NULL src would silently vanish in
+    the contribution join while still absorbing rank as a node, and a
+    NULL dst is not a linkable target — neither is a meaningful graph
+    vertex.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .na.drop(subset=["src", "dst"])
+        .distinct()
+    )
     e = e.repartition("src")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("odeg"))
     nodes = e.select(F.col("src").alias("node")).union(
@@ -155,3 +165,73 @@ def pagerank_converged(
         if delta is not None and delta < tol:
             break
     return ranks, it
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    teleport: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int | None = 8,
+) -> DataFrame:
+    """Personalized PageRank: the teleport step jumps to ``teleport``'s
+    distribution (DataFrame[node, weight], normalized here) instead of
+    uniform — rank then measures proximity to the seed set, the form
+    crawl curation uses to score hosts against a trusted seed list.
+
+    Dangling mass also re-enters THROUGH the teleport distribution
+    (the standard PPR convention: every restart respects the seeds).
+    Nodes absent from ``teleport`` get weight 0; iteration starts AT
+    the teleport distribution, so a 1-iteration result is already
+    seed-relative. Same join/agg shape per iteration as ``pagerank``;
+    the teleport column rides the O(|V|) rank table, adding no
+    shuffle (it joins on the same node key).
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs at least 1 iteration")
+    e, deg, nodes = _prepared(edges, src, dst)
+    w = teleport.select(
+        F.col(teleport.columns[0]).alias("node"),
+        F.col(teleport.columns[1]).cast("double").alias("w"),
+    )
+    tele = (
+        nodes.join(w, "node", "left")
+        .select("node", F.coalesce(F.col("w"), F.lit(0.0)).alias("w"))
+    )
+    total = tele.agg(F.sum("w")).collect()[0][0]
+    if not total or total <= 0:
+        raise ValueError(
+            "teleport weights must sum to a positive value over the graph's nodes"
+        )
+    tele = tele.select("node", (F.col("w") / F.lit(float(total))).alias("t"))
+    ranks = tele.select("node", F.col("t").alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            tele.join(contribs, tele["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("t"))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks

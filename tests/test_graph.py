@@ -84,3 +84,47 @@ def test_multi_edges_are_collapsed(spark):
 def test_rejects_zero_iterations(spark):
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [("a", "b")]), iterations=0)
+
+
+def test_null_edge_endpoints_dropped(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), (None, "a"), ("b", None)], ["src", "dst"]
+    )
+    r = _ranks(pagerank(e, iterations=5))
+    assert set(r) == {"a", "b"}
+    assert r["a"] == r["b"] == 0.5
+
+
+def test_personalized_uniform_teleport_matches_standard(spark):
+    from nypd_arrest_etl_spark.operators.graph import pagerank_personalized
+
+    pairs = [(i, (i * 3 + 1) % 7) for i in range(7) if i != (i * 3 + 1) % 7]
+    e = _edges(spark, pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    uniform = spark.createDataFrame([(n, 1.0) for n in nodes], ["node", "weight"])
+    std = _ranks(pagerank(e, iterations=4))
+    ppr = _ranks(pagerank_personalized(e, uniform, iterations=4))
+    assert ppr == std
+
+
+def test_personalized_seed_pulls_rank_toward_seed(spark):
+    from nypd_arrest_etl_spark.operators.graph import pagerank_personalized
+
+    # chain a -> b -> c -> a; seed everything on 'a'
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    seed = spark.createDataFrame([("a", 1.0)], ["node", "weight"])
+    r = _ranks(pagerank_personalized(e, seed, iterations=12, round_to=None))
+    std = _ranks(pagerank(_edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]),
+                          iterations=12, round_to=None))
+    assert r["a"] > std["a"]          # seed node gains vs uniform teleport
+    assert r["a"] > r["b"] > r["c"] or r["a"] > r["c"]  # proximity ordering
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_rejects_zero_mass_teleport(spark):
+    from nypd_arrest_etl_spark.operators.graph import pagerank_personalized
+
+    e = _edges(spark, [("a", "b")])
+    ghost = spark.createDataFrame([("zzz", 1.0)], ["node", "weight"])  # not in graph
+    with pytest.raises(ValueError):
+        pagerank_personalized(e, ghost, iterations=2)

@@ -112,6 +112,10 @@ _SOAK_DENOMINATORS = {
     "text_containment_capped": 1279.0,
     "dedup_jaccard_pairs": 1279.0,
     "dedup_minhash_pairs": 99.8,
+    # web_html_extract synthesizes its page from the text column, so
+    # its work grows with corpus BYTES (the replica prefixes lengthen
+    # every word), like the other narrow per-doc ops.
+    "web_html_extract": 152.8,
 }
 _SOAK_DEFAULT_DENOM = 100.0
 _SOAK_FLAGSHIPS = (

@@ -629,3 +629,100 @@ def test_stream_etl_txn_strategy_snapshot_versions(spark, tmp_path):
     final = M.snapshot(target).read(spark)
     keys = [r["arrest_key"] for r in final.collect()]
     assert sorted(keys) == ["T1", "T2", "T3", "T4"]
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def test_domain_cap_stream_binds_across_batches_and_days(spark, tmp_path):
+    """Streaming per-domain quota: the counter persists across
+    microbatches (cap binds cumulatively), two hosts of one
+    registrable domain share one quota, and a new event-time day opens
+    a fresh budget."""
+    from nypd_arrest_etl_spark.streaming.quota import domain_cap_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(str(src))
+    q = (
+        domain_cap_stream(stream, cap=2)
+        .writeStream.format("memory")
+        .queryName("t_quota")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _write_jsonl(
+            src / "b1.json",
+            [
+                # 3 big.com docs in one batch, out of ts order -> the two
+                # EARLIEST admit; www/cdn hosts fold into one domain
+                {"ts": "2024-03-01T10:02:00Z", "doc_id": 3, "url": "https://www.big.com/3"},
+                {"ts": "2024-03-01T10:00:00Z", "doc_id": 1, "url": "https://cdn.big.com/1"},
+                {"ts": "2024-03-01T10:01:00Z", "doc_id": 2, "url": "https://big.com/2"},
+                {"ts": "2024-03-01T10:00:30Z", "doc_id": 10, "url": "https://small.org/10"},
+            ],
+        )
+        q.processAllAvailable()
+        _write_jsonl(
+            src / "b2.json",
+            [
+                # same day: big.com quota already exhausted
+                {"ts": "2024-03-01T11:00:00Z", "doc_id": 4, "url": "https://big.com/4"},
+                # next day: fresh budget
+                {"ts": "2024-03-02T09:00:00Z", "doc_id": 5, "url": "https://big.com/5"},
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["doc_id"]: (r["domain"], str(r["day"]), r["n_admitted"])
+        for r in spark.sql("select * from t_quota").collect()
+    }
+    assert rows == {
+        1: ("big.com", "2024-03-01", 1),
+        2: ("big.com", "2024-03-01", 2),
+        10: ("small.org", "2024-03-01", 1),
+        5: ("big.com", "2024-03-02", 1),
+    }
+
+
+def test_domain_cap_stream_replay_is_deterministic(spark, tmp_path):
+    """A fresh checkpoint replay of the same input admits the same
+    doc_ids (in-batch sort + counter state make admission a pure
+    function of the input)."""
+    from nypd_arrest_etl_spark.streaming.quota import domain_cap_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"ts": "2024-03-01T10:00:00Z", "doc_id": i, "url": f"https://d.net/{i}"}
+            for i in (7, 3, 9, 1)
+        ],
+    )
+
+    def run(qn):
+        stream = spark.readStream.schema(DOCS_SCHEMA).json(str(src))
+        q = (
+            domain_cap_stream(stream, cap=2)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(r["doc_id"] for r in spark.sql(f"select * from {qn}").collect())
+
+    assert run("t_q_a") == run("t_q_b") == [1, 3]

@@ -68,6 +68,10 @@ QUERIES = [
     "text_tfidf_topk",          # token shuffle + per-doc window top-k (r5)
     "corpus_zipf",              # token counts -> global top-100 + OLS (r5)
     "similarity_ann_pq",        # PQ encode (map-only) + ADC scan + re-rank (r5)
+    "web_html_extract",         # map-only regex chain — byte-bound (r9)
+    "web_domain_cap",           # domain-key window w/ group limit (r9)
+    "graph_pagerank",           # edge distinct + 3 join/agg rounds (r9)
+    "sketch_overlap_sources",   # one (g,h) distinct + O(G^2 k) pairing (r9)
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
