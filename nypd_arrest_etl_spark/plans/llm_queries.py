@@ -1821,6 +1821,54 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
+def q_graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set (every
+    10th node): rank measures proximity to the seeds — the crawl-
+    curation trust-propagation shape. 2 iterations, oracle-replayed
+    with the teleport folded into both the restart and the dangling
+    re-entry."""
+    from nypd_arrest_etl_spark.operators.graph import pagerank_personalized
+
+    edges = _link_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 10 == 0)
+        .select("node", F.lit(1.0).alias("weight"))
+    )
+    return pagerank_personalized(edges, seeds, iterations=2, damping=0.85)
+
+
+_PPR_ITER = """
+c{i} AS (SELECT e.dst AS node, sum(r.rank / d.odeg) AS c
+     FROM e JOIN r{p} r ON r.node = e.src JOIN deg d ON d.src = e.src
+     GROUP BY e.dst),
+m{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+     FROM r{p} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+r{i} AS (SELECT tele.node,
+        (1.0 - 0.85) * tele.t
+        + 0.85 * (coalesce(c{i}.c, 0.0) + (SELECT dm FROM m{i}) * tele.t) AS rank
+     FROM tele LEFT JOIN c{i} ON c{i}.node = tele.node)"""
+
+ORACLE_GRAPH_PPR_SEEDED = (
+    """
+WITH e AS (SELECT DISTINCT l_partkey % 97 AS src, l_suppkey % 211 AS dst
+           FROM lineitem WHERE l_partkey % 97 <> l_suppkey % 211),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+w AS (SELECT node, CASE WHEN node % 10 = 0 THEN 1.0 ELSE 0.0 END AS w FROM nodes),
+tw AS (SELECT sum(w)::DOUBLE AS total FROM w),
+tele AS (SELECT node, w / (SELECT total FROM tw) AS t FROM w),
+r0 AS (SELECT node, t AS rank FROM tele),"""
+    + ",".join(_PPR_ITER.format(i=i, p=i - 1) for i in (1, 2))
+    + """
+SELECT node, round(rank, 8) AS rank FROM r2
+"""
+)
+
+
 def q_sketch_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-text overlap between every source pair from mergeable
     KMV sketches — ONE pass over the corpus, O(sources²·k) sketch
@@ -1925,5 +1973,6 @@ LLM_OPS: dict[str, tuple] = {
     "web_domain_cap": (q_web_domain_cap, ORACLE_WEB_DOMAIN_CAP),
     "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
     "graph_pagerank_converged": (q_graph_pagerank_converged, None),
+    "graph_ppr_seeded": (q_graph_ppr_seeded, ORACLE_GRAPH_PPR_SEEDED),
     "sketch_overlap_sources": (q_sketch_overlap_sources, ORACLE_SKETCH_OVERLAP_SOURCES),
 }
