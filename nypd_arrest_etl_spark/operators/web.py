@@ -181,3 +181,164 @@ def cap_per_domain(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix-list registrable domains (the production path the
+# last-two-labels approximation above documents)
+# ---------------------------------------------------------------------------
+
+# Demo subset of the public suffix list (publicsuffix.org, MPL-2.0 —
+# rule SYNTAX reproduced, not the 9k-row dataset): enough to exercise
+# every rule kind. Production loads the real file via parse_psl_rules.
+PSL_DEMO_RULES = (
+    "com", "org", "net", "io", "de", "us",
+    "uk", "co.uk", "org.uk", "gov.uk",
+    "jp", "co.jp",
+    "au", "com.au",
+    "br", "com.br",
+    "ck", "*.ck", "!www.ck",
+)
+
+
+def parse_psl_rules(lines) -> list[tuple[str, int, int]]:
+    """Parse public-suffix-list rule lines into
+    (match_key, kind, suffix_labels) tuples; kind: 0 normal,
+    1 wildcard, 2 exception.
+
+    - normal rule 'co.uk'  -> ('co.uk', 0, 2): the suffix is the rule
+    - wildcard '*.ck'      -> ('ck', 1, 2): match key is the tail, the
+      effective suffix is ONE label deeper than the key — the kind must
+      stay explicit, because a wildcard key must NEVER match a
+      candidate equal to the key itself ('*.ck' does not make bare
+      'ck'-depth claims; inferring wildcardness from sfx != labels is
+      exactly the bug that would)
+    - exception '!www.ck'  -> ('www.ck', 2, 1): the rule's own host is
+      registrable, so the suffix is the rule MINUS its leftmost label
+    Comments (//) and blanks are skipped; ICANN/PRIVATE section markers
+    are comments, so the real file feeds straight through.
+    """
+    out = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            key = line[1:]
+            out.append((key, 2, key.count(".")))  # n_labels(key) - 1
+        elif line.startswith("*."):
+            key = line[2:]
+            out.append((key, 1, key.count(".") + 2))
+        else:
+            out.append((line, 0, line.count(".") + 1))
+    return out
+
+
+def registrable_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    rules: list[tuple[str, int, int]] | None = None,
+    out_col: str = "registrable",
+) -> DataFrame:
+    """Exact PSL registrable domain via a broadcast rules join —
+    correct where the last-two-labels approximation is not
+    ('news.bbc.co.uk' -> 'bbc.co.uk', not 'co.uk').
+
+    Rule resolution follows the PSL algorithm: among matching rules an
+    EXCEPTION always prevails, else the longest suffix; no match falls
+    back to the implicit '*' rule (the bare TLD is the suffix). A host
+    that IS a public suffix gets NULL (nothing registrable there — a
+    crawl quota must not treat 'co.uk' as one site).
+
+    Plan: DISTINCT hosts -> posexplode of the O(labels) suffix
+    candidates -> ONE broadcast equi-join against the rules (wildcards
+    join on the candidate's tail, a second broadcast of the same tiny
+    table) -> per-host max-struct aggregation -> map back onto the
+    corpus with a host equi-join. Everything per-corpus-row is the
+    final join; the rule machinery runs once per DISTINCT host, which
+    is what makes this viable at crawl scale (hosts << documents).
+    The full real-world list is ~9k rows — a broadcast at any scale.
+    """
+    spark = df.sparkSession
+    parsed = rules if rules is not None else parse_psl_rules(PSL_DEMO_RULES)
+    rules_df = spark.createDataFrame(parsed, ["match_key", "kind", "suffix_labels"])
+
+    hosts = df.select(F.col(host_col).alias("host")).filter(
+        F.col("host").isNotNull() & (F.col("host") != "")
+    ).distinct()
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    # candidate suffixes: labels i..n for every i (longest first is not
+    # required — the aggregate picks the winner)
+    cand = hosts.select(
+        "host",
+        n.alias("n_labels"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+            )
+        ).alias("pos", "suffix"),
+    )
+    tail = F.regexp_replace(F.col("suffix"), r"^[^.]+\.", "")
+    has_tail = F.instr(F.col("suffix"), ".") > 0
+    direct = cand.join(
+        F.broadcast(rules_df.filter("kind != 1")),
+        F.col("suffix") == F.col("match_key"),
+    ).select("host", "n_labels", (F.col("kind") == 2).cast("int").alias("is_exc"),
+             "suffix_labels")
+    wild = (
+        cand.filter(has_tail)
+        .join(
+            F.broadcast(rules_df.filter("kind = 1")),
+            tail == F.col("match_key"),
+        )
+        # a wildcard rule '*.X' (stored: key X, suffix_labels = labels(X)+1)
+        # matches ONLY candidates exactly one label deeper than the key
+        .filter(
+            F.size(F.split(F.col("suffix"), r"\.")) == F.col("suffix_labels")
+        )
+        .select("host", "n_labels", F.lit(0).alias("is_exc"), "suffix_labels")
+    )
+    matched = direct.union(wild)
+    # exception prevails, else longest suffix; implicit '*' fallback = 1
+    best = (
+        matched.groupBy("host", "n_labels")
+        .agg(
+            F.max(
+                F.struct(F.col("is_exc"), F.col("suffix_labels"))
+            ).alias("b")
+        )
+        # struct max orders by is_exc FIRST, so an exception rule
+        # prevails over any longer wildcard/normal match (PSL rule 2),
+        # and suffix_labels breaks ties by length (PSL rule 3).
+        .select("host", "n_labels", F.col("b.suffix_labels").alias("sfx"))
+    )
+    mapping = (
+        hosts.join(best.drop("n_labels"), "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("sfx"), F.lit(1)).alias("sfx"),
+            F.size(F.split(F.col("host"), r"\.")).alias("n_labels"),
+        )
+        .select(
+            "host",
+            F.when(
+                F.col("n_labels") > F.col("sfx"),
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("host"), r"\."),
+                        F.col("n_labels") - F.col("sfx"),
+                        F.col("sfx") + 1,
+                    ),
+                    ".",
+                ),
+            ).alias(out_col),
+        )
+    )
+    # reserved join-key name: if the caller's column is itself named
+    # "host", drop("host") would remove BOTH sides' columns
+    mapping = mapping.withColumnRenamed("host", "__psl_host")
+    return df.join(
+        mapping, df[host_col] == mapping["__psl_host"], "left"
+    ).drop("__psl_host")

@@ -1869,6 +1869,89 @@ SELECT node, round(rank, 8) AS rank FROM r2
 )
 
 
+def q_web_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact public-suffix-list registrable domains over deterministic
+    hosts exercising every rule kind (multi-label suffix, wildcard,
+    exception, implicit '*'). The oracle replays the full PSL
+    algorithm — suffix-candidate explode, kind-split rule joins,
+    exception-over-longest resolution — from the same parsed demo
+    rule set."""
+    from nypd_arrest_etl_spark.operators.web import registrable_domain_psl
+
+    docs = t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("a."), F.col("source"), F.lit(".ck")))
+        .when(F.col("doc_id") % 5 == 3, F.lit("www.ck"))
+        .otherwise(F.concat(F.col("source"), F.lit(".zz")))
+    )
+    base = docs.select("doc_id", host.alias("site_host"))
+    return registrable_domain_psl(base, "site_host").select(
+        "doc_id", "site_host", "registrable"
+    )
+
+
+def _psl_rules_values() -> str:
+    from nypd_arrest_etl_spark.operators.web import PSL_DEMO_RULES, parse_psl_rules
+
+    return ", ".join(
+        f"('{k}', {kind}, {sfx})" for k, kind, sfx in parse_psl_rules(PSL_DEMO_RULES)
+    )
+
+
+ORACLE_WEB_PSL_DOMAINS = rf"""
+WITH rules(match_key, kind, sfx) AS (VALUES {_psl_rules_values()}),
+h AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'www.' || source || '.co.uk'
+      WHEN 1 THEN source || '.com'
+      WHEN 2 THEN 'a.' || source || '.ck'
+      WHEN 3 THEN 'www.ck'
+      ELSE source || '.zz' END AS site_host
+  FROM documents
+), dh AS (SELECT DISTINCT site_host AS host FROM h),
+parts AS (SELECT host, string_split(host, '.') AS p FROM dh),
+cand AS (
+  SELECT host, len(p)::INT AS n_labels,
+         array_to_string(p[CAST(i AS INT):CAST(len(p) AS INT)], '.') AS suffix
+  FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+),
+direct AS (
+  SELECT c.host, CASE WHEN r.kind = 2 THEN 1 ELSE 0 END AS is_exc, r.sfx
+  FROM cand c JOIN rules r ON c.suffix = r.match_key AND r.kind <> 1
+),
+wild AS (
+  SELECT c.host, 0 AS is_exc, r.sfx
+  FROM cand c JOIN rules r
+    ON regexp_replace(c.suffix, '^[^.]+\.', '') = r.match_key AND r.kind = 1
+  WHERE instr(c.suffix, '.') > 0
+    AND len(string_split(c.suffix, '.')) = r.sfx
+),
+best AS (
+  SELECT host, max(is_exc * 1000000 + sfx) AS b
+  FROM (SELECT * FROM direct UNION ALL SELECT * FROM wild)
+  GROUP BY host
+),
+mapping AS (
+  SELECT dh.host,
+         coalesce(best.b % 1000000, 1) AS sfx,
+         len(string_split(dh.host, '.'))::INT AS n_labels
+  FROM dh LEFT JOIN best ON best.host = dh.host
+)
+SELECT h.doc_id, h.site_host,
+  CASE WHEN m.n_labels > m.sfx THEN
+    array_to_string(
+      string_split(h.site_host, '.')[CAST(m.n_labels - m.sfx AS INT):CAST(m.n_labels AS INT)],
+      '.')
+  END AS registrable
+FROM h JOIN mapping m ON m.host = h.site_host
+"""
+
+
 def q_sketch_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-text overlap between every source pair from mergeable
     KMV sketches — ONE pass over the corpus, O(sources²·k) sketch
@@ -1974,5 +2057,6 @@ LLM_OPS: dict[str, tuple] = {
     "graph_pagerank": (q_graph_pagerank, ORACLE_GRAPH_PAGERANK),
     "graph_pagerank_converged": (q_graph_pagerank_converged, None),
     "graph_ppr_seeded": (q_graph_ppr_seeded, ORACLE_GRAPH_PPR_SEEDED),
+    "web_psl_domains": (q_web_psl_domains, ORACLE_WEB_PSL_DOMAINS),
     "sketch_overlap_sources": (q_sketch_overlap_sources, ORACLE_SKETCH_OVERLAP_SOURCES),
 }

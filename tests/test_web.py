@@ -86,3 +86,80 @@ def test_cap_per_domain_plan_uses_window_group_limit(spark):
     df = spark.createDataFrame([(1, "https://a.com/x", 1)], ["id", "url", "score"])
     plan = W.cap_per_domain(df, "url", 3, order_by=[F.asc("id")])._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_parse_psl_rules_standard_format():
+    from nypd_arrest_etl_spark.operators.web import parse_psl_rules
+
+    lines = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com",
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "  jp  ",
+        "// ===END ICANN DOMAINS===",
+    ]
+    assert parse_psl_rules(lines) == [
+        ("com", 0, 1),
+        ("co.uk", 0, 2),
+        ("ck", 1, 2),        # wildcard: one label deeper than the key
+        ("www.ck", 2, 1),    # exception: the rule's own host registers
+        ("jp", 0, 1),
+    ]
+
+
+def test_registrable_domain_psl_rule_kinds(spark):
+    from nypd_arrest_etl_spark.operators.web import registrable_domain_psl
+
+    cases = {
+        "news.bbc.co.uk": "bbc.co.uk",   # multi-label suffix (approx gets co.uk)
+        "example.com": "example.com",
+        "a.b.example.com": "example.com",
+        "foo.bar.ck": "foo.bar.ck",      # *.ck: bar.ck is the suffix
+        "www.ck": "www.ck",              # !www.ck exception beats the wildcard
+        "co.uk": None,                   # host IS a public suffix
+        "com": None,
+        "x.y.zz": "y.zz",                # no rule -> implicit '*' (TLD)
+        "deep.gov.uk": "deep.gov.uk",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    out = {r.h: r.registrable for r in registrable_domain_psl(df, "h").collect()}
+    assert out == cases
+
+
+def test_registrable_domain_psl_wildcard_never_matches_its_own_base(spark):
+    """Regression: a wildcard rule '*.X' must not claim bare X — the
+    host equal to a wildcard's base falls through to other rules (here
+    the implicit '*'), while one-label-deeper hosts ARE the suffix."""
+    from nypd_arrest_etl_spark.operators.web import (
+        parse_psl_rules,
+        registrable_domain_psl,
+    )
+
+    rules = parse_psl_rules(["*.compute.example"])
+    cases = {
+        "compute.example": "compute.example",      # implicit '*' applies
+        "a.compute.example": None,                 # IS a public suffix
+        "b.a.compute.example": "b.a.compute.example",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    out = {
+        r.h: r.registrable
+        for r in registrable_domain_psl(df, "h", rules=rules).collect()
+    }
+    assert out == cases
+
+
+def test_registrable_domain_psl_preserves_row_multiplicity(spark):
+    from nypd_arrest_etl_spark.operators.web import registrable_domain_psl
+
+    df = spark.createDataFrame(
+        [(1, "a.example.com"), (2, "a.example.com"), (3, "b.co.uk")],
+        ["id", "h"],
+    )
+    out = registrable_domain_psl(df, "h")
+    assert out.count() == 3
+    got = {(r.id, r.registrable) for r in out.collect()}
+    assert got == {(1, "example.com"), (2, "example.com"), (3, "b.co.uk")}
