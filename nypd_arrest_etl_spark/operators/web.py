@@ -74,8 +74,11 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
+    # \r\n AND bare \r (old-Mac payloads) normalize to \n first, or a
+    # lone \r would ride through the \n-anchored folds below
+    c = F.regexp_replace(c, "\r\n?", "\n")
     c = F.regexp_replace(c, "[ \t]+", " ")
-    c = F.regexp_replace(c, "[ \t]*\r?\n[ \t\r\n]*", "\n")
+    c = F.regexp_replace(c, "[ \t]*\n[ \t\n]*", "\n")
     return F.regexp_replace(F.trim(c), r"^\n+|\n+$", "")
 
 

@@ -1645,7 +1645,7 @@ WITH h AS (
   FROM documents
 ), x AS (
   SELECT doc_id,
-    regexp_replace(trim(regexp_replace(regexp_replace(
+    regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
           '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
@@ -1655,8 +1655,9 @@ WITH h AS (
           '(?s)<[^>]*>', ' ', 'g'),
       '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+      '\r\n?', chr(10), 'g'),
       '[ \t]+', ' ', 'g'),
-      '[ \t]*\r?\n[ \t\r\n]*', chr(10), 'g')),
+      '[ \t]*\n[ \t\n]*', chr(10), 'g')),
       '^\n+|\n+$', '', 'g') AS text,
     regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS links
   FROM h

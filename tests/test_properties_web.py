@@ -1,0 +1,96 @@
+"""Hypothesis properties for the web-ingest operators: URL
+normalization must be IDEMPOTENT (a second pass changes nothing — the
+property that makes it a safe dedup key), host-preserving, and the
+HTML text extractor must emit disciplined whitespace. Fuzzed over
+URL-shaped composites AND arbitrary unicode (non-URLs must pass
+through untouched)."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nypd_arrest_etl_spark.operators.web import (
+    html_to_text,
+    normalize_url,
+    url_host,
+)
+
+SETTINGS = dict(max_examples=15, deadline=None)
+
+_label = st.text(alphabet="abcdefXYZ09-", min_size=1, max_size=5)
+_urlish = st.builds(
+    lambda scheme, user, labels, port, path, query, frag: (
+        scheme
+        + "://"
+        + (user + "@" if user else "")
+        + ".".join(labels)
+        + (f":{port}" if port else "")
+        + path
+        + query
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTPS", "ftp", "HtTp", "ws+x"]),
+    user=st.sampled_from(["", "u", "User:pw"]),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    port=st.sampled_from(["", "80", "443", "8080"]),
+    path=st.sampled_from(["", "/", "/A/b", "/x%20y"]),
+    query=st.sampled_from(["", "?", "?a=1&B=2"]),
+    frag=st.sampled_from(["", "#f", "#A/b?c"]),
+)
+_any_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=12
+)
+_inputs = st.lists(st.one_of(_urlish, _any_text), min_size=1, max_size=8)
+
+
+def _eval2(spark, values, expr_a, expr_b):
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    rows = df.select(expr_a.alias("a"), expr_b.alias("b")).collect()
+    return [(r.a, r.b) for r in rows]
+
+
+@settings(**SETTINGS)
+@given(_inputs)
+def test_normalize_url_is_idempotent(spark, values):
+    once = normalize_url(F.col("c"))
+    twice = normalize_url(normalize_url(F.col("c")))
+    for v, (a, b) in zip(values, _eval2(spark, values, once, twice)):
+        assert a == b, (v, a, b)
+
+
+@settings(**SETTINGS)
+@given(_inputs)
+def test_normalize_url_preserves_host(spark, values):
+    h_raw = url_host(F.col("c"))
+    h_norm = url_host(normalize_url(F.col("c")))
+    for v, (a, b) in zip(values, _eval2(spark, values, h_raw, h_norm)):
+        assert a == b, (v, a, b)
+
+
+@settings(**SETTINGS)
+@given(_inputs)
+def test_normalize_url_leaves_non_urls_untouched(spark, values):
+    non_urls = [v for v in values if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", v)]
+    if not non_urls:
+        return
+    out = _eval2(spark, non_urls, normalize_url(F.col("c")), F.col("c"))
+    for v, (a, b) in zip(non_urls, out):
+        assert a == b == v, (v, a, b)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_any_text, min_size=1, max_size=8))
+def test_html_to_text_whitespace_discipline(spark, values):
+    """No carriage returns, no space/tab runs, no blank lines, no
+    leading/trailing newline survive extraction — whatever the input
+    (downstream line-based quality stats key on this shape)."""
+    out = _eval2(spark, values, html_to_text(F.col("c")), F.col("c"))
+    for txt, _src in out:
+        assert "\r" not in txt
+        assert "  " not in txt and "\t" not in txt
+        assert "\n\n" not in txt
+        assert txt == txt.strip("\n")
+        assert not txt.startswith(" ") and not txt.endswith(" ")
