@@ -30,6 +30,18 @@ exact SF-shaped physical plan, which the prepass experiment showed
 costs more than it saves. A deployment sees this cost once per query
 shape per JVM, not per run.
 
+Host calibration (round 10): every run records two pinned anchors —
+a single-thread SHA-256 loop taken before the JVM starts
+(tools/calibration.py) and a median-of-3 warmed pass of the
+pricing_summary reference query — under the ``calibration`` key of
+both the stdout line and BENCH_DETAIL.json. BENCH_DETAIL additionally
+carries ``normalized_delta_vs_prev``: per-query
+(now/now_anchor)/(prev/prev_anchor) - 1 against the previous detail
+file, which cancels the documented ±30-40% session-to-session host
+swing — a nonzero normalized delta means the plan or data changed,
+not the VM (r9's headline rose 31% purely from host speed; proving
+that required a manual twin-bench rerun).
+
 The HEADLINE value is the sum of per-query MEDIAN steady passes
 ($SPARK_GRAFT_STEADY_RUNS, default 3) — every pass re-executes the
 full pipeline with nothing cached, compile cost excluded; the median
@@ -62,8 +74,17 @@ def sf_of(path: str) -> float:
 
 def main() -> None:
     from nypd_arrest_etl_spark import get_spark
+    from tools.calibration import cpu_anchor_sec
 
     import __spark_entry__ as entry_mod
+
+    # Host-speed anchor FIRST (before the JVM exists, machine quiet):
+    # one pinned single-thread hash loop. A second anchor (a pinned
+    # reference query) is measured after warmup below. Both land in
+    # the output so cross-round comparisons can divide out the
+    # documented ±30-40% session-to-session host swing.
+    cal_hash = cpu_anchor_sec()
+    print(f"  calibration: hash anchor {cal_hash}s", file=sys.stderr)
 
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
@@ -103,6 +124,27 @@ def main() -> None:
         .filter(F.col("rn") <= 3)
         .write.format("noop").mode("overwrite").save()
     )
+
+    # Second calibration anchor: the pinned reference query
+    # (pricing_summary — stable shape since round 1) at the bench SF,
+    # median of 3 warmed passes. Anchors the SPARK-side host factor
+    # (JVM + shuffle + codegen paths) the way the hash loop anchors
+    # raw CPU; both are recorded, neither joins the headline.
+    cal_runs = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cal_runs.append(time.perf_counter() - t0)
+    cal_query = round(sorted(cal_runs)[1], 3)
+    calibration = {
+        "hash_sec": cal_hash,
+        "query": "pricing_summary",
+        "query_sec": cal_query,
+    }
+    print(f"  calibration: pinned query {cal_query}s", file=sys.stderr)
 
     # Each query runs twice: a cold pass (absorbs that query's janino
     # codegen compile — AQE picks SF-dependent physical plans, so a
@@ -176,12 +218,34 @@ def main() -> None:
     # bench record). Extension-op families are rolled up by prefix;
     # the relational queries stay individual.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Calibration-normalized cross-round deltas: read the PREVIOUS
+    # committed detail (before overwriting) and, when it carries an
+    # anchor, report (now_sec/now_anchor) / (prev_sec/prev_anchor) - 1
+    # per query — host-speed-cancelled, so a nonzero value means the
+    # PLAN or DATA changed, not the VM. First calibrated round emits
+    # no deltas (r9 and earlier details have no anchor).
+    normalized_delta_vs_prev: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        prev_anchor = prev.get("calibration", {}).get("hash_sec")
+        if prev_anchor:
+            for name, sec in timings.items():
+                p = prev.get("queries", {}).get(name)
+                if p:
+                    normalized_delta_vs_prev[name] = round(
+                        (sec / cal_hash) / (p / prev_anchor) - 1, 3
+                    )
+    except (OSError, ValueError):
+        pass
     with open(detail_path, "w") as f:
         json.dump(
             {
                 "metric": "total_query_sec_steady",
                 "value": total,
                 "unit": "sec",
+                "calibration": calibration,
+                "normalized_delta_vs_prev": normalized_delta_vs_prev,
                 "queries": timings,
                 "steady_runs": spread,
                 "n_steady": n_steady,
@@ -218,6 +282,7 @@ def main() -> None:
                 "metric": "total_query_sec_steady",
                 "value": total,
                 "unit": "sec",
+                "calibration": calibration,
                 "queries": compact,
                 "n_steady": n_steady,
                 "steady_min": total_min,

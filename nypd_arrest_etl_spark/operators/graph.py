@@ -56,12 +56,22 @@ def _prepared(edges: DataFrame, src: str, dst: str):
 def _step(
     e: DataFrame,
     deg: DataFrame,
-    nodes: DataFrame,
+    tele: DataFrame,
     ranks: DataFrame,
-    n_nodes: float,
     damping: float,
 ) -> DataFrame:
-    """One power-iteration step: ranks[node, rank] -> ranks'."""
+    """One power-iteration step: ranks[node, rank] -> ranks', with an
+    arbitrary teleport distribution ``tele``[node, t] (sums to 1):
+
+        rank' = (1-d)*t + d*(contribs + dangling_mass*t)
+
+    Uniform PageRank is the special case t = 1/n; personalized
+    PageRank passes the normalized seed weights (r9 VERDICT task 5:
+    one teleport-parameterized iteration body instead of two copies of
+    the power-iteration algebra). Dangling mass re-enters THROUGH the
+    teleport distribution — for uniform t that is the classic uniform
+    redistribution; for PPR it is the standard every-restart-respects-
+    the-seeds convention."""
     contribs = (
         ranks.join(deg, ranks["node"] == deg["src"])
         .join(e, "src")
@@ -69,24 +79,29 @@ def _step(
         .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
     )
     # Dangling nodes hold rank but have no out-edges; their mass is
-    # redistributed uniformly. A broadcast 1-row aggregate keeps this
-    # inside the plan (no per-iteration driver action).
+    # redistributed via the teleport distribution. A broadcast 1-row
+    # aggregate keeps this inside the plan (no per-iteration driver
+    # action).
     dangling = (
         ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
     )
     return (
-        nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        tele.join(contribs, tele["node"] == contribs["dst"], "left")
         .crossJoin(F.broadcast(dangling))
         .select(
             "node",
             (
-                F.lit((1.0 - damping) / n_nodes)
+                F.lit(1.0 - damping) * F.col("t")
                 + F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(n_nodes))
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("t"))
             ).alias("rank"),
         )
     )
+
+
+def _uniform_tele(nodes: DataFrame, n_nodes: float) -> DataFrame:
+    return nodes.select("node", F.lit(1.0 / n_nodes).alias("t"))
 
 
 def pagerank(
@@ -111,9 +126,10 @@ def pagerank(
         raise ValueError("pagerank needs at least 1 iteration")
     e, deg, nodes = _prepared(edges, src, dst)
     n_nodes = float(nodes.count())
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    tele = _uniform_tele(nodes, n_nodes)
+    ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
-        ranks = _step(e, deg, nodes, ranks, n_nodes, damping)
+        ranks = _step(e, deg, tele, ranks, damping)
         # Unbounded nesting makes Catalyst's analysis cost blow up
         # super-linearly in iteration depth; pin lineage every 8
         # rounds (values unchanged — only the plan is truncated).
@@ -132,8 +148,15 @@ def pagerank_converged(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
-) -> tuple[DataFrame, int]:
-    """Power iteration to an L1 fixed point -> (ranks, iterations_run).
+) -> tuple[DataFrame, int, bool]:
+    """Power iteration to an L1 fixed point ->
+    (ranks, iterations_run, converged).
+
+    ``converged`` is True iff the L1 delta dropped below ``tol``
+    before the ``max_iterations`` cap — without it a truncated result
+    is indistinguishable from a converged one (r9 ADVICE,
+    graph.py:167); callers that only want the ranks can still ignore
+    it, but audit paths should surface it.
 
     Every iterate is pinned with ``localCheckpoint(eager=True)``:
     without it, iteration k's plan embeds all k-1 predecessors, so the
@@ -148,14 +171,14 @@ def pagerank_converged(
     deg = deg.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
     n_nodes = float(nodes.count())
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+    tele = _uniform_tele(nodes, n_nodes)
+    ranks = tele.select("node", F.col("t").alias("rank")).localCheckpoint(
         eager=True
     )
     it = 0
+    converged = False
     for it in range(1, max_iterations + 1):
-        nxt = _step(e, deg, nodes, ranks, n_nodes, damping).localCheckpoint(
-            eager=True
-        )
+        nxt = _step(e, deg, tele, ranks, damping).localCheckpoint(eager=True)
         delta = (
             nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
@@ -163,8 +186,9 @@ def pagerank_converged(
         )
         ranks = nxt
         if delta is not None and delta < tol:
+            converged = True
             break
-    return ranks, it
+    return ranks, it, converged
 
 
 def pagerank_personalized(
@@ -208,30 +232,145 @@ def pagerank_personalized(
     tele = tele.select("node", (F.col("w") / F.lit(float(total))).alias("t"))
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
-        contribs = (
-            ranks.join(deg, ranks["node"] == deg["src"])
-            .join(e, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("c"))
-        )
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            tele.join(contribs, tele["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("t")
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") * F.col("t"))
-                ).alias("rank"),
-            )
-        )
+        ranks = _step(e, deg, tele, ranks, damping)
         if (i + 1) % 8 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Connected components — the second graph primitive crawl curation
+# needs (host-cluster dedup groups; pairs with dedup_neardup_clusters'
+# union-find clustering over similarity edges, operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+
+def _und_prepared(edges: DataFrame, src: str, dst: str):
+    """Symmetrized distinct edge list (co-partitioned on src) + nodes.
+
+    Components are an UNDIRECTED notion, so each input edge
+    contributes both directions. Self-loops are dropped from the edge
+    list (they never merge anything) but their endpoints stay nodes —
+    a node whose only edge is a self-loop is its own singleton
+    component, not a vanished vertex. NULL endpoints are dropped as in
+    ``_prepared`` (not meaningful vertices).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .na.drop(subset=["src", "dst"])
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+    )
+    return und, nodes
+
+
+def _cc_round(und: DataFrame, comp: DataFrame) -> DataFrame:
+    """One hash-min round: comp'[v] = min(comp[v], min over neighbors
+    u of comp[u]). ONE equi-join + ONE groupBy, both hash-partitioned
+    on the reused edge partitioning — the same per-iteration shuffle
+    posture as PageRank's ``_step`` (only the O(nodes) label table
+    moves; the symmetrized edge list stays put)."""
+    nbr = (
+        comp.join(und, comp["node"] == und["src"])
+        .groupBy("dst")
+        .agg(F.min("comp").alias("nm"))
+    )
+    return (
+        comp.join(nbr, comp["node"] == nbr["dst"], "left")
+        .select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nm"), F.col("comp"))
+            ).alias("comp"),
+        )
+    )
+
+
+def _cc_pointer_jump(comp: DataFrame) -> DataFrame:
+    """comp''[v] = min(comp'[v], comp'[comp'[v]]) — pointer jumping.
+    Labels are node ids (mins over node-id sets), so the label row
+    always exists; the left join + coalesce is belt-and-braces. This
+    halves label-tree depth per application, so hash-min + jump
+    converges in O(log diameter) rounds instead of O(diameter) — the
+    difference between ~20 and ~10^4 rounds on a chain-shaped crawl
+    frontier."""
+    a, b = comp.alias("a"), comp.alias("b")
+    return a.join(b, F.col("a.comp") == F.col("b.node"), "left").select(
+        F.col("a.node").alias("node"),
+        F.least(
+            F.col("a.comp"), F.coalesce(F.col("b.comp"), F.col("a.comp"))
+        ).alias("comp"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round hash-min connected components ->
+    DataFrame[node, comp] (comp = min node id within ``rounds`` hops).
+    The round count is part of the result's definition — this is the
+    oracle-replayable variant (k plain hash-min rounds are k chained
+    SQL CTEs, see ORACLE_GRAPH_COMPONENTS); labels are final component
+    ids only once the graph's min-label has propagated everywhere,
+    which ``connected_components_converged`` guarantees and flags.
+    Reference anchor: the reference engine has no graph surface; this
+    extends the crawl-curation layer (SURVEY §2 extensions).
+    """
+    if rounds < 1:
+        raise ValueError("connected_components needs at least 1 round")
+    und, nodes = _und_prepared(edges, src, dst)
+    comp = nodes.select("node", F.col("node").alias("comp"))
+    for i in range(rounds):
+        comp = _cc_round(und, comp)
+        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+            comp = comp.localCheckpoint(eager=True)
+    return comp
+
+
+def connected_components_converged(
+    edges: DataFrame,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int, bool]:
+    """Hash-min + pointer-jumping to a fixed point ->
+    (comp, rounds_run, converged). Each round is one hash-min
+    propagation followed by one pointer jump, then a 1-row
+    changed-label probe (the same O(1)-scalar stopping pattern as
+    ``pagerank_converged``); iterates are localCheckpoint-pinned so
+    round k's action never replays rounds 1..k-1. ``converged`` False
+    means the ``max_rounds`` cap truncated propagation and labels may
+    still be merging (r9 ADVICE: never make the caller guess)."""
+    und, nodes = _und_prepared(edges, src, dst)
+    und = und.localCheckpoint(eager=True)
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    it = 0
+    converged = False
+    for it in range(1, max_rounds + 1):
+        nxt = _cc_pointer_jump(_cc_round(und, comp)).localCheckpoint(eager=True)
+        changed = (
+            nxt.join(comp.withColumnRenamed("comp", "prev"), "node")
+            .agg(F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("d"))
+            .collect()[0].d
+        )
+        comp = nxt
+        if not changed:
+            converged = True
+            break
+    return comp, it, converged

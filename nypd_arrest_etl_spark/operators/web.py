@@ -21,6 +21,8 @@ same ingest layer to raw web capture, the dominant 100 TB input.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -162,28 +164,153 @@ def cap_per_domain(
     url_col: str,
     cap: int,
     order_by: list[Column] | None = None,
+    domain_key: Column | None = None,
+    out_col: str | None = "domain",
 ) -> DataFrame:
     """Keep at most ``cap`` rows per registrable domain — the
     domain-diversity guard every crawl-curation recipe applies so one
     mega-site cannot dominate the training mixture (FineWeb/Gopher-
     style per-domain quota).
 
-    One hash shuffle on the derived domain key; Catalyst rewrites the
+    ``domain_key`` overrides the default last-two-labels key with any
+    column expression (e.g. a ``registrable`` column produced by
+    :func:`registrable_domain_psl`, so multi-label public suffixes like
+    ``co.uk`` don't collapse every site into one bucket — r9 ADVICE).
+    ``out_col`` names the emitted domain column; pass None to omit it.
+    A pre-existing column of that name raises instead of being
+    silently overwritten (withColumn replaces on collision).
+
+    One hash shuffle on the domain key; Catalyst rewrites the
     rank filter into WindowGroupLimit, so each map task forwards at
     most ``cap`` rows per domain into the final window — the shuffle
     moves O(domains * cap) for the capped tail, not the raw stream.
     Heavy-hitter domains (the exact rows this exists to bound) arrive
     pre-truncated to ``cap`` per upstream partition.
     """
-    dom = registrable_domain(url_host(F.col(url_col)))
+    if out_col is not None and out_col in df.columns:
+        raise ValueError(
+            f"cap_per_domain would overwrite existing column {out_col!r}; "
+            "pass out_col=None or a different name"
+        )
+    dom = domain_key if domain_key is not None else registrable_domain(
+        url_host(F.col(url_col))
+    )
     order = order_by if order_by is not None else [F.col(url_col)]
-    w = Window.partitionBy(dom).orderBy(*order)
-    return (
-        df.withColumn("domain", dom)
+    w = Window.partitionBy(F.col("__dom")).orderBy(*order)
+    capped = (
+        df.withColumn("__dom", dom)
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+    if out_col is None:
+        return capped.drop("__dom")
+    return capped.withColumnRenamed("__dom", out_col)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-quality column signals (FineWeb/Gopher-recipe shape): cheap,
+# pure-expression per-document scores computed directly on the
+# extractor output, completing ingest -> quota -> QUALITY -> dedup.
+# ---------------------------------------------------------------------------
+
+
+def quality_signals(
+    df: DataFrame,
+    text_col: str,
+    html_col: str | None = None,
+    short_line_chars: int = 30,
+) -> DataFrame:
+    """Append crawl-quality signal columns computed from the extracted
+    text's LINE SHAPE (which is why ``html_to_text`` preserves block
+    structure as newlines):
+
+    - ``n_lines``            non-empty lines
+    - ``short_line_frac``    lines shorter than ``short_line_chars``
+    - ``bullet_line_frac``   lines starting '-' / '*' / '•'
+    - ``ellipsis_line_frac`` lines ending '...' / '…'
+    - ``terminal_punct_frac`` lines ending . ! ? " '
+    - ``dup_line_frac``      1 - distinct_lines/n_lines (boilerplate
+      nav/footer lines repeat; prose lines don't)
+    - ``text_markup_ratio``  len(text)/len(html) (only when
+      ``html_col`` is given; 0.0 for empty html) — low ratio means the
+      page is mostly markup, the classic link-farm/nav-page signal.
+
+    Fractions are NULL for empty documents (no lines: undefined, not
+    zero) and rounded to 8 decimals so the DuckDB oracle hash-matches
+    float-for-float. Everything is a codegen'd higher-order-function
+    expression over ONE split of the text — map-only, zero shuffle,
+    zero Python in the row path: quality scoring runs on every fetched
+    page, so it must cost one projection, exactly like the extractor
+    upstream of it.
+    """
+    sig_cols = [
+        "n_lines", "short_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "terminal_punct_frac", "dup_line_frac",
+    ] + (["text_markup_ratio"] if html_col is not None else [])
+    clash = [c for c in sig_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"quality_signals would overwrite existing column(s) {clash}"
+        )
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda x: x != "")
+    n = F.size(lines)
+
+    def frac(pred) -> Column:
+        return F.when(
+            n > 0,
+            F.round(
+                F.size(F.filter(lines, pred)).cast("double")
+                / n.cast("double"),
+                8,
+            ),
+        )
+
+    out = (
+        df.withColumn("n_lines", n.cast("long"))
+        .withColumn(
+            "short_line_frac", frac(lambda x: F.length(x) < short_line_chars)
+        )
+        .withColumn(
+            "bullet_line_frac",
+            frac(
+                lambda x: x.startswith("-")
+                | x.startswith("*")
+                | x.startswith("•")
+            ),
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            frac(lambda x: x.endswith("...") | x.endswith("…")),
+        )
+        .withColumn(
+            "terminal_punct_frac",
+            frac(lambda x: F.right(x, F.lit(1)).isin(".", "!", "?", '"', "'")),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.when(
+                n > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(lines)).cast("double")
+                    / n.cast("double"),
+                    8,
+                ),
+            ),
+        )
+    )
+    if html_col is not None:
+        html_len = F.length(F.col(html_col))
+        out = out.withColumn(
+            "text_markup_ratio",
+            F.when(
+                html_len > 0,
+                F.round(F.length(text).cast("double") / html_len.cast("double"), 8),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +331,58 @@ PSL_DEMO_RULES = (
 )
 
 
+# Bundled real public suffix list (publicsuffix.org, MPL-2.0 public
+# data, as shipped by the OS `publicsuffix` package, version
+# 2023-02-09): ~9.5k rules. Loaded lazily ONCE per process and used by
+# default in registrable_domain_psl; the demo subset above stays for
+# the committed oracle's determinism (ORACLE_WEB_PSL_DOMAINS embeds
+# its parsed rules as literal VALUES).
+_PSL_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+_REAL_PSL_RULES: list[tuple[str, int, int]] | None = None
+
+
+def _puny_twin(body: str) -> str | None:
+    """Punycode twin of an IDN rule body ('公司.cn' -> 'xn--55qx5d.cn'),
+    None for pure-ASCII rules. The PSL file is published in unicode but
+    crawl hosts arrive in either form; emitting both spellings of each
+    IDN rule makes matching encoding-agnostic without an IDNA
+    dependency (label-wise RFC 3492 punycode, which is exactly how
+    compliant hosts are encoded; hosts using non-compliant mixed forms
+    fall through to the implicit-'*' rule, the algorithm's documented
+    unknown-suffix behavior)."""
+    try:
+        labels = body.split(".")
+        out, changed = [], False
+        for lab in labels:
+            if any(ord(ch) > 127 for ch in lab):
+                out.append("xn--" + lab.encode("punycode").decode("ascii"))
+                changed = True
+            else:
+                out.append(lab)
+        return ".".join(out) if changed else None
+    except UnicodeError:
+        return None
+
+
+def load_psl_rules(path: str | None = None) -> list[tuple[str, int, int]]:
+    """Parse a public-suffix-list file (default: the bundled real
+    list) into the rule tuples ``registrable_domain_psl`` consumes.
+    The parsed default is cached per process — the file is ~250 KB and
+    every query would otherwise re-read it at plan-build time."""
+    global _REAL_PSL_RULES
+    if path is None:
+        if _REAL_PSL_RULES is None:
+            with open(_PSL_DATA_PATH, encoding="utf-8") as f:
+                _REAL_PSL_RULES = parse_psl_rules(f)
+        return _REAL_PSL_RULES
+    with open(path, encoding="utf-8") as f:
+        return parse_psl_rules(f)
+
+
 def parse_psl_rules(lines) -> list[tuple[str, int, int]]:
     """Parse public-suffix-list rule lines into
     (match_key, kind, suffix_labels) tuples; kind: 0 normal,
@@ -219,13 +398,13 @@ def parse_psl_rules(lines) -> list[tuple[str, int, int]]:
     - exception '!www.ck'  -> ('www.ck', 2, 1): the rule's own host is
       registrable, so the suffix is the rule MINUS its leftmost label
     Comments (//) and blanks are skipped; ICANN/PRIVATE section markers
-    are comments, so the real file feeds straight through.
+    are comments, so the real file feeds straight through. IDN rules
+    additionally emit their punycode twin (see ``_puny_twin``) so both
+    host spellings resolve identically.
     """
     out = []
-    for raw in lines:
-        line = raw.strip()
-        if not line or line.startswith("//"):
-            continue
+
+    def emit(line: str) -> None:
         if line.startswith("!"):
             key = line[1:]
             out.append((key, 2, key.count(".")))  # n_labels(key) - 1
@@ -234,6 +413,16 @@ def parse_psl_rules(lines) -> list[tuple[str, int, int]]:
             out.append((key, 1, key.count(".") + 2))
         else:
             out.append((line, 0, line.count(".") + 1))
+
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        emit(line)
+        prefix = "!" if line.startswith("!") else ""
+        twin = _puny_twin(line[len(prefix):])
+        if twin is not None:
+            emit(prefix + twin)
     return out
 
 
@@ -245,13 +434,21 @@ def registrable_domain_psl(
 ) -> DataFrame:
     """Exact PSL registrable domain via a broadcast rules join —
     correct where the last-two-labels approximation is not
-    ('news.bbc.co.uk' -> 'bbc.co.uk', not 'co.uk').
+    ('news.bbc.co.uk' -> 'bbc.co.uk', not 'co.uk'). ``rules=None``
+    loads the BUNDLED REAL public suffix list (~9.5k rules, validated
+    against the PSL project's published test vectors in
+    tests/test_web.py); pass ``parse_psl_rules(...)`` output to pin a
+    specific rule set (the committed oracle query does, for
+    determinism).
 
     Rule resolution follows the PSL algorithm: among matching rules an
     EXCEPTION always prevails, else the longest suffix; no match falls
     back to the implicit '*' rule (the bare TLD is the suffix). A host
     that IS a public suffix gets NULL (nothing registrable there — a
-    crawl quota must not treat 'co.uk' as one site).
+    crawl quota must not treat 'co.uk' as one site). Hosts are
+    lowercased before matching, and malformed hosts with empty labels
+    (leading/trailing/consecutive dots) resolve to NULL — both per the
+    official checkPublicSuffix vectors.
 
     Plan: DISTINCT hosts -> posexplode of the O(labels) suffix
     candidates -> ONE broadcast equi-join against the rules (wildcards
@@ -263,11 +460,13 @@ def registrable_domain_psl(
     The full real-world list is ~9k rows — a broadcast at any scale.
     """
     spark = df.sparkSession
-    parsed = rules if rules is not None else parse_psl_rules(PSL_DEMO_RULES)
+    parsed = rules if rules is not None else load_psl_rules()
     rules_df = spark.createDataFrame(parsed, ["match_key", "kind", "suffix_labels"])
 
-    hosts = df.select(F.col(host_col).alias("host")).filter(
-        F.col("host").isNotNull() & (F.col("host") != "")
+    hosts = df.select(F.lower(F.col(host_col)).alias("host")).filter(
+        F.col("host").isNotNull()
+        & (F.col("host") != "")
+        & ~F.array_contains(F.split(F.col("host"), r"\."), "")
     ).distinct()
     labels = F.split(F.col("host"), r"\.")
     n = F.size(labels)
@@ -343,5 +542,5 @@ def registrable_domain_psl(
     # "host", drop("host") would remove BOTH sides' columns
     mapping = mapping.withColumnRenamed("host", "__psl_host")
     return df.join(
-        mapping, df[host_col] == mapping["__psl_host"], "left"
+        mapping, F.lower(df[host_col]) == mapping["__psl_host"], "left"
     ).drop("__psl_host")

@@ -1630,8 +1630,11 @@ def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_WEB_HTML_EXTRACT = r"""
-WITH h AS (
+# Shared oracle fragments: the deterministic per-document HTML page
+# (CTE `h`) and the html_to_text regex chain as a SQL expression over
+# the `html` column — reused verbatim by ORACLE_WEB_HTML_EXTRACT and
+# ORACLE_WEB_QUALITY_SIGNALS so the two specs can never drift.
+_SQL_DOC_HTML_CTE = r"""h AS (
   SELECT doc_id,
     '<html><head><title>' || source || ' #' || doc_id ||
     '</title><style>p{x:1}</style><script>var n=' || doc_id ||
@@ -1643,9 +1646,9 @@ WITH h AS (
     '<a href=''http://Mirror.' || source || '.net:80/d/' || doc_id ||
     '''>m</a><br></body></html>' AS html
   FROM documents
-), x AS (
-  SELECT doc_id,
-    regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
+)"""
+
+_SQL_HTML_TO_TEXT = r"""regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
           '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
@@ -1658,7 +1661,12 @@ WITH h AS (
       '\r\n?', chr(10), 'g'),
       '[ \t]+', ' ', 'g'),
       '[ \t]*\n[ \t\n]*', chr(10), 'g')),
-      '^\n+|\n+$', '', 'g') AS text,
+      '^\n+|\n+$', '', 'g')"""
+
+ORACLE_WEB_HTML_EXTRACT = (
+    "\nWITH " + _SQL_DOC_HTML_CTE + ", x AS (\n  SELECT doc_id,\n    "
+    + _SQL_HTML_TO_TEXT
+    + r""" AS text,
     regexp_extract_all(html, '(?i)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS links
   FROM h
 ), n AS (
@@ -1686,6 +1694,7 @@ SELECT doc_id, text, n_links,
     '^[^@]*@', ''), ':[0-9]+$', '') AS mirror_host
 FROM p
 """
+)
 
 
 def q_web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1779,6 +1788,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_link_edges(spark, sf_dir), iterations=3, damping=0.85)
 
 
+# The teleport-parameterized step (operators/graph.py:_step) computes
+# (1-d)*t + d*(c + dm*t) with uniform t = 1.0/n, so the oracle uses the
+# SAME multiplication form — (1-d)/n and dm/n are division twins that
+# can differ by 1 ulp, and bit-identical arithmetic keeps the hash
+# compare exact rather than leaning on the round-8 tolerance.
 _PR_ITER = """
 c{i} AS (SELECT e.dst AS node, sum(r.rank / d.odeg) AS c
      FROM e JOIN r{p} r ON r.node = e.src JOIN deg d ON d.src = e.src
@@ -1786,8 +1800,8 @@ c{i} AS (SELECT e.dst AS node, sum(r.rank / d.odeg) AS c
 m{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
      FROM r{p} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
 r{i} AS (SELECT nodes.node,
-        (1.0 - 0.85) / (SELECT n FROM nn)
-        + 0.85 * (coalesce(c{i}.c, 0.0) + (SELECT dm FROM m{i}) / (SELECT n FROM nn)) AS rank
+        (1.0 - 0.85) * (SELECT t FROM tn)
+        + 0.85 * (coalesce(c{i}.c, 0.0) + (SELECT dm FROM m{i}) * (SELECT t FROM tn)) AS rank
      FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
 
 ORACLE_GRAPH_PAGERANK = (
@@ -1798,7 +1812,8 @@ nodes AS (SELECT DISTINCT node
           FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 deg AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+tn AS (SELECT 1.0 / (SELECT n FROM nn) AS t),
+r0 AS (SELECT node, (SELECT t FROM tn) AS rank FROM nodes),"""
     + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
     + """
 SELECT node, round(rank, 8) AS rank FROM r3
@@ -1816,7 +1831,7 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick their own tol/cap."""
     from nypd_arrest_etl_spark.operators.graph import pagerank_converged
 
-    ranks, _its = pagerank_converged(
+    ranks, _its, _converged = pagerank_converged(
         _link_edges(spark, sf_dir), tol=1e-7, max_iterations=25
     )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
@@ -1876,8 +1891,16 @@ def q_web_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     exception, implicit '*'). The oracle replays the full PSL
     algorithm — suffix-candidate explode, kind-split rule joins,
     exception-over-longest resolution — from the same parsed demo
-    rule set."""
-    from nypd_arrest_etl_spark.operators.web import registrable_domain_psl
+    rule set. The DEMO rules are pinned explicitly (the operator now
+    defaults to the bundled real ~9.5k-rule list, r10): the committed
+    oracle embeds its rules as literal VALUES, so the query must keep
+    using exactly those; the real list is exercised by the PSL
+    project's official test vectors in tests/test_web.py."""
+    from nypd_arrest_etl_spark.operators.web import (
+        PSL_DEMO_RULES,
+        parse_psl_rules,
+        registrable_domain_psl,
+    )
 
     docs = t(spark, sf_dir, "documents")
     host = (
@@ -1890,9 +1913,9 @@ def q_web_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("source"), F.lit(".zz")))
     )
     base = docs.select("doc_id", host.alias("site_host"))
-    return registrable_domain_psl(base, "site_host").select(
-        "doc_id", "site_host", "registrable"
-    )
+    return registrable_domain_psl(
+        base, "site_host", rules=parse_psl_rules(PSL_DEMO_RULES)
+    ).select("doc_id", "site_host", "registrable")
 
 
 def _psl_rules_values() -> str:
@@ -2000,6 +2023,131 @@ ORDER BY group_a, group_b
 """
 
 
+def q_web_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-quality signals over the extractor output (same
+    deterministic HTML wrap as q_web_html_extract): line-shape
+    fractions + text-to-markup ratio — the FineWeb/Gopher-recipe
+    signals that complete ingest -> quota -> QUALITY -> dedup. One
+    map-only projection; every signal is a codegen'd higher-order
+    function over a single split of the text."""
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" #"), sid,
+        F.lit("</title><style>p{x:1}</style><script>var n="), sid,
+        F.lit(";//<p></script></head><body><!-- id "), sid,
+        F.lit(" --><h1>"), F.upper(F.col("source")), F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("a"), F.lit("&amp;")), F.lit("</p>"),
+        F.lit('<a href="HTTPS://'), F.col("source"),
+        F.lit(".Example.COM:443/doc/"), sid, F.lit('?v=1#top">self</a> '),
+        F.lit("<a href='http://Mirror."), F.col("source"), F.lit(".net:80/d/"),
+        sid, F.lit("'>m</a><br></body></html>"),
+    )
+    base = docs.select(
+        "doc_id",
+        html.alias("page_html"),
+        WB.html_to_text(html).alias("page_text"),
+    )
+    return WB.quality_signals(base, "page_text", html_col="page_html").drop(
+        "page_html", "page_text"
+    )
+
+
+ORACLE_WEB_QUALITY_SIGNALS = (
+    "\nWITH " + _SQL_DOC_HTML_CTE + ", x AS (\n  SELECT doc_id, html,\n    "
+    + _SQL_HTML_TO_TEXT
+    + r""" AS text
+  FROM h
+), l AS (
+  SELECT doc_id, html, text,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM x
+), s AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, x -> length(x) < 30)) AS short_n,
+         len(list_filter(lines, x -> left(x, 1) IN ('-', '*', '•'))) AS bullet_n,
+         len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS ell_n,
+         len(list_filter(lines, x -> right(x, 1) IN ('.', '!', '?', '"', ''''))) AS term_n,
+         len(list_distinct(lines)) AS dist_n,
+         length(text) AS tl, length(html) AS hl
+  FROM l
+)
+SELECT doc_id, n_lines,
+  CASE WHEN n_lines > 0 THEN round(short_n / n_lines::DOUBLE, 8) END AS short_line_frac,
+  CASE WHEN n_lines > 0 THEN round(bullet_n / n_lines::DOUBLE, 8) END AS bullet_line_frac,
+  CASE WHEN n_lines > 0 THEN round(ell_n / n_lines::DOUBLE, 8) END AS ellipsis_line_frac,
+  CASE WHEN n_lines > 0 THEN round(term_n / n_lines::DOUBLE, 8) END AS terminal_punct_frac,
+  CASE WHEN n_lines > 0 THEN round(1.0 - dist_n / n_lines::DOUBLE, 8) END AS dup_line_frac,
+  CASE WHEN hl > 0 THEN round(tl / hl::DOUBLE, 8) ELSE 0.0 END AS text_markup_ratio
+FROM s
+"""
+)
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MULTI-component link graph from lineitem: dst is
+    forced into src's residue class mod 4, so the four classes are
+    mutually disconnected and component discovery has real work to do
+    (>= 4 components instead of one giant blob)."""
+    li = t(spark, sf_dir, "lineitem")
+    src = F.col("l_partkey") % 97
+    d0 = F.col("l_suppkey") % 97
+    dst = d0 - (d0 % 4) + (src % 4)
+    return li.select(src.alias("src"), dst.alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 3-round hash-min connected components — the oracle
+    replays the three propagate+fold rounds as chained CTEs (the CC
+    twin of ORACLE_GRAPH_PAGERANK's shape)."""
+    from nypd_arrest_etl_spark.operators.graph import connected_components
+
+    return connected_components(_cc_edges(spark, sf_dir), rounds=3)
+
+
+_CC_ITER = """
+n{i} AS (SELECT u.dst AS node, min(c.comp) AS nm
+     FROM und u JOIN c{p} c ON c.node = u.src GROUP BY u.dst),
+c{i} AS (SELECT c.node, least(c.comp, coalesce(n{i}.nm, c.comp)) AS comp
+     FROM c{p} c LEFT JOIN n{i} ON n{i}.node = c.node)"""
+
+ORACLE_GRAPH_COMPONENTS = (
+    """
+WITH raw AS (
+  SELECT l_partkey % 97 AS src,
+         (l_suppkey % 97) - ((l_suppkey % 97) % 4) + ((l_partkey % 97) % 4) AS dst
+  FROM lineitem
+), f AS (SELECT src, dst FROM raw WHERE src <> dst),
+und AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+c0 AS (SELECT node, node AS comp FROM nodes),"""
+    + ",".join(_CC_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, comp FROM c3
+"""
+)
+
+
+def q_graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-min + pointer-jumping to the label fixed point (rows-only:
+    the data-dependent round count is not SQL-expressible; fixed-vs-
+    converged agreement and the convergence flag are unit-tested in
+    tests/test_graph.py). On this graph the min labels are the true
+    component ids, so the output is the final host-cluster grouping a
+    crawl-dedup pass keys on."""
+    from nypd_arrest_etl_spark.operators.graph import (
+        connected_components_converged,
+    )
+
+    comp, _rounds, _converged = connected_components_converged(
+        _cc_edges(spark, sf_dir), max_rounds=20
+    )
+    return comp
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -2060,4 +2208,7 @@ LLM_OPS: dict[str, tuple] = {
     "graph_ppr_seeded": (q_graph_ppr_seeded, ORACLE_GRAPH_PPR_SEEDED),
     "web_psl_domains": (q_web_psl_domains, ORACLE_WEB_PSL_DOMAINS),
     "sketch_overlap_sources": (q_sketch_overlap_sources, ORACLE_SKETCH_OVERLAP_SOURCES),
+    "web_quality_signals": (q_web_quality_signals, ORACLE_WEB_QUALITY_SIGNALS),
+    "graph_components": (q_graph_components, ORACLE_GRAPH_COMPONENTS),
+    "graph_components_converged": (q_graph_components_converged, None),
 }

@@ -61,10 +61,19 @@ def _make_admit(cap: int):
             return
         (admitted,) = state.get if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
+        # The group's microbatch arrives as an ITERATOR of Arrow-sized
+        # chunks (~10k rows each). A hot (domain, day) group — the exact
+        # case this operator exists to bound — spans several chunks, and
+        # sorting each chunk independently would admit in unstable
+        # chunk order, not global event-time order, breaking
+        # deterministic replay. Concatenate first, sort ONCE; memory is
+        # bounded by the group's per-batch rows, which the cap loop
+        # iterates anyway (r9 ADVICE, quota.py:67).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "doc_id"], kind="mergesort"
+            )
             for ts, doc_id in zip(pdf["ts"], pdf["doc_id"]):
                 if admitted >= cap:
                     break
@@ -96,6 +105,7 @@ def domain_cap_stream(
     ts_col: str = "ts",
     id_col: str = "doc_id",
     watermark_delay: str = "0 seconds",
+    domain_key=None,
 ) -> DataFrame:
     """docs: streaming DataFrame with (ts timestamp, doc_id long,
     url string). Appends one row per ADMITTED document with its
@@ -104,15 +114,24 @@ def domain_cap_stream(
 
     The domain key derives from the same normalize/host/registrable
     column expressions as the batch operator, so batch re-caps and the
-    streaming admission agree on what "one domain" means.
+    streaming admission agree on what "one domain" means. Pass
+    ``domain_key`` (any Column expression, e.g. a PSL-exact
+    ``registrable`` column joined upstream) to override the default
+    last-two-labels key where multi-label public suffixes matter
+    (r9 ADVICE: without it every *.co.uk site shares one bucket).
     """
     from nypd_arrest_etl_spark.operators.web import registrable_domain, url_host
 
+    dom = (
+        domain_key
+        if domain_key is not None
+        else registrable_domain(url_host(F.col(url_col)))
+    )
     # Project FIRST, watermark the projected column: a rename after
     # withWatermark can drop the event-time tag, and EventTimeTimeout
     # requires it.
     keyed = docs.select(
-        registrable_domain(url_host(F.col(url_col))).alias("domain"),
+        dom.alias("domain"),
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.to_date(ts_col).alias("day"),
         F.col(id_col).alias("doc_id"),

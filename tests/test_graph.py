@@ -56,14 +56,19 @@ def test_converged_reaches_a_fixed_point(spark):
     # so tol=1e-6 needs ~ln(1e-6)/ln(0.85) ≈ 85 rounds — cap above
     # that so the stop is tol-driven, then PROVE the fixed point: one
     # more explicit power step moves total mass by <= damping * tol.
-    from nypd_arrest_etl_spark.operators.graph import _prepared, _step
+    from nypd_arrest_etl_spark.operators.graph import (
+        _prepared,
+        _step,
+        _uniform_tele,
+    )
 
     pairs = [(i, (i * i + 1) % 11) for i in range(11) if i != (i * i + 1) % 11]
     e = _edges(spark, pairs)
-    conv, its = pagerank_converged(e, tol=1e-6, max_iterations=120)
+    conv, its, converged = pagerank_converged(e, tol=1e-6, max_iterations=120)
     assert 1 < its < 120  # actually iterated, actually stopped early
+    assert converged  # and the stop was tol-driven, not the cap
     ep, deg, nodes = _prepared(e, "src", "dst")
-    nxt = _step(ep, deg, nodes, conv, float(nodes.count()), 0.85)
+    nxt = _step(ep, deg, _uniform_tele(nodes, float(nodes.count())), conv, 0.85)
     delta = (
         nxt.join(conv.withColumnRenamed("rank", "prev"), "node")
         .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
@@ -128,3 +133,69 @@ def test_personalized_rejects_zero_mass_teleport(spark):
     ghost = spark.createDataFrame([("zzz", 1.0)], ["node", "weight"])  # not in graph
     with pytest.raises(ValueError):
         pagerank_personalized(e, ghost, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+from nypd_arrest_etl_spark.operators.graph import (  # noqa: E402
+    connected_components,
+    connected_components_converged,
+)
+
+
+def _comps(df):
+    return {r.node: r.comp for r in df.collect()}
+
+
+def test_cc_two_components_string_labels(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    comp, rounds, converged = connected_components_converged(e)
+    assert converged and rounds >= 1
+    assert _comps(comp) == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_direction_and_duplicates_ignored(spark):
+    # (b,a) vs (a,b) and duplicate edges must give identical labels
+    base = _comps(connected_components_converged(
+        _edges(spark, [("a", "b"), ("b", "c")]))[0])
+    flip = _comps(connected_components_converged(
+        _edges(spark, [("b", "a"), ("c", "b"), ("c", "b")]))[0])
+    assert base == flip == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_cc_self_loop_is_singleton_not_dropped(spark):
+    comp = _comps(connected_components_converged(
+        _edges(spark, [("s", "s"), ("a", "b")]))[0])
+    assert comp == {"s": "s", "a": "a", "b": "a"}
+
+
+def test_cc_fixed_rounds_propagate_exactly_r_hops(spark):
+    # chain 0-1-...-9: after r plain hash-min rounds, comp[v] = max(0, v-r)
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    comp = _comps(connected_components(e, rounds=3))
+    assert comp == {v: max(0, v - 3) for v in range(10)}
+
+
+def test_cc_pointer_jumping_converges_logarithmically(spark):
+    # 64-node chain has diameter 63; plain hash-min would need 63
+    # rounds, hash-min + pointer jump must finish in O(log) rounds.
+    e = _edges(spark, [(i, i + 1) for i in range(63)])
+    comp, rounds, converged = connected_components_converged(e, max_rounds=15)
+    assert converged, f"not converged after {rounds} rounds"
+    assert set(_comps(comp).values()) == {0}
+
+
+def test_cc_converged_flag_false_when_capped(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    _comp, rounds, converged = connected_components_converged(e, max_rounds=2)
+    assert rounds == 2 and not converged
+
+
+def test_cc_null_endpoints_dropped(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "z")], ["src", "dst"]
+    )
+    comp = _comps(connected_components_converged(e)[0])
+    assert comp == {"a": "a", "b": "a"}

@@ -116,6 +116,9 @@ _SOAK_DENOMINATORS = {
     # its work grows with corpus BYTES (the replica prefixes lengthen
     # every word), like the other narrow per-doc ops.
     "web_html_extract": 152.8,
+    # web_quality_signals runs the same synthesized-page extraction
+    # before its line-shape HOFs — byte-bound like the extractor.
+    "web_quality_signals": 152.8,
 }
 _SOAK_DEFAULT_DENOM = 100.0
 _SOAK_FLAGSHIPS = (
@@ -167,3 +170,36 @@ def test_scaling_artifact_flagship_rows_exist():
         assert any(n.startswith(key) for n in names), (
             f"SCALING.md lost its flagship row starting with {key!r}"
         )
+
+
+def test_gate_ledger_current_and_complete():
+    """COVERAGE.md's generated gate ledger (tools/gate_ledger.py) must
+    (a) list every live registry entry, (b) agree with the committed
+    CORRECTNESS_r*.json artifacts on which rounds gated each entry, and
+    (c) leave no full-oracle entry both never-gated AND outside the
+    current window — the exact bookkeeping failure the r9 verdict
+    found (r8 claimed 3 never-gated entries; the artifact union said
+    22)."""
+    sys_path_root = REPO
+    import sys
+
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    from tools.gate_ledger import BEGIN, END, build_ledger, gate_rounds
+
+    txt = open(os.path.join(REPO, "COVERAGE.md")).read()
+    assert BEGIN in txt and END in txt, "ledger section missing — run tools/gate_ledger.py"
+    section = txt[txt.index(BEGIN): txt.index(END)]
+
+    regenerated, summary = build_ledger()
+    # (a)+(b): committed section must match a fresh regeneration from
+    # the same artifacts + live registry (stale ledger after adding a
+    # query or after a new driver round fails here).
+    assert section.strip() == regenerated[: regenerated.index(END)].strip(), (
+        "COVERAGE.md gate ledger is stale — rerun `python tools/gate_ledger.py`"
+    )
+    # (c): every never-gated full-oracle entry must be pending in the
+    # CURRENT window.
+    assert summary["never_gated_full_oracle_outside_window"] == []
+    # sanity: the artifacts really were read (r1..r9 at minimum)
+    assert len(gate_rounds()) >= 9

@@ -726,3 +726,48 @@ def test_domain_cap_stream_replay_is_deterministic(spark, tmp_path):
         return sorted(r["doc_id"] for r in spark.sql(f"select * from {qn}").collect())
 
     assert run("t_q_a") == run("t_q_b") == [1, 3]
+
+
+def test_quota_admit_sorts_across_arrow_chunks():
+    """r9 ADVICE (quota.py:67): a hot (domain, day) group arrives as
+    MULTIPLE Arrow chunks; admission must follow GLOBAL event-time
+    order, not per-chunk order. Drives _admit directly with a fake
+    GroupState and two interleaved chunks."""
+    import pandas as pd
+
+    from nypd_arrest_etl_spark.streaming.quota import _make_admit
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.value = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+        def remove(self):
+            self.value = None
+
+    day = pd.Timestamp("2024-03-01")
+    ts = [pd.Timestamp("2024-03-01T00:00:00") + pd.Timedelta(minutes=m)
+          for m in range(6)]
+    # chunk order deliberately NOT time order: chunk1 holds the LATER
+    # events (minutes 3,4,5), chunk2 the earlier ones (0,1,2)
+    chunk1 = pd.DataFrame({"ts": ts[3:], "doc_id": [103, 104, 105]})
+    chunk2 = pd.DataFrame({"ts": ts[:3], "doc_id": [100, 101, 102]})
+    state = FakeState()
+    out = list(_make_admit(3)(("d.com", day), iter([chunk1, chunk2]), state))
+    admitted = pd.concat(out)["doc_id"].tolist()
+    # global event-time order admits the three EARLIEST docs
+    assert admitted == [100, 101, 102]
+    assert state.value == (3,)

@@ -163,3 +163,222 @@ def test_registrable_domain_psl_preserves_row_multiplicity(spark):
     assert out.count() == 3
     got = {(r.id, r.registrable) for r in out.collect()}
     assert got == {(1, "example.com"), (2, "example.com"), (3, "b.co.uk")}
+
+
+# ---------------------------------------------------------------------------
+# Official PSL test vectors against the BUNDLED REAL list
+# ---------------------------------------------------------------------------
+
+# checkPublicSuffix(host, registrable) vectors from the PSL project's
+# published test file (publicsuffix.org/list/, CC0 — reproduced as
+# data). The commented-out "Listed, but non-Internet TLD" block of the
+# official file is omitted, matching the official harness. Expected
+# values hold for the bundled 2023-02-09 list.
+PSL_OFFICIAL_VECTORS = [
+    # Mixed case + leading dots (canonicalization behavior).
+    (None, None),
+    ("COM", None),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    (".com", None),
+    (".example", None),
+    (".example.com", None),
+    (".example.example", None),
+    # Unlisted TLD.
+    ("example", None),
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # TLD with only 1 rule.
+    ("biz", None),
+    ("domain.biz", "domain.biz"),
+    ("b.domain.biz", "domain.biz"),
+    ("a.b.domain.biz", "domain.biz"),
+    # TLD with some 2-level rules.
+    ("com", None),
+    ("example.com", "example.com"),
+    ("b.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("uk.com", None),
+    ("example.uk.com", "example.uk.com"),
+    ("b.example.uk.com", "example.uk.com"),
+    ("a.b.example.uk.com", "example.uk.com"),
+    ("test.ac", "test.ac"),
+    # TLD with only 1 (wildcard) rule.
+    ("mm", None),
+    ("c.mm", None),
+    ("b.c.mm", "b.c.mm"),
+    ("a.b.c.mm", "b.c.mm"),
+    # More complex TLD.
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", None),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("ide.kyoto.jp", None),
+    ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("c.kobe.jp", None),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    # TLD with a wildcard rule and exceptions.
+    ("ck", None),
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # US K12.
+    ("us", None),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+    ("ak.us", None),
+    ("test.ak.us", "test.ak.us"),
+    ("www.test.ak.us", "test.ak.us"),
+    ("k12.ak.us", None),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # IDN labels.
+    ("食狮.com.cn", "食狮.com.cn"),
+    ("食狮.公司.cn", "食狮.公司.cn"),
+    ("www.食狮.公司.cn", "食狮.公司.cn"),
+    ("shishi.公司.cn", "shishi.公司.cn"),
+    ("公司.cn", None),
+    ("食狮.中国", "食狮.中国"),
+    ("www.食狮.中国", "食狮.中国"),
+    ("shishi.中国", "shishi.中国"),
+    ("中国", None),
+    # Same as above, but punycoded.
+    ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+    ("xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("www.xn--85x722f.xn--55qx5d.cn", "xn--85x722f.xn--55qx5d.cn"),
+    ("shishi.xn--55qx5d.cn", "shishi.xn--55qx5d.cn"),
+    ("xn--55qx5d.cn", None),
+    ("xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("www.xn--85x722f.xn--fiqs8s", "xn--85x722f.xn--fiqs8s"),
+    ("shishi.xn--fiqs8s", "shishi.xn--fiqs8s"),
+    ("xn--fiqs8s", None),
+]
+
+
+def test_real_psl_loads_and_is_big():
+    from nypd_arrest_etl_spark.operators.web import load_psl_rules
+
+    rules = load_psl_rules()
+    assert len(rules) > 9000  # the real list, not a demo subset
+    kinds = {k for _, k, _ in rules}
+    assert kinds == {0, 1, 2}  # normal + wildcard + exception all present
+    # IDN rules carry their punycode twins ('中国' -> 'xn--fiqs8s')
+    keys = {m for m, _, _ in rules}
+    assert "中国" in keys and "xn--fiqs8s" in keys
+
+
+def test_official_psl_vectors_on_real_list(spark):
+    """The PSL project's published checkPublicSuffix vectors, all in
+    ONE Spark job against the bundled real list (default rules)."""
+    from nypd_arrest_etl_spark.operators.web import registrable_domain_psl
+
+    rows = [(i, h) for i, (h, _want) in enumerate(PSL_OFFICIAL_VECTORS)]
+    df = spark.createDataFrame(rows, ["i", "h"])
+    got = {
+        r.i: r.registrable
+        for r in registrable_domain_psl(df, "h").collect()
+    }
+    bad = [
+        (h, want, got[i])
+        for i, (h, want) in enumerate(PSL_OFFICIAL_VECTORS)
+        if got[i] != want
+    ]
+    assert not bad, f"{len(bad)} vector(s) diverge: {bad[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# r10 API hardening: cap_per_domain out_col/domain_key, quality signals
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_domain_refuses_to_overwrite_existing_column(spark):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.operators import web as W
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", "keepme")], ["id", "url", "domain"]
+    )
+    with _pytest.raises(ValueError, match="domain"):
+        W.cap_per_domain(df, "url", 5)
+    # out_col=None keeps the caller's column untouched
+    out = W.cap_per_domain(df, "url", 5, out_col=None)
+    assert out.columns == ["id", "url", "domain"]
+    assert out.collect()[0].domain == "keepme"
+
+
+def test_cap_per_domain_accepts_psl_domain_key(spark):
+    """The exact-PSL key can be plugged into the cap (r9 ADVICE):
+    with the default last-two-labels key, every *.co.uk host shares
+    one 'co.uk' bucket; with a PSL-derived key they do not."""
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators import web as W
+
+    rows = [
+        (1, "http://a.alpha.co.uk/1"),
+        (2, "http://b.alpha.co.uk/2"),
+        (3, "http://a.beta.co.uk/3"),
+        (4, "http://b.beta.co.uk/4"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    # default approximation: all four fold into 'co.uk', cap=2 keeps 2
+    approx = W.cap_per_domain(df, "url", 2, order_by=[F.asc("id")])
+    assert approx.count() == 2
+    # exact PSL key: alpha.co.uk and beta.co.uk are separate quotas
+    with_host = df.withColumn("h", W.url_host(F.col("url")))
+    keyed = W.registrable_domain_psl(with_host, "h")
+    exact = W.cap_per_domain(
+        keyed, "url", 2,
+        order_by=[F.asc("id")],
+        domain_key=F.col("registrable"),
+    )
+    assert exact.count() == 4
+    doms = {r.domain for r in exact.collect()}
+    assert doms == {"alpha.co.uk", "beta.co.uk"}
+
+
+def test_quality_signals_hand_computed(spark):
+    from nypd_arrest_etl_spark.operators.web import quality_signals
+
+    text = "This is a long enough prose line, truly.\n- bullet\nnav\nnav\nTrailing thought..."
+    html = "<p>" + "x" * 96 + "</p>"  # len 103
+    df = spark.createDataFrame([(text, html), ("", "")], ["t", "h"])
+    out = {
+        (r.t != ""): r
+        for r in quality_signals(df, "t", html_col="h").collect()
+    }
+    r = out[True]
+    # 5 non-empty lines: 1 long prose, '- bullet', 'nav', 'nav', ellipsis
+    assert r.n_lines == 5
+    assert r.short_line_frac == 0.8          # all but the prose line < 30
+    assert r.bullet_line_frac == 0.2
+    assert r.ellipsis_line_frac == 0.2
+    assert r.terminal_punct_frac == 0.4      # prose '.' + the '...' line
+    assert r.dup_line_frac == 0.2            # one 'nav' repeat
+    assert r.text_markup_ratio == round(len(text) / len(html), 8)
+    empty = out[False]
+    assert empty.n_lines == 0
+    assert empty.short_line_frac is None and empty.dup_line_frac is None
+    assert empty.text_markup_ratio == 0.0    # empty html guard
+
+
+def test_quality_signals_refuses_column_collision(spark):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.operators.web import quality_signals
+
+    df = spark.createDataFrame([("x", 1)], ["t", "n_lines"])
+    with _pytest.raises(ValueError, match="n_lines"):
+        quality_signals(df, "t")

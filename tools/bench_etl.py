@@ -106,10 +106,19 @@ def pandas_reference(src: str) -> int:
 
 
 def main() -> None:
+    from tools.calibration import cpu_anchor_sec
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = tempfile.mkdtemp()
     src = os.path.join(d, "raw.jsonl")
     synth_rows(n, src)
+
+    # Same host anchor as bench.py (VERDICT r9 task 7): the ratio
+    # below compares two legs run in the SAME session, so it is
+    # host-neutral already — but the anchor makes the ABSOLUTE legs
+    # comparable across rounds (r9's "slowdown" was both legs slowing
+    # uniformly on a slow host).
+    cal_hash = cpu_anchor_sec()
 
     t0 = time.perf_counter()
     pandas_rows = pandas_reference(src)
@@ -135,6 +144,11 @@ def main() -> None:
                 "spark_rows_per_s": round(n / t_spark),
                 "pandas_rows_per_s": round(n / t_pandas),
                 "speedup": round(t_pandas / t_spark, 2),
+                "calibration_hash_sec": cal_hash,
+                # anchor-normalized legs: seconds per anchor-second —
+                # host-speed-cancelled absolutes for cross-round diffs
+                "spark_sec_normalized": round(t_spark / cal_hash, 2),
+                "pandas_sec_normalized": round(t_pandas / cal_hash, 2),
             }
         )
     )
