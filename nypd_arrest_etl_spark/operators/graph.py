@@ -341,6 +341,69 @@ def connected_components(
     return comp
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph ->
+    DataFrame[node, triangles] (nodes with zero triangles included).
+    Triangles measure local clustering — the link-graph signal that
+    separates organic communities from link farms (spam rings are
+    near-bipartite: high degree, few triangles).
+
+    Algorithm (compact-forward / degree orientation): orient each
+    undirected edge from the LOWER (degree, node) endpoint to the
+    higher, then one self-join of the oriented list on its source plus
+    one semi-join against the oriented list finds each triangle
+    exactly once. Degree orientation bounds every node's out-degree by
+    O(sqrt(m)) on any graph, so the candidate-wedge join is O(m^1.5)
+    worst case instead of sum(deg^2) — the difference between a hub
+    with 10^6 neighbors generating 10^12 wedges and the same hub
+    generating none (hubs sort HIGH, so wedges pivot only at low-degree
+    nodes). The orientation changes the plan cost, never the result,
+    so the DuckDB oracle can replay the plain node-id formulation.
+    """
+    und, nodes = _und_prepared(edges, src, dst)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranked = und.join(deg.withColumnRenamed("src", "node"),
+                      und["src"] == F.col("node")).select(
+        "src", "dst", F.col("d").alias("sd")
+    )
+    ranked = ranked.join(
+        deg.withColumnRenamed("src", "node").withColumnRenamed("d", "dd"),
+        ranked["dst"] == F.col("node"),
+    ).select("src", "dst", "sd", "dd")
+    # orient low (deg, id) -> high (deg, id); each undirected edge
+    # survives exactly once
+    fwd = ranked.filter(
+        (F.col("sd") < F.col("dd"))
+        | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    a, b = fwd.alias("a"), fwd.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(
+        F.col("a.src").alias("p"),
+        F.col("a.dst").alias("u"),
+        F.col("b.dst").alias("v"),
+    )
+    closing = fwd.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+        fwd.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    tris = wedges.join(closing, ["u", "v"])  # (p,u,v) closed = one triangle
+    corner_counts = (
+        tris.select(F.col("p").alias("node"))
+        .union(tris.select(F.col("u").alias("node")))
+        .union(tris.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return nodes.join(corner_counts, "node", "left").select(
+        "node", F.coalesce(F.col("t"), F.lit(0)).alias("triangles")
+    )
+
+
 def connected_components_converged(
     edges: DataFrame,
     max_rounds: int = 50,

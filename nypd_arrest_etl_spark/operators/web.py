@@ -314,6 +314,139 @@ def quality_signals(
 
 
 # ---------------------------------------------------------------------------
+# robots.txt admission (RFC 9309 prefix semantics) — the compliance
+# gate a crawl pipeline applies before any fetched document enters the
+# corpus. Parse once per DISTINCT host (hosts << documents, the same
+# scale property as the PSL join), match per DISTINCT (host, path).
+# ---------------------------------------------------------------------------
+
+
+def robots_rules(
+    df: DataFrame,
+    host_col: str,
+    txt_col: str,
+    agent: str,
+) -> DataFrame:
+    """Parse robots.txt bodies -> DataFrame[host, prefix, allow] with
+    the rule set that applies to ``agent``.
+
+    RFC 9309 semantics, column-expression end to end (line posexplode
+    + two window functions per host — robots bodies are one per
+    domain, so this shuffles O(hosts), never O(documents)):
+
+    - a GROUP is one-or-more consecutive ``User-agent:`` lines plus
+      the Allow/Disallow records that follow, until the next
+      user-agent line that starts a new group;
+    - groups naming the exact agent (case-insensitive) win over ``*``
+      groups; ALL matching groups' rules merge (the RFC's combine
+      rule); rules before any user-agent line are ignored;
+    - comments (# to end of line) and empty-value rules are dropped
+      (an empty ``Disallow:`` means "allow everything" — i.e. no
+      rule);
+    - prefixes are matched LITERALLY: the ``*``/``$`` wildcard
+      extension (a Google addition, not RFC 9309's required core) is
+      documented-unhandled, like html_to_text's numeric entities.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    )
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace("line", "#.*$", ""), "\r$", "")
+    )
+    key = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select(
+        "host", "pos", key.alias("key"), val.alias("val")
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    g = (
+        parsed.withColumn("is_ua", (F.col("key") == "user-agent").cast("int"))
+        .withColumn("prev_ua", F.lag("is_ua", 1, 0).over(w))
+        .withColumn(
+            "grp", F.sum(F.col("is_ua") * (1 - F.col("prev_ua"))).over(w)
+        )
+    )
+    agents = (
+        g.filter(F.col("is_ua") == 1)
+        .groupBy("host", "grp")
+        .agg(
+            F.max((F.lower(F.col("val")) == agent.lower()).cast("int")).alias(
+                "has_agent"
+            ),
+            F.max((F.col("val") == "*").cast("int")).alias("has_star"),
+        )
+    )
+    any_exact = agents.groupBy("host").agg(
+        F.max("has_agent").alias("any_exact")
+    )
+    chosen = agents.join(any_exact, "host").filter(
+        ((F.col("any_exact") == 1) & (F.col("has_agent") == 1))
+        | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+    )
+    return (
+        g.filter((F.col("is_ua") == 0) & (F.col("val") != ""))
+        .join(chosen.select("host", "grp"), ["host", "grp"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
+    )
+
+
+def robots_allowed(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Append a boolean ``out_col``: may ``agent`` (already baked into
+    ``rules`` by :func:`robots_rules`) fetch each URL?
+
+    Longest-prefix-match decides; on a length tie Allow wins (the
+    standard tie-break); no matching rule (or no rules for the host
+    at all) defaults to allowed. Matching runs per DISTINCT
+    (host, path+query) and maps back with one equi-join, so the rule
+    machinery never scales with corpus rows. The selector is
+    max(struct(prefix_len, allow)) — max skips the NULL non-matches,
+    so "no rule matched" falls out as NULL -> default-allow.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"robots_allowed would overwrite existing column {out_col!r}"
+        )
+    host = url_host(F.col(url_col))
+    raw_path = F.regexp_extract(F.col(url_col), _PATH_QUERY_RE, 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    keyed = df.select(host.alias("__rh"), path.alias("__rp")).distinct()
+    cand = keyed.join(rules, keyed["__rh"] == rules["host"], "left")
+    match = F.when(
+        F.col("prefix").isNotNull() & F.col("__rp").startswith(F.col("prefix")),
+        F.struct(
+            F.length("prefix").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    decided = (
+        cand.withColumn("__m", match)
+        .groupBy("__rh", "__rp")
+        .agg(F.max("__m").alias("__b"))
+        .select(
+            "__rh",
+            "__rp",
+            F.coalesce(F.col("__b.a") == 1, F.lit(True)).alias("__allowed"),
+        )
+    )
+    out = df.join(
+        decided,
+        (host == decided["__rh"]) & (path == decided["__rp"]),
+        "left",
+    ).drop("__rh", "__rp")
+    return out.withColumnRenamed("__allowed", out_col)
+
+
+# ---------------------------------------------------------------------------
 # Public-suffix-list registrable domains (the production path the
 # last-two-labels approximation above documents)
 # ---------------------------------------------------------------------------

@@ -2131,6 +2131,37 @@ SELECT node, comp FROM c3
 )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the derived link graph — the
+    local-clustering signal that separates organic link communities
+    from near-bipartite spam rings. Spark side runs the
+    degree-oriented compact-forward join (O(m^1.5) bound); the oracle
+    replays the node-id-oriented formulation, which provably counts
+    the identical triangle set."""
+    from nypd_arrest_etl_spark.operators.graph import triangle_count
+
+    return triangle_count(_link_edges(spark, sf_dir))
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH e0 AS (SELECT DISTINCT l_partkey % 97 AS src, l_suppkey % 211 AS dst
+            FROM lineitem WHERE l_partkey % 97 <> l_suppkey % 211),
+und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+fwd AS (SELECT src, dst FROM und WHERE src < dst),
+tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+        FROM fwd a
+        JOIN fwd b ON b.src = a.dst
+        JOIN fwd c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+cc AS (SELECT node, count(*)::BIGINT AS t FROM corners GROUP BY node)
+SELECT n.node, coalesce(cc.t, 0)::BIGINT AS triangles
+FROM nodes n LEFT JOIN cc ON cc.node = n.node
+"""
+
+
 def q_graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-min + pointer-jumping to the label fixed point (rows-only:
     the data-dependent round count is not SQL-expressible; fixed-vs-
@@ -2146,6 +2177,192 @@ def q_graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cc_edges(spark, sf_dir), max_rounds=20
     )
     return comp
+
+
+def q_web_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt admission over deterministic per-source robots
+    bodies exercising the full RFC surface: multi-group files,
+    exact-agent-over-star selection, merged rules, comments,
+    empty-value rules, longest-prefix-match with the Allow tie-break,
+    rule-less hosts defaulting to allowed. Parse runs once per
+    DISTINCT host, matching once per DISTINCT (host, path) — corpus
+    rows only pay the final map-back join."""
+    from nypd_arrest_etl_spark.operators.web import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".com"),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/tmp/x"), sid))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/doc/9"), sid))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/doc/"), sid))
+        .otherwise(F.concat(F.lit("/about/"), sid)),
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    robots = (
+        docs.select(F.concat(F.col("source"), F.lit(".com")).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.lit(
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+                "\nUser-agent: trainbot\nUser-agent: auditbot\n"
+                "Disallow: /doc/9\nAllow: /doc/\nDisallow: /tmp/\n"
+                "# comment line\nDisallow:\n"
+                "\nUser-agent: otherbot\nDisallow: /\n"
+            ).alias("txt"),
+        )
+    )
+    rules = robots_rules(robots, "host", "txt", agent="trainbot")
+    return robots_allowed(base, "url", rules).select("doc_id", "url", "allowed")
+
+
+ORACLE_WEB_ROBOTS = r"""
+WITH hosts AS (SELECT DISTINCT source || '.com' AS host FROM documents),
+robots AS (
+  SELECT host,
+    'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+    'Allow: /private/ok' || chr(10) || chr(10) ||
+    'User-agent: trainbot' || chr(10) || 'User-agent: auditbot' || chr(10) ||
+    'Disallow: /doc/9' || chr(10) || 'Allow: /doc/' || chr(10) ||
+    'Disallow: /tmp/' || chr(10) || '# comment line' || chr(10) ||
+    'Disallow:' || chr(10) || chr(10) ||
+    'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10) AS txt
+  FROM hosts
+),
+lines AS (
+  SELECT host, i AS pos,
+         trim(regexp_replace(regexp_replace(l[CAST(i AS INT)], '#.*$', ''), '\r$', '')) AS line
+  FROM (SELECT host, string_split(txt, chr(10)) AS l FROM robots),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+),
+parsed AS (
+  SELECT host, pos,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
+         trim(regexp_extract(line, '^[A-Za-z-]+\s*:\s*(.*)$', 1)) AS val
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+),
+g AS (
+  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+         coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY pos), 0) AS prev_ua
+  FROM parsed
+),
+g2 AS (
+  SELECT *, sum(is_ua * (1 - prev_ua))
+            OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM g
+),
+agents AS (
+  SELECT host, grp,
+         max(CASE WHEN lower(val) = 'trainbot' THEN 1 ELSE 0 END) AS has_agent,
+         max(CASE WHEN val = '*' THEN 1 ELSE 0 END) AS has_star
+  FROM g2 WHERE is_ua = 1 GROUP BY host, grp
+),
+hx AS (SELECT host, max(has_agent) AS any_exact FROM agents GROUP BY host),
+chosen AS (
+  SELECT a.host, a.grp FROM agents a JOIN hx ON hx.host = a.host
+  WHERE (hx.any_exact = 1 AND a.has_agent = 1)
+     OR (hx.any_exact = 0 AND a.has_star = 1)
+),
+rules AS (
+  SELECT g2.host, g2.val AS prefix, (g2.key = 'allow') AS allow
+  FROM g2 JOIN chosen ON chosen.host = g2.host AND chosen.grp = g2.grp
+  WHERE g2.is_ua = 0 AND g2.val <> ''
+),
+urls AS (
+  SELECT doc_id,
+    'http://' || source || '.com' ||
+    CASE doc_id % 4
+      WHEN 0 THEN '/tmp/x' || doc_id
+      WHEN 1 THEN '/doc/9' || doc_id
+      WHEN 2 THEN '/doc/' || doc_id
+      ELSE '/about/' || doc_id END AS url
+  FROM documents
+),
+up AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+    END AS path
+  FROM urls
+),
+best AS (
+  SELECT u.doc_id, u.url,
+         max(CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
+                  THEN length(r.prefix) * 2
+                       + CASE WHEN r.allow THEN 1 ELSE 0 END END) AS b
+  FROM up u LEFT JOIN rules r ON r.host = u.host
+  GROUP BY u.doc_id, u.url
+)
+SELECT doc_id, url,
+       CASE WHEN b IS NULL THEN TRUE ELSE b % 2 = 1 END AS allowed
+FROM best
+"""
+
+
+def q_probe_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear probe (the FineWeb-Edu-style quality-scorer
+    shape): fit n_chars ~ whitespace-token count in ONE aggregation
+    pass (normal equations, map-side partial sums), then score every
+    document with the broadcast coefficients — per-doc prediction and
+    residual plus the fitted slope/intercept, all rounded so the
+    engines' float-summation orders agree. The oracle re-derives the
+    2x2 closed form from the same five sums."""
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_linear_probe,
+        score_linear,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    b0, b1 = fit_linear_probe(base, ["x"], "y")
+    pred = score_linear(["x"], [b0, b1])
+    return base.select(
+        "doc_id",
+        F.round(F.lit(b1), 6).alias("slope"),
+        F.round(F.lit(b0), 6).alias("intercept"),
+        F.round(pred, 6).alias("pred"),
+        F.round(F.col("y") - pred, 6).alias("resid"),
+    )
+
+
+ORACLE_PROBE_LINEAR_FIT = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x,
+         n_chars::DOUBLE AS y
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM f
+),
+b AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b0
+  FROM s
+)
+SELECT f.doc_id,
+       round(b.b1, 6) AS slope,
+       round(b.b0, 6) AS intercept,
+       round(b.b0 + b.b1 * f.x, 6) AS pred,
+       round(f.y - (b.b0 + b.b1 * f.x), 6) AS resid
+FROM f CROSS JOIN b
+"""
 
 
 LLM_OPS: dict[str, tuple] = {
@@ -2211,4 +2428,7 @@ LLM_OPS: dict[str, tuple] = {
     "web_quality_signals": (q_web_quality_signals, ORACLE_WEB_QUALITY_SIGNALS),
     "graph_components": (q_graph_components, ORACLE_GRAPH_COMPONENTS),
     "graph_components_converged": (q_graph_components_converged, None),
+    "graph_triangles": (q_graph_triangles, ORACLE_GRAPH_TRIANGLES),
+    "web_robots": (q_web_robots, ORACLE_WEB_ROBOTS),
+    "probe_linear_fit": (q_probe_linear_fit, ORACLE_PROBE_LINEAR_FIT),
 }

@@ -199,3 +199,52 @@ def test_cc_null_endpoints_dropped(spark):
     )
     comp = _comps(connected_components_converged(e)[0])
     assert comp == {"a": "a", "b": "a"}
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from nypd_arrest_etl_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tris(df):
+    return {r.node: r.triangles for r in df.collect()}
+
+
+def test_triangles_single_triangle_with_pendant(spark):
+    t = _tris(triangle_count(_edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])))
+    assert t == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(u, v) for i, u in enumerate(nodes) for v in nodes[i + 1:]]
+    assert _tris(triangle_count(_edges(spark, pairs))) == {
+        n: 3 for n in nodes
+    }
+
+
+def test_triangles_square_has_none(spark):
+    t = _tris(triangle_count(_edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])))
+    assert t == {n: 0 for n in "abcd"}
+
+
+def test_triangles_direction_duplicates_selfloops_ignored(spark):
+    # same triangle written with mixed directions, duplicate edges,
+    # and a self-loop must count exactly once per corner
+    t = _tris(triangle_count(_edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "c"),
+         ("a", "a")],
+    )))
+    assert t == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_hub_star_is_triangle_free(spark):
+    # degree orientation must not blow up or miscount on a hub
+    pairs = [(f"n{i}", "hub") for i in range(30)]
+    t = _tris(triangle_count(_edges(spark, pairs)))
+    assert set(t.values()) == {0} and len(t) == 31

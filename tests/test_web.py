@@ -382,3 +382,93 @@ def test_quality_signals_refuses_column_collision(spark):
     df = spark.createDataFrame([("x", 1)], ["t", "n_lines"])
     with _pytest.raises(ValueError, match="n_lines"):
         quality_signals(df, "t")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing + admission
+# ---------------------------------------------------------------------------
+
+ROBOTS_BODY = (
+    "# global group\n"
+    "User-agent: *\r\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "\n"
+    "User-agent: TrainBot\n"
+    "User-agent: auditbot\n"
+    "Disallow: /doc/9\n"
+    "Allow: /doc/   # inline comment\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+)
+
+
+def _robots_frames(spark, agent):
+    from nypd_arrest_etl_spark.operators.web import robots_rules
+
+    robots = spark.createDataFrame([("ex.com", ROBOTS_BODY)], ["h", "txt"])
+    return robots_rules(robots, "h", "txt", agent=agent)
+
+
+def test_robots_rules_exact_agent_beats_star(spark):
+    rules = {(r.prefix, r.allow) for r in _robots_frames(spark, "trainbot").collect()}
+    # only the trainbot/auditbot group; empty Disallow dropped;
+    # comments stripped (incl. inline + \r line endings)
+    assert rules == {("/doc/9", False), ("/doc/", True)}
+
+
+def test_robots_rules_falls_back_to_star_group(spark):
+    rules = {(r.prefix, r.allow) for r in _robots_frames(spark, "unknownbot").collect()}
+    assert rules == {("/private/", False), ("/private/ok", True)}
+
+
+def test_robots_allowed_longest_prefix_and_defaults(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nypd_arrest_etl_spark.operators.web import robots_allowed
+
+    rules = _robots_frames(spark, "trainbot")
+    urls = [
+        (1, "http://ex.com/doc/42"),      # Allow /doc/ -> True
+        (2, "http://ex.com/doc/99"),      # Disallow /doc/9 longer -> False
+        (3, "http://ex.com/elsewhere"),   # no rule matches -> True
+        (4, "http://other.com/doc/9x"),   # host without rules -> True
+        (5, "http://ex.com"),             # empty path -> '/' -> True
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    got = {r.id: r.allowed for r in robots_allowed(df, "url", rules).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_robots_allow_wins_prefix_length_tie(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_allowed, robots_rules
+
+    body = "User-agent: *\nDisallow: /a/\nAllow: /a/\n"
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    rules = robots_rules(robots, "h", "txt", agent="anybot")
+    df = spark.createDataFrame([(1, "http://ex.com/a/x")], ["id", "url"])
+    assert robots_allowed(df, "url", rules).collect()[0].allowed is True
+
+
+def test_robots_rules_before_any_group_are_ignored(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_rules
+
+    body = "Disallow: /orphan\nUser-agent: *\nDisallow: /x\n"
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    rules = {(r.prefix, r.allow)
+             for r in robots_rules(robots, "h", "txt", agent="any").collect()}
+    assert rules == {("/x", False)}
+
+
+def test_robots_allowed_refuses_column_collision(spark):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.operators.web import robots_allowed
+
+    rules = _robots_frames(spark, "trainbot")
+    df = spark.createDataFrame([(1, "http://ex.com/", True)],
+                               ["id", "url", "allowed"])
+    with _pytest.raises(ValueError, match="allowed"):
+        robots_allowed(df, "url", rules)

@@ -74,6 +74,8 @@ QUERIES = [
     "sketch_overlap_sources",   # one (g,h) distinct + O(G^2 k) pairing (r9)
     "graph_components",         # 3 hash-min join/agg rounds on |E| (r10)
     "web_quality_signals",      # map-only line-shape HOFs — byte-bound (r10)
+    "graph_triangles",          # degree-oriented wedge join O(m^1.5) (r10)
+    "web_robots",               # per-host parse + per-path match joins (r10)
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
