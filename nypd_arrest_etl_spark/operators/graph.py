@@ -111,6 +111,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_to: int | None = 8,
+    pin_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank -> DataFrame[node, rank].
 
@@ -131,10 +132,14 @@ def pagerank(
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
         # Unbounded nesting makes Catalyst's analysis cost blow up
-        # super-linearly in iteration depth; pin lineage every 8
-        # rounds (values unchanged — only the plan is truncated).
-        # Small iteration counts stay fully lazy/declarative.
-        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+        # super-linearly in iteration depth; pin lineage every
+        # ``pin_every`` rounds (values unchanged — only the plan is
+        # truncated). Small iteration counts stay fully
+        # lazy/declarative; deep fixed-iteration runs should LOWER
+        # pin_every (each pin trades one materialization for resetting
+        # Catalyst's analysis cost — r9 measured 139 exchanges in a
+        # 3-iteration plan pinned at 8).
+        if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
@@ -199,6 +204,7 @@ def pagerank_personalized(
     src: str = "src",
     dst: str = "dst",
     round_to: int | None = 8,
+    pin_every: int = 8,
 ) -> DataFrame:
     """Personalized PageRank: the teleport step jumps to ``teleport``'s
     distribution (DataFrame[node, weight], normalized here) instead of
@@ -233,7 +239,7 @@ def pagerank_personalized(
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
-        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+        if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
@@ -319,6 +325,7 @@ def connected_components(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    pin_every: int = 8,
 ) -> DataFrame:
     """Fixed-round hash-min connected components ->
     DataFrame[node, comp] (comp = min node id within ``rounds`` hops).
@@ -336,9 +343,85 @@ def connected_components(
     comp = nodes.select("node", F.col("node").alias("comp"))
     for i in range(rounds):
         comp = _cc_round(und, comp)
-        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+        if (i + 1) % pin_every == 0 and (i + 1) < rounds:
             comp = comp.localCheckpoint(eager=True)
     return comp
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling -> DataFrame[node] (the kept set
+    after ``rounds`` peels). Each round drops every node whose CURRENT
+    degree (over the surviving subgraph) is below ``k`` — dense
+    communities survive, chains and stars dissolve. Crawl curation
+    uses the k-core to isolate densely interlinked clusters (spam
+    rings, mirror farms) that PageRank alone ranks highly.
+
+    One groupBy (degrees) + two semi-joins (edge filter) per round,
+    all hash-partitioned on the node key. Fixed rounds are the
+    oracle-replayable form (chained CTEs, see ORACLE_GRAPH_KCORE);
+    ``k_core_converged`` runs to the fixed point. Peeling strictly
+    shrinks the edge set, so per-round cost only decreases.
+    """
+    if rounds < 1:
+        raise ValueError("k_core needs at least 1 round")
+    und, _nodes = _und_prepared(edges, src, dst)
+    e = und
+    kept = None
+    for i in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
+        e = e.join(kept.withColumnRenamed("node", "src"), "src", "semi").join(
+            kept.withColumnRenamed("node", "dst"), "dst", "semi"
+        ).select("src", "dst")
+        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+            e = e.localCheckpoint(eager=True)
+    return kept
+
+
+def k_core_converged(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int, bool]:
+    """Peel to the fixed point -> (nodes, rounds_run, converged): the
+    EXACT k-core (every surviving node has >= k surviving neighbors).
+    Same per-round shape as ``k_core`` with a 1-row node-count probe
+    and localCheckpoint-pinned iterates; ``converged`` False means the
+    cap truncated peeling (same contract as the other converged graph
+    variants). An emptied graph converges immediately (the empty set
+    IS the k-core)."""
+    und, _nodes = _und_prepared(edges, src, dst)
+    e = und.localCheckpoint(eager=True)
+    prev = e.select("src").distinct().count()
+    it = 0
+    converged = False
+    for it in range(1, max_rounds + 1):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(kept.withColumnRenamed("node", "src"), "src", "semi")
+            .join(kept.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        now = e.select("src").distinct().count()
+        if now == prev:
+            converged = True
+            break
+        prev = now
+    return (
+        e.select(F.col("src").alias("node")).distinct(),
+        it,
+        converged,
+    )
 
 
 def triangle_count(

@@ -2365,6 +2365,88 @@ FROM f CROSS JOIN b
 """
 
 
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core-plus-sparse-periphery graph, stable at EVERY scale:
+    a complete 25-clique over the constant nation table (internal
+    degree 24 regardless of SF) overlaps a bounded-degree lineitem
+    periphery (each src links to <= 7 line-number-offset neighbors,
+    degree <= ~15). k=20 peeling must dissolve the periphery cascade
+    and isolate exactly the clique — the spam-ring-extraction shape."""
+    li = t(spark, sf_dir, "lineitem")
+    srcc = F.col("l_orderkey") % 300
+    dstc = (srcc * 2 + F.col("l_linenumber")) % 300
+    periphery = li.select(srcc.alias("src"), dstc.alias("dst"))
+    na = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    clique = na.select(F.col("k").alias("src")).crossJoin(
+        na.select(F.col("k").alias("dst"))
+    )
+    return periphery.union(clique).filter(F.col("src") != F.col("dst"))
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 3-round k-core peel (k=20: above the periphery's max
+    degree, below the clique's internal 24) — the dense-cluster
+    extractor crawl curation points at spam rings; oracle replays the
+    degree-filter/edge-filter rounds as chained CTEs."""
+    from nypd_arrest_etl_spark.operators.graph import k_core
+
+    return k_core(_kcore_edges(spark, sf_dir), k=20, rounds=3)
+
+
+_KCORE_ITER = """
+d{i} AS (SELECT src, count(*) AS d FROM e{p} GROUP BY src),
+k{i} AS (SELECT src AS node FROM d{i} WHERE d >= 20),
+e{i} AS (SELECT e.src, e.dst FROM e{p} e
+         JOIN k{i} a ON a.node = e.src JOIN k{i} b ON b.node = e.dst)"""
+
+ORACLE_GRAPH_KCORE = (
+    """
+WITH raw AS (
+  SELECT l_orderkey % 300 AS src,
+         ((l_orderkey % 300) * 2 + l_linenumber) % 300 AS dst
+  FROM lineitem
+  UNION ALL
+  SELECT a.n_nationkey AS src, b.n_nationkey AS dst FROM nation a, nation b
+), f AS (SELECT src, dst FROM raw WHERE src <> dst),
+e0 AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),"""
+    + ",".join(_KCORE_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node FROM k3
+"""
+)
+
+
+def q_graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peel to the exact k-core fixed point (rows-only: data-dependent
+    round count; fixed-vs-converged containment and the converged flag
+    are unit-tested in tests/test_graph.py)."""
+    from nypd_arrest_etl_spark.operators.graph import k_core_converged
+
+    nodes, _rounds, _converged = k_core_converged(
+        _kcore_edges(spark, sf_dir), k=20, max_rounds=20
+    )
+    return nodes
+
+
+def q_web_html_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity HTML extraction through the stdlib-parser mapInPandas
+    path on pages that DEFEAT the regex chain: numeric character
+    references (&#233; / &#xE9;) and an attribute value containing
+    '>'. Rows-only (no SQL engine can replay html.parser); regex-path
+    agreement on well-formed markup is property-tested in
+    tests/test_web.py."""
+    from nypd_arrest_etl_spark.operators.web import html_to_text_parsed
+
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<div data-note="a > b"><p>caf&#233; r&#xE9;sum&#xE9; #'),
+        sid, F.lit("</p><p>"), F.col("text"), F.lit("</p></div>"),
+    )
+    base = docs.select("doc_id", html.alias("page_html"))
+    return html_to_text_parsed(base, "page_html").select("doc_id", "text")
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -2431,4 +2513,7 @@ LLM_OPS: dict[str, tuple] = {
     "graph_triangles": (q_graph_triangles, ORACLE_GRAPH_TRIANGLES),
     "web_robots": (q_web_robots, ORACLE_WEB_ROBOTS),
     "probe_linear_fit": (q_probe_linear_fit, ORACLE_PROBE_LINEAR_FIT),
+    "graph_kcore": (q_graph_kcore, ORACLE_GRAPH_KCORE),
+    "graph_kcore_converged": (q_graph_kcore_converged, None),
+    "web_html_parsed": (q_web_html_parsed, None),
 }

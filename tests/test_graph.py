@@ -248,3 +248,45 @@ def test_triangles_hub_star_is_triangle_free(spark):
     pairs = [(f"n{i}", "hub") for i in range(30)]
     t = _tris(triangle_count(_edges(spark, pairs)))
     assert set(t.values()) == {0} and len(t) == 31
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+from nypd_arrest_etl_spark.operators.graph import (  # noqa: E402
+    k_core,
+    k_core_converged,
+)
+
+
+def test_kcore_extracts_clique_from_chain(spark):
+    # triangle abc (each deg 2) + chain tail c-d-e (deg <= 2 on tail)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    nodes, rounds, converged = k_core_converged(_edges(spark, pairs), k=2)
+    assert converged
+    assert {r.node for r in nodes.collect()} == {"a", "b", "c"}
+
+
+def test_kcore_cascade_dissolves_chain(spark):
+    # pure chain has no 2-core: peeling cascades from both ends
+    pairs = [(i, i + 1) for i in range(10)]
+    nodes, rounds, converged = k_core_converged(_edges(spark, pairs), k=2)
+    assert converged and nodes.count() == 0
+    assert rounds >= 3  # the cascade really iterated
+
+
+def test_kcore_fixed_rounds_snapshot_vs_converged(spark):
+    # fixed rounds over-approximate the true core; enough rounds equal it
+    pairs = [(i, i + 1) for i in range(6)] + [("x", "y")]
+    snap = {r.node for r in k_core(_edges(spark, pairs), k=2, rounds=1).collect()}
+    full, _r, conv = k_core_converged(_edges(spark, pairs), k=2)
+    assert conv
+    full_set = {r.node for r in full.collect()}
+    assert full_set == set() and full_set <= snap and snap  # strict snapshot
+
+
+def test_kcore_converged_flag_false_when_capped(spark):
+    pairs = [(i, i + 1) for i in range(30)]
+    _n, rounds, converged = k_core_converged(_edges(spark, pairs), k=2, max_rounds=2)
+    assert rounds == 2 and not converged

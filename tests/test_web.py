@@ -472,3 +472,56 @@ def test_robots_allowed_refuses_column_collision(spark):
                                ["id", "url", "allowed"])
     with _pytest.raises(ValueError, match="allowed"):
         robots_allowed(df, "url", rules)
+
+
+# ---------------------------------------------------------------------------
+# Parser-based fidelity extraction (html_to_text_parsed)
+# ---------------------------------------------------------------------------
+
+
+def test_parsed_extract_handles_numeric_charrefs_and_gt_attrs(spark):
+    from nypd_arrest_etl_spark.operators.web import html_to_text_parsed
+
+    html = ('<div data-note="a > b"><p>caf&#233; r&#xE9;sum&#xE9;</p>'
+            "<p>plain</p></div>")
+    df = spark.createDataFrame([(1, html)], ["id", "h"])
+    out = html_to_text_parsed(df, "h").collect()[0].text
+    # regex path would mangle both: charrefs stay encoded and the '>'
+    # inside the attribute truncates the tag strip
+    assert out == "café résumé\nplain"
+
+
+def test_parsed_extract_agrees_with_regex_path_on_wellformed(spark):
+    from nypd_arrest_etl_spark.operators.web import (
+        html_to_text,
+        html_to_text_parsed,
+    )
+
+    pages = [
+        "<html><head><title>T</title><style>p{c:red}</style>"
+        '<script>var x = "<p>";</script></head>'
+        "<body><!-- note --><h1>Head</h1><p>body &amp; text</p>"
+        "<ul><li>one</li><li>two</li></ul><br></body></html>",
+        "<p>one  \t two</p>\r\n<p>three</p><hr>",
+        "plain text, no markup",
+        "<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;!</p>",
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)], ["id", "h"])
+    both = (
+        html_to_text_parsed(df, "h", out_col="parsed")
+        .withColumn("regex", W.html_to_text(F.col("h")))
+        .collect()
+    )
+    for r in both:
+        assert r.parsed == r.regex, (r.id, r.parsed, r.regex)
+
+
+def test_parsed_extract_refuses_collision_and_keeps_nulls(spark):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.operators.web import html_to_text_parsed
+
+    df = spark.createDataFrame([(1, None)], "id int, h string")
+    assert html_to_text_parsed(df, "h").collect()[0].text is None
+    with _pytest.raises(ValueError, match="text"):
+        html_to_text_parsed(df.withColumnRenamed("id", "text"), "h")

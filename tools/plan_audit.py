@@ -52,6 +52,11 @@ BNLJ_ALLOWED = {
     "sketch_overlap_sources",    # O(groups)-row group-list broadcast fanning
                                  # each sketch row to its partners — bounded
                                  # by the source domain, never the corpus
+    "graph_kcore",               # 25x25 nation self-pairing that BUILDS the
+                                 # test graph's constant clique (625 rows,
+                                 # scale-independent dimension table) — the
+                                 # peeling itself is groupBy + semi-joins
+    "graph_kcore_converged",     # same constant clique-build cross join
 }
 
 

@@ -76,6 +76,8 @@ QUERIES = [
     "web_quality_signals",      # map-only line-shape HOFs — byte-bound (r10)
     "graph_triangles",          # degree-oriented wedge join O(m^1.5) (r10)
     "web_robots",               # per-host parse + per-path match joins (r10)
+    "graph_kcore",              # 3 degree-filter/semi-join peel rounds (r10)
+    "probe_linear_fit",         # one-pass normal-equation sums + map scoring (r10)
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
