@@ -436,11 +436,75 @@ def quality_signals(
 
 
 # ---------------------------------------------------------------------------
-# robots.txt admission (RFC 9309 prefix semantics) — the compliance
-# gate a crawl pipeline applies before any fetched document enters the
-# corpus. Parse once per DISTINCT host (hosts << documents, the same
-# scale property as the PSL join), match per DISTINCT (host, path).
+# robots.txt admission (RFC 9309 path-pattern semantics, including the
+# §2.2.3 special characters '*' and '$') — the compliance gate a crawl
+# pipeline applies before any fetched document enters the corpus.
+# Parse once per DISTINCT host (hosts << documents, the same scale
+# property as the PSL join), match per DISTINCT (host, path).
 # ---------------------------------------------------------------------------
+
+# Hex pairs (uppercased) whose decoded octet is an RFC 3986 §2.3
+# UNRESERVED character (ALPHA / DIGIT / - . _ ~): the only
+# percent-escapes RFC 9309 §2.2.2 says to decode before comparison.
+# Reserved and non-ASCII octets stay encoded (hex uppercased so the
+# two sides compare canonically). Gating the decode on the hex pair —
+# not decoding first and inspecting the char — also keeps invalid
+# UTF-8 bytes (e.g. %AF) out of the decoder.
+_UNRESERVED_HEX_RE = r"^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
+
+def pct_normalize(col: Column | str) -> Column:
+    """RFC 9309 §2.2.2 percent-encoding normalization as a pure column
+    expression: split on '%', decode escapes of unreserved characters,
+    uppercase the hex of every other escape, and pass stray '%' (not
+    followed by two hex digits) through literally. Applied to BOTH the
+    rule path-pattern and the URL path so '%70ub' and 'p%75b' compare
+    equal. Zero Python in the row path — split/transform/array_join
+    all codegen."""
+    col = F.col(col) if isinstance(col, str) else col
+    parts = F.split(col, "%")
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.size(parts) - 1)
+
+    def seg(s: Column) -> Column:
+        h = F.upper(F.substring(s, 1, 2))
+        rest = F.substring(s, F.lit(3), F.lit(2147483647))
+        return (
+            F.when(~s.rlike("^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), s))
+            .when(
+                h.rlike(_UNRESERVED_HEX_RE),
+                F.concat(F.decode(F.unhex(h), "UTF-8"), rest),
+            )
+            .otherwise(F.concat(F.lit("%"), h, rest))
+        )
+
+    return F.concat(
+        head, F.coalesce(F.array_join(F.transform(tail, seg), ""), F.lit(""))
+    )
+
+
+def robots_rule_regex(prefix: Column | str) -> Column:
+    """Translate an RFC 9309 path pattern (already pct-normalized) to
+    an anchored RE2/Java-safe regex implementing the §2.2.3 special
+    characters: every regex metachar escaped, ``*`` -> ``.*`` (any
+    character sequence), and a TRAILING ``$`` -> end-of-path anchor.
+    A ``$`` anywhere else is a literal, matching Google's reference
+    matcher (github.com/google/robotstxt), which the RFC cites as the
+    de-facto interpretation. Decoding unreserved escapes first can
+    only surface characters the escape step then handles (e.g. %2E ->
+    '.' -> '\\.'), never a new '*' or '$' — those are reserved and
+    stay encoded."""
+    prefix = F.col(prefix) if isinstance(prefix, str) else prefix
+    anchored = prefix.endswith("$")
+    body = F.when(
+        anchored, F.substring(prefix, F.lit(1), F.length(prefix) - 1)
+    ).otherwise(prefix)
+    esc = F.regexp_replace(body, r"([.^$|?+\[\]{}()\\])", r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
 
 
 def robots_rules(
@@ -465,9 +529,11 @@ def robots_rules(
     - comments (# to end of line) and empty-value rules are dropped
       (an empty ``Disallow:`` means "allow everything" — i.e. no
       rule);
-    - prefixes are matched LITERALLY: the ``*``/``$`` wildcard
-      extension (a Google addition, not RFC 9309's required core) is
-      documented-unhandled, like html_to_text's numeric entities.
+    - path patterns are emitted RAW; :func:`robots_allowed` applies
+      the RFC 9309 §2.2.2 percent normalization and §2.2.3 ``*``/``$``
+      special-character matching (both are part of the RFC proper —
+      ``*`` matches any character sequence, a trailing ``$`` anchors
+      the end of the path).
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -526,13 +592,20 @@ def robots_allowed(
     """Append a boolean ``out_col``: may ``agent`` (already baked into
     ``rules`` by :func:`robots_rules`) fetch each URL?
 
-    Longest-prefix-match decides; on a length tie Allow wins (the
-    standard tie-break); no matching rule (or no rules for the host
-    at all) defaults to allowed. Matching runs per DISTINCT
+    RFC 9309 matching: both sides are percent-normalized (§2.2.2, via
+    :func:`pct_normalize`), each rule is translated to an anchored
+    regex implementing the §2.2.3 special characters (``*`` -> any
+    sequence, trailing ``$`` -> end anchor, everything else literal —
+    so ``Disallow: /*.pdf$`` blocks exactly the PDFs), and the
+    longest rule wins, measured in octets of the normalized pattern
+    per the RFC's most-specific-match order; on a length tie Allow
+    wins (the standard tie-break). No matching rule (or no rules for
+    the host at all) defaults to allowed. Matching runs per DISTINCT
     (host, path+query) and maps back with one equi-join, so the rule
-    machinery never scales with corpus rows. The selector is
-    max(struct(prefix_len, allow)) — max skips the NULL non-matches,
-    so "no rule matched" falls out as NULL -> default-allow.
+    machinery — including the per-(path, rule) regex evaluation —
+    never scales with corpus rows. The selector is
+    max(struct(octets, allow)) — max skips the NULL non-matches, so
+    "no rule matched" falls out as NULL -> default-allow.
     """
     if out_col in df.columns:
         raise ValueError(
@@ -542,11 +615,16 @@ def robots_allowed(
     raw_path = F.regexp_extract(F.col(url_col), _PATH_QUERY_RE, 1)
     path = F.when(raw_path == "", "/").otherwise(raw_path)
     keyed = df.select(host.alias("__rh"), path.alias("__rp")).distinct()
-    cand = keyed.join(rules, keyed["__rh"] == rules["host"], "left")
+    cand = (
+        keyed.join(rules, keyed["__rh"] == rules["host"], "left")
+        .withColumn("__pn", pct_normalize(F.col("__rp")))
+        .withColumn("__prefn", pct_normalize(F.col("prefix")))
+        .withColumn("__rx", robots_rule_regex(F.col("__prefn")))
+    )
     match = F.when(
-        F.col("prefix").isNotNull() & F.col("__rp").startswith(F.col("prefix")),
+        F.col("prefix").isNotNull() & F.expr("__pn rlike __rx"),
         F.struct(
-            F.length("prefix").alias("l"),
+            F.octet_length("__prefn").alias("l"),
             F.col("allow").cast("int").alias("a"),
         ),
     )

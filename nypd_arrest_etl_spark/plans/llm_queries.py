@@ -2181,12 +2181,16 @@ def q_graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_web_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt admission over deterministic per-source robots
-    bodies exercising the full RFC surface: multi-group files,
+    bodies exercising the full RFC 9309 surface: multi-group files,
     exact-agent-over-star selection, merged rules, comments,
-    empty-value rules, longest-prefix-match with the Allow tie-break,
-    rule-less hosts defaulting to allowed. Parse runs once per
-    DISTINCT host, matching once per DISTINCT (host, path) — corpus
-    rows only pay the final map-back join."""
+    empty-value rules, the §2.2.3 special characters (``/*.pdf$``
+    wildcard+anchor, ``/*?session=`` mid-pattern wildcard with a
+    regex-metachar to escape), §2.2.2 percent normalization (rule
+    ``/doc/%70ub/`` admitting path ``/doc/p%75b/``), longest-match in
+    normalized octets with the Allow tie-break, and rule-less hosts
+    defaulting to allowed. Parse runs once per DISTINCT host,
+    matching once per DISTINCT (host, path) — corpus rows only pay
+    the final map-back join."""
     from nypd_arrest_etl_spark.operators.web import (
         robots_allowed,
         robots_rules,
@@ -2196,10 +2200,13 @@ def q_web_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = F.col("doc_id").cast("string")
     url = F.concat(
         F.lit("http://"), F.col("source"), F.lit(".com"),
-        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/tmp/x"), sid))
-        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/doc/9"), sid))
-        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/doc/"), sid))
-        .otherwise(F.concat(F.lit("/about/"), sid)),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/tmp/x"), sid))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/doc/9"), sid))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("/doc/"), sid))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("/about/"), sid))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("/doc/"), sid, F.lit(".pdf")))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/doc/p%75b/"), sid))
+        .otherwise(F.concat(F.lit("/doc/"), sid, F.lit("x?session="), sid)),
     )
     base = docs.select("doc_id", url.alias("url"))
     robots = (
@@ -2211,6 +2218,8 @@ def q_web_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
                 "\nUser-agent: trainbot\nUser-agent: auditbot\n"
                 "Disallow: /doc/9\nAllow: /doc/\nDisallow: /tmp/\n"
+                "Disallow: /*.pdf$\nAllow: /doc/%70ub/\n"
+                "Disallow: /*?session=\n"
                 "# comment line\nDisallow:\n"
                 "\nUser-agent: otherbot\nDisallow: /\n"
             ).alias("txt"),
@@ -2228,7 +2237,10 @@ robots AS (
     'Allow: /private/ok' || chr(10) || chr(10) ||
     'User-agent: trainbot' || chr(10) || 'User-agent: auditbot' || chr(10) ||
     'Disallow: /doc/9' || chr(10) || 'Allow: /doc/' || chr(10) ||
-    'Disallow: /tmp/' || chr(10) || '# comment line' || chr(10) ||
+    'Disallow: /tmp/' || chr(10) ||
+    'Disallow: /*.pdf$' || chr(10) || 'Allow: /doc/%70ub/' || chr(10) ||
+    'Disallow: /*?session=' || chr(10) ||
+    '# comment line' || chr(10) ||
     'Disallow:' || chr(10) || chr(10) ||
     'User-agent: otherbot' || chr(10) || 'Disallow: /' || chr(10) AS txt
   FROM hosts
@@ -2275,14 +2287,36 @@ rules AS (
   FROM g2 JOIN chosen ON chosen.host = g2.host AND chosen.grp = g2.grp
   WHERE g2.is_ua = 0 AND g2.val <> ''
 ),
+rulesx AS (
+  SELECT host, prefix, allow,
+    l[1] || coalesce(array_to_string(
+      list_transform(l[2:], seg ->
+        CASE WHEN NOT regexp_matches(seg, '^[0-9A-Fa-f]{2}') THEN '%' || seg
+             WHEN regexp_matches(upper(seg[1:2]),
+                  '^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$')
+               THEN decode(from_hex(upper(seg[1:2]))) || seg[3:]
+             ELSE '%' || upper(seg[1:2]) || seg[3:] END), ''), '') AS prefn
+  FROM (SELECT host, prefix, allow, str_split(prefix, '%') AS l FROM rules)
+),
+rulesrx AS (
+  SELECT host, prefix, allow, prefn,
+    '^' || replace(regexp_replace(
+      CASE WHEN prefn LIKE '%$' THEN prefn[1:length(prefn)-1] ELSE prefn END,
+      '([.^$|?+\[\]{}()\\])', '\\\1', 'g'), '*', '.*')
+    || CASE WHEN prefn LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM rulesx
+),
 urls AS (
   SELECT doc_id,
     'http://' || source || '.com' ||
-    CASE doc_id % 4
+    CASE doc_id % 7
       WHEN 0 THEN '/tmp/x' || doc_id
       WHEN 1 THEN '/doc/9' || doc_id
       WHEN 2 THEN '/doc/' || doc_id
-      ELSE '/about/' || doc_id END AS url
+      WHEN 3 THEN '/about/' || doc_id
+      WHEN 4 THEN '/doc/' || doc_id || '.pdf'
+      WHEN 5 THEN '/doc/p%75b/' || doc_id
+      ELSE '/doc/' || doc_id || 'x?session=' || doc_id END AS url
   FROM documents
 ),
 up AS (
@@ -2295,12 +2329,23 @@ up AS (
     END AS path
   FROM urls
 ),
+upn AS (
+  SELECT doc_id, url, host,
+    l[1] || coalesce(array_to_string(
+      list_transform(l[2:], seg ->
+        CASE WHEN NOT regexp_matches(seg, '^[0-9A-Fa-f]{2}') THEN '%' || seg
+             WHEN regexp_matches(upper(seg[1:2]),
+                  '^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$')
+               THEN decode(from_hex(upper(seg[1:2]))) || seg[3:]
+             ELSE '%' || upper(seg[1:2]) || seg[3:] END), ''), '') AS pn
+  FROM (SELECT doc_id, url, host, str_split(path, '%') AS l FROM up)
+),
 best AS (
   SELECT u.doc_id, u.url,
-         max(CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
-                  THEN length(r.prefix) * 2
+         max(CASE WHEN r.prefix IS NOT NULL AND regexp_matches(u.pn, r.rx)
+                  THEN strlen(r.prefn) * 2
                        + CASE WHEN r.allow THEN 1 ELSE 0 END END) AS b
-  FROM up u LEFT JOIN rules r ON r.host = u.host
+  FROM upn u LEFT JOIN rulesrx r ON r.host = u.host
   GROUP BY u.doc_id, u.url
 )
 SELECT doc_id, url,

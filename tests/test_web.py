@@ -462,6 +462,77 @@ def test_robots_rules_before_any_group_are_ignored(spark):
     assert rules == {("/x", False)}
 
 
+def _admit(spark, body, urls, agent="anybot"):
+    from nypd_arrest_etl_spark.operators.web import robots_allowed, robots_rules
+
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    rules = robots_rules(robots, "h", "txt", agent=agent)
+    df = spark.createDataFrame(list(enumerate(urls)), ["id", "url"])
+    return [r.allowed for r in
+            robots_allowed(df, "url", rules).orderBy("id").collect()]
+
+
+def test_robots_wildcard_and_anchor_rfc9309(spark):
+    # RFC 9309 §2.2.3: '*' matches any sequence, trailing '$' anchors.
+    body = "User-agent: *\nDisallow: /*.pdf$\nAllow: /doc/\n"
+    got = _admit(spark, body, [
+        "http://ex.com/doc/file.pdf",     # /*.pdf$ (7) beats /doc/ (5)
+        "http://ex.com/doc/file.pdfx",    # anchor: .pdfx does NOT match
+        "http://ex.com/a/b/c/deep.pdf",   # '*' spans any depth
+        "http://ex.com/doc/file.pdf.txt", # anchor again
+    ])
+    assert got == [False, True, False, True]
+
+
+def test_robots_midpattern_wildcard_and_metachar_escape(spark):
+    # '?' in the rule is a literal (regex metachar must be escaped).
+    body = "User-agent: *\nDisallow: /*?session=\nAllow: /doc/\n"
+    got = _admit(spark, body, [
+        "http://ex.com/doc/1x?session=abc",  # mid-'*' + literal '?'
+        "http://ex.com/doc/1xsession=abc",   # no '?': must NOT match
+    ])
+    assert got == [False, True]
+
+
+def test_robots_dollar_midrule_is_literal(spark):
+    # Only a TRAILING '$' anchors; elsewhere it is a literal octet.
+    body = "User-agent: *\nDisallow: /x$y\n"
+    got = _admit(spark, body, [
+        "http://ex.com/x$y-more",  # literal '$' in path -> matches
+        "http://ex.com/xy-more",   # no '$' -> no match
+    ])
+    assert got == [False, True]
+
+
+def test_robots_percent_normalization_rfc9309(spark):
+    # §2.2.2: unreserved escapes decode on BOTH sides; reserved
+    # escapes stay encoded but hex-uppercased; %2F != '/'.
+    body = (
+        "User-agent: *\n"
+        "Disallow: /doc/%70ub/\n"       # %70 = 'p' (unreserved) -> decodes
+        "Disallow: /a%2fb\n"            # %2f reserved: stays, hex uppercased
+    )
+    got = _admit(spark, body, [
+        "http://ex.com/doc/p%75b/x",   # path %75='u' decodes -> /doc/pub/ blocked
+        "http://ex.com/doc/pub/x",     # plain form blocked too
+        "http://ex.com/doc/p75b/x",    # not an escape -> allowed
+        "http://ex.com/a%2Fb/c",       # %2F matches %2f after case-fold
+        "http://ex.com/a/b/c",         # literal '/' does NOT match %2F
+    ])
+    assert got == [False, False, True, False, True]
+
+
+def test_robots_longest_match_uses_normalized_octets(spark):
+    # Allow /doc/%70ub/ normalizes to /doc/pub/ (9 octets) and must
+    # beat Disallow /doc/ (5) — length measured AFTER normalization.
+    body = "User-agent: *\nDisallow: /doc/\nAllow: /doc/%70ub/\n"
+    got = _admit(spark, body, [
+        "http://ex.com/doc/pub/x",
+        "http://ex.com/doc/other",
+    ])
+    assert got == [True, False]
+
+
 def test_robots_allowed_refuses_column_collision(spark):
     import pytest as _pytest
 
