@@ -45,65 +45,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # artifact fails the suite instead of silently shrinking coverage.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # r10 window (VERDICT r9 task 1): close the gate ledger honestly.
-    # The union of CORRECTNESS_r01–r09.json showed 22 full-oracle
-    # entries that had NEVER been in any driver gate window; all 22
-    # enter this round's window, plus the two new r10 full-oracle
-    # entries (web_quality_signals, graph_components) for birth-round
-    # verification — 24 incoming + 26 family-coverage staples = 50.
-    # The machine-checkable entry→rounds-gated ledger lives in
-    # COVERAGE.md (generated by tools/gate_ledger.py, suite-asserted
-    # by tests/test_registry.py::test_gate_ledger_*).
-    #
-    # The 24 incoming entries themselves carry these families: CDC,
-    # corpus shuffle, span dedup, event transitions, fuzzy linkage,
-    # graph (components + PPR), incremental agg, multimodal
-    # frames/resize, outlier profiling, rolling windows, sampling
-    # (stratified + oversample), session windows, ANN-LSH, splits,
-    # five text ops, and the web/PSL pair. Every family whose r9-gated
-    # rep rotates OUT keeps a rep among the staples or the incoming
-    # set (each rotated-out entry is driver-verified green in an
-    # earlier round and stays covered by the committed full-registry
-    # three-scale artifact, CORRECTNESS_FULL.md).
-    "cdc_orders_diff", "corpus_shuffle", "dedup_span_stats",
-    "event_transitions", "fuzzy_name_matches", "graph_components",
-    "graph_ppr_seeded", "incremental_revenue", "multimodal_frames",
-    "multimodal_resize", "outlier_values", "rolling_distinct_users",
-    "sample_oversample_mixture", "sample_stratified",
-    "session_window_batch", "similarity_ann_lsh", "split_train_holdout",
-    "text_fingerprints", "text_language_id", "text_normalize",
-    "text_quality_score", "text_repetition", "web_psl_domains",
-    "web_quality_signals",
-    # ...plus the round's three later additions, also gated in their
-    # birth round: per-node triangle counts, robots.txt admission, and
-    # the closed-form linear probe. They take the slots of three
-    # staples whose families stay represented — median_price (exact
-    # percentiles also gated via the incoming outlier_values),
-    # salted_revenue (scale-ops family keeps bloom_pruned_join +
-    # sketch_stats), similarity_topk (similarity family keeps the
-    # incoming similarity_ann_lsh); all three were driver-green in
-    # many prior rounds and stay in the full-compare artifact.
-    "graph_triangles", "web_robots", "probe_linear_fit",
-    # ...and k-core peeling (swaps out mixture_temperature — the
-    # sampling/mixture family keeps TWO incoming gate reps,
-    # sample_stratified + sample_oversample_mixture).
-    "graph_kcore",
-    # 22 family-coverage staples (all driver-green in earlier rounds):
-    # grouped agg, window analytics, rollup, set ops, join/upsert,
-    # T1–T12 clean, tumbling windows, variant/JSON, as-of join,
-    # applyInPandas, applyInArrow, quality buckets, null
-    # semantics, funnel, retention, SCD2, resample/spine,
-    # bloom join, KMV/KLL sketches, exact dedup,
-    # MinHash dedup, curation plan.
-    "pricing_summary", "running_totals", "rollup_lineitem",
-    "set_ops_yearly", "semi_anti_join", "events_clean",
-    "tumbling_hourly", "props_variant_stats",
-    "asof_click_before_purchase", "embedding_centroids",
-    "arrow_group_stats", "ccnet_buckets", "null_semantics",
-    "events_funnel", "retention_cohorts", "status_history_scd2",
-    "resample_hourly",
-    "bloom_pruned_join", "sketch_stats", "dedup_exact_docs",
-    "dedup_minhash_pairs", "curate_corpus",
+    # r11 window: pure LEAST-RECENTLY-GATED rotation (VERDICT r10
+    # task 8 — "the ledger now makes this mechanical"). The 50 entries
+    # below are exactly the 50 full-oracle registry entries with the
+    # OLDEST last-gated round in COVERAGE.md's ledger, ties broken by
+    # name: the round's one new entry (warc_ingest, birth-round
+    # verification) + the 23 relational staples last gated in r1 +
+    # the r4-r8 cohorts whose turn has come back around. Recompute
+    # next round with tools/gate_ledger.py (sort full-oracle entries
+    # by (last_gated, name), take 50). Bench timing order is
+    # independent (bench.py times in sorted-name order), so rotation
+    # no longer perturbs per-query timings.
+    "warc_ingest", "customer_distribution", "disjunctive_revenue",
+    "forecast_revenue", "idle_rich_customers", "important_stock",
+    "large_orders", "late_order_priority", "local_supplier_volume",
+    "market_share", "min_cost_supplier", "ntile_quartiles",
+    "potential_promotion", "priority_lines", "product_type_profit",
+    "promo_revenue", "returned_items", "shipping_priority",
+    "small_order_revenue", "sole_returning_supplier", "supplier_counts",
+    "top_supplier", "top_terms", "volume_shipping",
+    "percentile_prices", "similarity_quantized", "text_chunks",
+    "unpivot_measures", "vector_norms", "brand_volume",
+    "cube_orders", "grouping_sets_sql", "monthly_revenue_spine",
+    "nation_accounts_reconciliation", "pivot_status_by_year", "revenue_by_nation",
+    "sliding_daily", "dedup_simhash_pairs", "grouped_distinct",
+    "sample_fixed_per_source", "sessionize", "text_lm_score",
+    "trailing_week_revenue", "dedup_jaccard_pairs", "drift_sources",
+    "histogram_chars", "multimodal_manifest", "range_pairs_5min",
+    "text_containment_pairs", "top_orders_per_customer",
 ]
 
 

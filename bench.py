@@ -40,7 +40,10 @@ carries ``normalized_delta_vs_prev``: per-query
 file, which cancels the documented ±30-40% session-to-session host
 swing — a nonzero normalized delta means the plan or data changed,
 not the VM (r9's headline rose 31% purely from host speed; proving
-that required a manual twin-bench rerun).
+that required a manual twin-bench rerun). Queries are TIMED in
+sorted-name order regardless of registry/gate-window order (round
+11): rotation used to change which queries ran first and absorbed
+residual session first-touch cost, confounding the deltas.
 
 The HEADLINE value is the sum of per-query MEDIAN steady passes
 ($SPARK_GRAFT_STEADY_RUNS, default 3) — every pass re-executes the
@@ -176,7 +179,16 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     best2: dict[str, float] = {}
-    for name, fn in qs.items():
+    # Canonical FIXED execution order (sorted by name), decoupled from
+    # the registry/gate-window order: round 10's gate rotation
+    # reordered which queries ran first, and the first-run queries
+    # absorb residual session JIT/first-touch cost — polluting exactly
+    # the per-query normalized deltas the calibration protocol exists
+    # to produce (sliding_daily read +510% on a byte-identical plan).
+    # Gate order still decides WHICH entries the driver checks; bench
+    # timing order never changes again.
+    for name in sorted(qs):
+        fn = qs[name]
         if do_prepass:
             fn(spark, prepass_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()

@@ -553,51 +553,39 @@ def connected_components(
       A driver iteration over a bounded, already-reduced edge list is
       not a distributed-compute smell; shipping 3 extra shuffle
       rounds per iteration for a 2M-row graph is.
-    - above the threshold: distributed iterative min-label
-      propagation — each round every node takes the min of its own
-      label and its neighbors', stopping when a round changes
-      nothing. Near-dup graphs are unions of near-cliques, so
-      convergence is fast (diameter rounds, usually <= 2); for
-      adversarially long paths raise ``max_iter`` (or switch to
-      large-star/small-star, O(log^2 n) rounds). Each round is one
-      shuffle join + one aggregate; labels are cached per round and
-      the previous round's cache is released.
+    - above the threshold: the graph module's hash-min +
+      pointer-jumping propagation (``operators/graph.py``,
+      ``connected_components_converged``) — ONE equi-join + ONE
+      groupBy per round on a reused symmetrized edge partitioning,
+      with a pointer jump per round that halves label-tree depth, so
+      convergence is O(log diameter) rounds rather than O(diameter).
+      Near-dup graphs are unions of near-cliques (diameter usually
+      <= 2); ``max_iter`` caps adversarially long chains, returning
+      the best labels so far like the previous in-module loop did.
+      One clustering implementation now serves both the graph queries
+      and the dedup pipelines (r10 verdict task 6) — min-reachable-id
+      semantics are identical, so ``dedup_neardup_clusters``' oracle
+      is unchanged.
     """
-    # Materialize the pair set ONCE before symmetrizing: `sym` references
-    # `pairs` from two plan branches, and without this cache the entire
-    # upstream candidate pipeline (e.g. jaccard_pairs) executes twice.
+    # Materialize the pair set ONCE before symmetrizing: the component
+    # rounds reference the edges from two plan branches, and without
+    # this cache the entire upstream candidate pipeline (e.g.
+    # jaccard_pairs) executes twice.
     pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).cache()
     if pairs.count() <= driver_edge_threshold:
         return _driver_union_find(pairs)
-    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).cache()
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # Carry the change flag through the label update so convergence
-        # detection is a count over the SAME cached result — one action
-        # per round, not a second self-join job.
-        new_labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias("changed"),
-            )
-        ).cache()
-        changed = new_labels.filter("changed").limit(1).count()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    from nypd_arrest_etl_spark.operators.graph import (
+        connected_components_converged,
+    )
+
+    comp, _rounds, _converged = connected_components_converged(
+        pairs, max_rounds=max_iter, src="a", dst="b"
+    )
     # `pairs` stays cached: the returned frame's lineage runs through it,
     # and the pair list is tiny (near-dup edges, not the corpus).
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_rep")
+    )
 
 
 def _driver_union_find(pairs: DataFrame) -> DataFrame:

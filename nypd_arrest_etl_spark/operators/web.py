@@ -646,6 +646,73 @@ def robots_allowed(
     return out.withColumnRenamed("__allowed", out_col)
 
 
+def robots_allowed_rowwise(
+    df: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Streaming-safe :func:`robots_allowed`: identical RFC 9309
+    decision (same normalization, same ``*``/``$`` regexes, same
+    longest-match-octets + Allow tie-break), restructured so a
+    STREAMING DataFrame can flow through it.
+
+    The batch variant's per-DISTINCT-(host, path) machinery needs a
+    ``distinct`` and a ``groupBy`` — stateful operations Structured
+    Streaming cannot run in append mode mid-pipeline. Here the rule
+    set (static, O(hosts)) is pre-aggregated ONCE into one row per
+    host carrying an array<struct{l, a, rx}> of compiled rules; the
+    stream then takes one stream-static equi-join on host and decides
+    each row with stateless higher-order functions (filter + a
+    struct-ordering aggregate over the array). Tradeoff, documented:
+    the regex evaluation runs per DOCUMENT row instead of per distinct
+    (host, path) — the stateless form a per-event admission gate
+    needs; batch re-caps should keep using :func:`robots_allowed`.
+    Agreement between the two forms is asserted in tests/test_web.py.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"robots_allowed_rowwise would overwrite existing column "
+            f"{out_col!r}"
+        )
+    prefn = pct_normalize(F.col("prefix"))
+    per_host = (
+        rules.select(
+            "host",
+            F.struct(
+                F.octet_length(prefn).alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                robots_rule_regex(prefn).alias("rx"),
+            ).alias("r"),
+        )
+        .groupBy("host")
+        .agg(F.collect_list("r").alias("__rules"))
+        .withColumnRenamed("host", "__rh")
+    )
+    host = url_host(F.col(url_col))
+    raw_path = F.regexp_extract(F.col(url_col), _PATH_QUERY_RE, 1)
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    joined = (
+        df.withColumn("__pn", pct_normalize(path))
+        .withColumn("__h", host)
+        .join(per_host, F.col("__h") == per_host["__rh"], "left")
+    )
+    # Longest match then Allow-wins, as one stateless expression:
+    # filter the host's rules to the matching ones, take the
+    # struct-ordering max of (octets, allow); no match -> NULL ->
+    # default-allow.
+    best = F.array_max(
+        F.expr("filter(__rules, r -> __pn rlike r.rx)")
+    )
+    decided = joined.withColumn(
+        out_col,
+        F.when(F.col("__rules").isNull(), F.lit(True)).otherwise(
+            F.coalesce(best["a"] == 1, F.lit(True))
+        ),
+    )
+    return decided.drop("__pn", "__h", "__rh", "__rules")
+
+
 # ---------------------------------------------------------------------------
 # Public-suffix-list registrable domains (the production path the
 # last-two-labels approximation above documents)

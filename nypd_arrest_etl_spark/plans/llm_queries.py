@@ -2492,6 +2492,61 @@ def q_web_html_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text_parsed(base, "page_html").select("doc_id", "text")
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the WARC ingestion DataSource
+    (sources/warc.py) — the crawl chain's first link: a capture
+    deterministically derived from the documents table is written as
+    multi-member .warc.gz files (one per task), read back through the
+    registered ``warc`` source (one partition per file, Arrow-batched
+    rows, streaming O(record)-memory decode), filtered to ``response``
+    records past the interleaved warcinfo/request records, and reduced
+    to fields the oracle recomputes from documents directly: URL,
+    capture time, HTTP status, payload byte length, payload md5, and
+    the parsed X-Doc HTTP header. A hash match proves record framing,
+    gzip member handling, HTTP envelope parsing, and header mapping
+    all byte-exact."""
+    import os as _os
+
+    from nypd_arrest_etl_spark.sources.warc import (
+        build_warc_fixture,
+        register_warc,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    out = _os.path.join(
+        repo,
+        "spark-warehouse",
+        f"warc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_warc_fixture(spark, sf_dir, out)
+    register_warc(spark)
+    df = spark.read.format("warc").option("path", out).load()
+    return df.filter(F.col("warc_type") == "response").select(
+        "url",
+        F.date_format("fetch_ts", "yyyy-MM-dd HH:mm:ss").alias("fetch_ts"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("body").cast("bigint").alias("content_length"),
+        F.md5("body").alias("md5_body"),
+        F.element_at("http_headers", F.lit("x-doc"))
+        .cast("bigint")
+        .alias("x_doc"),
+    )
+
+
+ORACLE_WARC_INGEST = r"""
+SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+       strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%d %H:%M:%S') AS fetch_ts,
+       200::INTEGER AS http_status,
+       strlen(text)::BIGINT AS content_length,
+       md5(text) AS md5_body,
+       doc_id AS x_doc
+FROM documents
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -2561,4 +2616,5 @@ LLM_OPS: dict[str, tuple] = {
     "graph_kcore": (q_graph_kcore, ORACLE_GRAPH_KCORE),
     "graph_kcore_converged": (q_graph_kcore_converged, None),
     "web_html_parsed": (q_web_html_parsed, None),
+    "warc_ingest": (q_warc_ingest, ORACLE_WARC_INGEST),
 }

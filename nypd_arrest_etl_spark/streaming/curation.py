@@ -305,3 +305,109 @@ def curate_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def crawl_curate_pipeline(
+    spark: SparkSession,
+    raw_table: str,
+    rules: DataFrame,
+    work_dir: str,
+    cap: int = 5,
+    quality_keep: Column | None = None,
+    threshold: float = 0.8,
+):
+    """ONE drain of the complete streaming crawl chain — the
+    composition the individually-green links were built for
+    (r10 verdict task 7):
+
+        raw manifest table
+          -> robots_allowed_rowwise  (RFC 9309 gate; stream-static
+             join + stateless HOF decision — the streaming lane of
+             operators/web.py)
+          -> domain_cap_stream       (per-(domain, day) admission
+             quota, applyInPandasWithState, deterministic replay)
+          -> exactly-once admissions table (manifest_table streaming
+             sink, version-offset checkpointed)
+          -> quality_signals + keep-predicate over the admitted docs
+             (batch hop, doc_id-keyed insert-if-absent: idempotent)
+          -> curate_incremental_neardup into the curated + LSH-index
+             tables (fingerprint-keyed exactly-once merges)
+
+    Each stage is idempotent or exactly-once, so re-running the WHOLE
+    pipeline (same checkpoints) commits nothing anywhere — the
+    property tests/test_curation_pipeline.py asserts version-for-
+    version. Raw rows need (doc_id long, url string, ts timestamp,
+    text string). Returns a dict of table paths.
+    """
+    import os
+
+    from nypd_arrest_etl_spark.operators.web import (
+        quality_signals,
+        robots_allowed_rowwise,
+    )
+    from nypd_arrest_etl_spark.sinks.manifest import snapshot
+    from nypd_arrest_etl_spark.streaming.quota import domain_cap_stream
+
+    register_manifest_table(spark)
+    admissions = os.path.join(work_dir, "admissions")
+    admitted_docs = os.path.join(work_dir, "admitted_docs")
+    curated = os.path.join(work_dir, "curated")
+    index = os.path.join(work_dir, "lsh_index")
+
+    # Stage 1 (streaming, stateful): robots gate -> per-domain quota
+    # -> exactly-once admissions.
+    stream = (
+        spark.readStream.format("manifest_table")
+        .option("path", raw_table)
+        .load()
+    )
+    gated = robots_allowed_rowwise(stream, "url", rules).filter("allowed")
+    admitted = domain_cap_stream(
+        gated, cap=cap, url_col="url", ts_col="ts", id_col="doc_id"
+    )
+    q = (
+        admitted.writeStream.format("manifest_table")
+        .option("path", admissions)
+        .option("streamId", "crawl-admit")
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt_admit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # Stage 2 (batch, idempotent): admitted doc ids pick up their text
+    # from the raw table, quality signals gate them, and the survivors
+    # land doc_id-keyed — replays insert nothing.
+    snap = snapshot(admissions)
+    if snap is not None and snap.n_files:
+        ids = snap.read(spark).select("doc_id")
+        raw = snapshot(raw_table).read(spark).select("doc_id", "url", "text")
+        docs = raw.join(ids, "doc_id")
+        scored = quality_signals(docs, "text")
+        kept = scored if quality_keep is None else scored.filter(quality_keep)
+        merge_insert_if_absent_txn(
+            spark,
+            kept.select("doc_id", "url", "text"),
+            admitted_docs,
+            key="doc_id",
+        )
+
+    # Stage 3 (streaming): the incremental near-dup curation loop over
+    # the admitted docs — fingerprint-keyed exactly-once on both the
+    # curated and index tables.
+    if snapshot(admitted_docs) is not None:
+        q2 = curate_incremental_neardup(
+            spark,
+            raw_table=admitted_docs,
+            curated_table=curated,
+            index_table=index,
+            checkpoint=os.path.join(work_dir, "ckpt_curate"),
+            threshold=threshold,
+        )
+        q2.awaitTermination(300)
+    return {
+        "admissions": admissions,
+        "admitted_docs": admitted_docs,
+        "curated": curated,
+        "index": index,
+    }

@@ -240,3 +240,92 @@ def test_neardup_recovers_from_crash_between_index_and_curated(spark, tmp_path):
     assert kept == [1]
     # the replayed index merge was a no-op (content-keyed)
     assert M.snapshot(index).version == 0
+
+
+# ---------------------------------------------------------------------------
+# Full streaming crawl chain (r10 verdict task 7): robots gate ->
+# per-domain quota -> quality -> incremental near-dup curation, each
+# link previously green in isolation, composed end to end.
+# ---------------------------------------------------------------------------
+
+_CRAWL_SCHEMA = "doc_id long, url string, ts timestamp, text string"
+_BASE = "the quick brown fox jumps over the lazy dog again and again today"
+_NEAR = _BASE.replace("today", "tonight")  # high bigram overlap
+_FAR = "completely different words about spark manifests and parquet files"
+_SPAM = "nav\nnav\nnav\nnav"  # dup_line_frac = 0.75 -> quality-dropped
+
+
+def _crawl_rows(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, __import__("datetime").datetime.fromisoformat(ts), t)
+         for i, u, ts, t in rows],
+        _CRAWL_SCHEMA,
+    )
+
+
+def _crawl_rules(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_rules
+
+    body = "User-agent: *\nDisallow: /tmp/\nDisallow: /*.pdf$\n"
+    robots = spark.createDataFrame([("a.com", body)], ["h", "txt"])
+    return robots_rules(robots, "h", "txt", agent="trainbot")
+
+
+def test_crawl_chain_composes_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.streaming.curation import crawl_curate_pipeline
+
+    raw = str(tmp_path / "raw")
+    work = str(tmp_path / "work")
+    rules = _crawl_rules(spark)
+
+    M.append(spark, _crawl_rows(spark, [
+        (1, "http://a.com/doc/1", "2020-01-01T00:00:00", _BASE),
+        (2, "http://a.com/tmp/2", "2020-01-01T00:00:01", _FAR),       # robots
+        (3, "http://a.com/doc/3.pdf", "2020-01-01T00:00:02", _FAR),   # robots *$
+        (4, "http://a.com/doc/4", "2020-01-01T00:00:03", _FAR),       # admitted
+        (5, "http://a.com/doc/5", "2020-01-01T00:00:04", "quota victim text"),
+        (6, "http://a.com/doc/6", "2020-01-02T00:00:00", _NEAR),      # day 2
+        (7, "http://b.com/any/7", "2020-01-01T00:00:00", _SPAM),      # quality
+    ]), raw)
+
+    run = lambda: crawl_curate_pipeline(
+        spark, raw, rules, work, cap=2,
+        quality_keep=F.col("dup_line_frac") <= 0.5,
+        threshold=0.6,
+    )
+    out = run()
+
+    # robots dropped 2+3; quota (cap=2/day) admitted 1,4 on day 1 and
+    # dropped 5; 6 rode day 2's fresh quota; 7 passed robots+quota.
+    admitted = sorted(
+        r["doc_id"] for r in M.snapshot(out["admissions"]).read(spark).collect()
+    )
+    assert admitted == [1, 4, 6, 7]
+    # quality dropped 7 (0.75 dup-line fraction); curation then
+    # near-dup-dropped 6 against 1 (bigram jaccard past threshold).
+    assert sorted(
+        r["doc_id"] for r in M.snapshot(out["admitted_docs"]).read(spark).collect()
+    ) == [1, 4, 6]
+    assert sorted(
+        r["doc_id"] for r in M.snapshot(out["curated"]).read(spark).collect()
+    ) == [1, 4]
+
+    # Replaying the WHOLE pipeline (same checkpoints) must commit
+    # nothing anywhere: admission is checkpoint-skipped, the doc_id
+    # merge re-inserts nothing, curation's drain sees no new versions.
+    versions = {k: M.snapshot(p).version for k, p in out.items()}
+    run()
+    assert {k: M.snapshot(p).version for k, p in out.items()} == versions
+
+    # Incremental: one new raw doc flows the whole chain and ONLY the
+    # affected tables advance by exactly its commits.
+    M.append(spark, _crawl_rows(spark, [
+        (9, "http://b.com/ok/9", "2020-01-03T00:00:00",
+         "entirely novel content with unique tokens"),
+    ]), raw)
+    out2 = run()
+    assert sorted(
+        r["doc_id"] for r in M.snapshot(out2["curated"]).read(spark).collect()
+    ) == [1, 4, 9]

@@ -119,6 +119,9 @@ _SOAK_DENOMINATORS = {
     # web_quality_signals runs the same synthesized-page extraction
     # before its line-shape HOFs — byte-bound like the extractor.
     "web_quality_signals": 152.8,
+    # warc_ingest reads record payloads that ARE the document texts —
+    # byte-bound like the other per-doc ops.
+    "warc_ingest": 152.8,
 }
 _SOAK_DEFAULT_DENOM = 100.0
 _SOAK_FLAGSHIPS = (

@@ -78,6 +78,10 @@ QUERIES = [
     "web_robots",               # per-host parse + per-path match joins (r10)
     "graph_kcore",              # 3 degree-filter/semi-join peel rounds (r10)
     "probe_linear_fit",         # one-pass normal-equation sums + map scoring (r10)
+    "warc_ingest",              # WARC DataSource read: partition-per-file,
+                                # streaming gzip decode (r11). The warm pass
+                                # builds the fixture once (marker-gated); the
+                                # timed pass measures the READ path only.
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
@@ -267,6 +271,64 @@ def main() -> None:
         flush=True,
     )
 
+    # ---- graph family under ADVERSARIAL Zipf skew (round 11, VERDICT
+    # r10 task 5): the main-table graph soaks use bounded-degree
+    # synthetic edges; real link graphs are power-law. dst =
+    # floor(V/u) for u uniform on [1, V] gives P(dst=1) ~ 1/2 — a
+    # mega-hub holding ~40% of DISTINCT edges at every scale — with a
+    # Zipf^2 tail behind it. V = the fact row count, so the hub's
+    # edge mass grows AT the data ratio instead of saturating a fixed
+    # node universe. What this stresses: the contribs/label
+    # groupBy(dst) on the hot key (must stay mass-linear via map-side
+    # partial aggregation) and the rank/label-to-edges join whose hub
+    # partition is a deliberate straggler.
+    from nypd_arrest_etl_spark.operators.graph import (
+        connected_components as _g_cc,
+        pagerank as _g_pr,
+        triangle_count as _g_tri,
+    )
+
+    def _zipf_edges(d):
+        li = spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        n = li.count()
+        u = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n)) + 1
+        return li.select(
+            F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(n)).alias("src"),
+            F.floor(F.lit(n) / u).cast("long").alias("dst"),
+        ).filter("src != dst")
+
+    zipf_acct = {}
+    zipf_times = {}
+    for label, d in [("base", BASE), ("soak", soak_dir)]:
+        est = (
+            _zipf_edges(d)
+            .distinct()
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c").alias("m"), F.max("c").alias("hub"))
+            .collect()[0]
+        )
+        zipf_acct[label] = (int(est["m"]), int(est["hub"]))
+        row = {}
+        for gname, fn in [
+            ("graph_pagerank", lambda e: _g_pr(e, iterations=3)),
+            ("graph_components", lambda e: _g_cc(e, rounds=3)),
+            ("graph_triangles", _g_tri),
+        ]:
+            fn(_zipf_edges(d)).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(_zipf_edges(d)).write.format("noop").mode("overwrite").save()
+            row[gname] = round(time.perf_counter() - t0, 2)
+        zipf_times[label] = row
+        print(
+            f"zipf graph ({label}): edges {zipf_acct[label][0]:,} "
+            f"(hub {zipf_acct[label][1]:,}) times {row}",
+            flush=True,
+        )
+    zipf_edge_ratio = round(zipf_acct["soak"][0] / zipf_acct["base"][0], 1)
+    zipf_hub_ratio = round(zipf_acct["soak"][1] / zipf_acct["base"][1], 1)
+
     # ---- curation-loop merge vs curated-table size: the incremental
     # pipeline's kernel (serializable insert-if-absent on the content
     # fingerprint) against a table with rep-times the files/rows, plus
@@ -366,6 +428,18 @@ def main() -> None:
         f" probes per-file bitmaps) | {cur_times['base'][2]} |"
         f" {cur_times['soak'][2]} | {bloom_ratio}x |"
     )
+    for gname in ("graph_pagerank", "graph_components", "graph_triangles"):
+        zr = (
+            round(zipf_times["soak"][gname] / zipf_times["base"][gname], 1)
+            if zipf_times["base"][gname]
+            else 0.0
+        )
+        lines.append(
+            f"| {gname} ZIPF-SKEW power-law edges (mega-hub; edge mass"
+            f" x{zipf_edge_ratio}, hub degree x{zipf_hub_ratio}) |"
+            f" {zipf_times['base'][gname]} | {zipf_times['soak'][gname]} |"
+            f" {zr}x |"
+        )
     tq = {name: (b, s, r) for name, b, s, r in results}
 
     def _row(name):
@@ -490,6 +564,22 @@ def main() -> None:
         "  candidate scan is a broadcast join against 8-byte codes (32:1",
         "  compression), so its mass is corpus rows, and the exact re-rank",
         "  touches refine*k rows per query regardless of scale.",
+        "- The ZIPF-SKEW graph rows (round 11) replace the bounded-degree",
+        "  synthetic edges with an adversarial power-law graph: dst =",
+        "  floor(V/u), u uniform on [1, V], V = fact rows — node 1 holds",
+        "  ~40% of all distinct edges AT BOTH SCALES, so the hot key's",
+        "  mass grows at the data ratio rather than saturating. The",
+        "  label/contrib groupBy(dst) survives via map-side partial",
+        "  aggregation (the hub collapses to one row per task before the",
+        "  exchange); the deliberate straggler is the edges-side hub",
+        "  partition in the per-round join. Judge the time ratios against",
+        f"  the measured edge-mass growth (x{zipf_edge_ratio}) and hub-degree",
+        f"  growth (x{zipf_hub_ratio}).",
+        "- `warc_ingest` (round 11) times the WARC DataSource READ path",
+        "  (the fixture build is marker-gated into the warm pass):",
+        "  partition-per-file streaming gzip decode, file count scaling",
+        "  with the corpus. Its work is corpus BYTES (the record payloads",
+        "  are the document texts), so judge it against the byte growth.",
         "- A sub-1x ratio (ANN) means AQE picked a better physical plan at the",
         "  larger size than at the base size.",
         "",
