@@ -535,6 +535,27 @@ def robots_rules(
       ``*`` matches any character sequence, a trailing ``$`` anchors
       the end of the path).
     """
+    g = _robots_grouped(df, host_col, txt_col, ("allow", "disallow"))
+    chosen = _robots_chosen_groups(g, agent)
+    return (
+        g.filter((F.col("is_ua") == 0) & (F.col("val") != ""))
+        .join(chosen, ["host", "grp"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
+    )
+
+
+def _robots_grouped(
+    df: DataFrame, host_col: str, txt_col: str, keys: tuple
+) -> DataFrame:
+    """Shared robots.txt line parse -> DataFrame[host, pos, key, val,
+    is_ua, grp]: comment/CR stripping, key/value split, and the
+    consecutive-User-agent-lines group numbering every record-level
+    consumer (rules, crawl-delay, sitemaps) keys on. ``keys`` are the
+    record names to keep besides ``user-agent``."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -546,15 +567,21 @@ def robots_rules(
     val = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
     parsed = lines.select(
         "host", "pos", key.alias("key"), val.alias("val")
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("key").isin("user-agent", *keys))
     w = Window.partitionBy("host").orderBy("pos")
-    g = (
+    return (
         parsed.withColumn("is_ua", (F.col("key") == "user-agent").cast("int"))
         .withColumn("prev_ua", F.lag("is_ua", 1, 0).over(w))
         .withColumn(
             "grp", F.sum(F.col("is_ua") * (1 - F.col("prev_ua"))).over(w)
         )
     )
+
+
+def _robots_chosen_groups(g: DataFrame, agent: str) -> DataFrame:
+    """The (host, grp) pairs whose records apply to ``agent``: groups
+    naming the exact agent (case-insensitive) win over ``*`` groups;
+    ALL matching groups merge (the RFC's combine rule)."""
     agents = (
         g.filter(F.col("is_ua") == 1)
         .groupBy("host", "grp")
@@ -568,17 +595,71 @@ def robots_rules(
     any_exact = agents.groupBy("host").agg(
         F.max("has_agent").alias("any_exact")
     )
-    chosen = agents.join(any_exact, "host").filter(
-        ((F.col("any_exact") == 1) & (F.col("has_agent") == 1))
-        | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+    return (
+        agents.join(any_exact, "host")
+        .filter(
+            ((F.col("any_exact") == 1) & (F.col("has_agent") == 1))
+            | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+        )
+        .select("host", "grp")
+    )
+
+
+def robots_policy(
+    df: DataFrame,
+    host_col: str,
+    txt_col: str,
+    agent: str,
+) -> DataFrame:
+    """Per-host crawl POLICY beyond allow/disallow ->
+    DataFrame[host, crawl_delay, sitemaps, n_sitemaps]:
+
+    - ``crawl_delay`` (double, NULL when absent): the de-facto
+      standard ``Crawl-delay:`` record most crawlers honor (NOT part
+      of RFC 9309 — unlike ``*``/``$``, this one really is an
+      extension), group-scoped under the same exact-agent-beats-star
+      selection as :func:`robots_rules`. When several matching groups
+      carry delays they merge to the MAX — the polite reading of the
+      RFC's group-combine rule. Non-numeric or negative values are
+      dropped (``try_cast`` semantics, same posture as the ETL's
+      dirty-numeric handling).
+    - ``sitemaps`` (sorted, comma-joined) + ``n_sitemaps``: the
+      sitemaps.org ``Sitemap:`` records, which are group-INDEPENDENT
+      by that protocol — valid anywhere in the file, including before
+      any group (where allow/disallow would be ignored).
+
+    Same scale posture as the rule parse: everything shuffles
+    O(hosts), never O(documents)."""
+    g = _robots_grouped(df, host_col, txt_col, ("crawl-delay", "sitemap"))
+    hosts = df.select(F.col(host_col).alias("host")).distinct()
+    chosen = _robots_chosen_groups(g, agent)
+    delay_val = F.col("val").try_cast("double")
+    delays = (
+        g.filter(F.col("key") == "crawl-delay")
+        .join(chosen, ["host", "grp"])
+        .withColumn("d", delay_val)
+        .filter(F.col("d") >= 0)
+        .groupBy("host")
+        .agg(F.max("d").alias("crawl_delay"))
+    )
+    sitemaps = (
+        g.filter((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("val")), ",").alias(
+                "sitemaps"
+            ),
+            F.size(F.collect_set("val")).alias("n_sitemaps"),
+        )
     )
     return (
-        g.filter((F.col("is_ua") == 0) & (F.col("val") != ""))
-        .join(chosen.select("host", "grp"), ["host", "grp"])
+        hosts.join(delays, "host", "left")
+        .join(sitemaps, "host", "left")
         .select(
             "host",
-            F.col("val").alias("prefix"),
-            (F.col("key") == "allow").alias("allow"),
+            "crawl_delay",
+            F.coalesce("sitemaps", F.lit("")).alias("sitemaps"),
+            F.coalesce("n_sitemaps", F.lit(0)).alias("n_sitemaps"),
         )
     )
 

@@ -2535,6 +2535,56 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl policy from robots.txt: the group-scoped
+    Crawl-delay under exact-beats-star agent selection (exact group's
+    2.5 beating the star group's 10 on even hosts; a non-numeric delay
+    dropped on odd hosts) and the group-independent sitemaps.org
+    Sitemap records (one BEFORE any group — ignored by the rule parse,
+    kept by the policy parse — one inside). Parses once per DISTINCT
+    host like the rule/admission operators."""
+    from nypd_arrest_etl_spark.operators.web import robots_policy
+
+    docs = t(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(F.concat(F.col("source"), F.lit(".com")).alias("host"))
+        .distinct()
+    )
+    parity = (
+        F.regexp_extract(F.col("host"), r"([0-9]+)\.com$", 1).cast("int") % 2
+    )
+    body_even = F.concat(
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/top.xml\n"),
+        F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"),
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/a.xml\n"),
+        F.lit("\nUser-agent: trainbot\nCrawl-delay: 2.5\nAllow: /\n"),
+    )
+    body_odd = F.lit(
+        "User-agent: *\nDisallow: /y\nCrawl-delay: bogus\n# comment\n"
+    )
+    robots = hosts.select(
+        "host", F.when(parity == 0, body_even).otherwise(body_odd).alias("txt")
+    )
+    return robots_policy(robots, "host", "txt", agent="trainbot")
+
+
+ORACLE_WEB_ROBOTS_POLICY = r"""
+WITH hosts AS (SELECT DISTINCT source || '.com' AS host FROM documents),
+par AS (
+  SELECT host,
+         CAST(regexp_extract(host, '([0-9]+)\.com$', 1) AS INT) % 2 AS p
+  FROM hosts
+)
+SELECT host,
+       CASE WHEN p = 0 THEN CAST(2.5 AS DOUBLE) ELSE NULL END AS crawl_delay,
+       CASE WHEN p = 0
+            THEN 'https://' || host || '/a.xml,https://' || host || '/top.xml'
+            ELSE '' END AS sitemaps,
+       CASE WHEN p = 0 THEN 2 ELSE 0 END AS n_sitemaps
+FROM par
+"""
+
+
 ORACLE_WARC_INGEST = r"""
 SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
        strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(doc_id),
@@ -2617,4 +2667,5 @@ LLM_OPS: dict[str, tuple] = {
     "graph_kcore_converged": (q_graph_kcore_converged, None),
     "web_html_parsed": (q_web_html_parsed, None),
     "warc_ingest": (q_warc_ingest, ORACLE_WARC_INGEST),
+    "web_robots_policy": (q_web_robots_policy, ORACLE_WEB_ROBOTS_POLICY),
 }

@@ -373,7 +373,8 @@ def crawl_curate_pipeline(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        raise TimeoutError("crawl_curate_pipeline: admission drain did not finish")
 
     # Stage 2 (batch, idempotent): admitted doc ids pick up their text
     # from the raw table, quality signals gate them, and the survivors
@@ -404,7 +405,8 @@ def crawl_curate_pipeline(
             checkpoint=os.path.join(work_dir, "ckpt_curate"),
             threshold=threshold,
         )
-        q2.awaitTermination(300)
+        if not q2.awaitTermination(300):
+            raise TimeoutError("crawl_curate_pipeline: curation drain did not finish")
     return {
         "admissions": admissions,
         "admitted_docs": admitted_docs,

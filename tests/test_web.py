@@ -533,6 +533,83 @@ def test_robots_longest_match_uses_normalized_octets(spark):
     assert got == [True, False]
 
 
+def test_robots_rowwise_agrees_with_batch(spark):
+    from nypd_arrest_etl_spark.operators.web import (
+        robots_allowed,
+        robots_allowed_rowwise,
+        robots_rules,
+    )
+
+    body = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\nAllow: /doc/%70ub/\nDisallow: /doc/9\n"
+        "Allow: /doc/\n"
+    )
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    rules = robots_rules(robots, "h", "txt", agent="anybot")
+    urls = [
+        "http://ex.com/private/x", "http://ex.com/private/ok1",
+        "http://ex.com/doc/file.pdf", "http://ex.com/doc/p%75b/z",
+        "http://ex.com/doc/99", "http://ex.com/doc/5",
+        "http://other.com/a", "http://ex.com",
+    ]
+    df = spark.createDataFrame(list(enumerate(urls)), ["id", "url"])
+    batch = {r.id: r.allowed for r in robots_allowed(df, "url", rules).collect()}
+    roww = {r.id: r.allowed
+            for r in robots_allowed_rowwise(df, "url", rules).collect()}
+    assert batch == roww
+    # and the stream-safe form keeps the caller's columns intact
+    assert robots_allowed_rowwise(df, "url", rules).columns == [
+        "id", "url", "allowed"]
+
+
+def test_robots_policy_delay_and_sitemaps(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_policy
+
+    body = (
+        "Sitemap: https://ex.com/top.xml\n"       # before any group: valid
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+        "Sitemap: https://ex.com/a.xml\n"
+        "\nUser-agent: trainbot\nCrawl-delay: 2.5\nAllow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("ex.com", body), ("empty.com", "User-agent: *\nDisallow: /\n")],
+        ["h", "txt"],
+    )
+    got = {r.host: r for r in
+           robots_policy(robots, "h", "txt", agent="trainbot").collect()}
+    ex = got["ex.com"]
+    # exact group's delay wins over the star group's
+    assert ex.crawl_delay == 2.5
+    # sitemaps are group-independent: the pre-group one counts
+    assert ex.sitemaps == "https://ex.com/a.xml,https://ex.com/top.xml"
+    assert ex.n_sitemaps == 2
+    none = got["empty.com"]
+    assert none.crawl_delay is None
+    assert (none.sitemaps, none.n_sitemaps) == ("", 0)
+
+
+def test_robots_policy_merged_groups_take_max_delay(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_policy
+
+    body = (
+        "User-agent: trainbot\nCrawl-delay: 3\nDisallow: /a\n"
+        "\nUser-agent: trainbot\nCrawl-delay: 7\nDisallow: /b\n"
+    )
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    row = robots_policy(robots, "h", "txt", agent="trainbot").collect()[0]
+    assert row.crawl_delay == 7.0  # polite merge: max across groups
+
+
+def test_robots_policy_drops_bogus_and_negative_delays(spark):
+    from nypd_arrest_etl_spark.operators.web import robots_policy
+
+    body = "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: -5\n"
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    row = robots_policy(robots, "h", "txt", agent="any").collect()[0]
+    assert row.crawl_delay is None
+
+
 def test_robots_allowed_refuses_column_collision(spark):
     import pytest as _pytest
 
