@@ -15,7 +15,9 @@ Evidence layers, strongest first:
    numbers could carry (r9's flagged ratios sit inside the spread x
    the session's anchor ratio, or they don't — that's the verdict).
 
-Usage: python tools/bench_ab.py [passes]   (default 7; idle machine!)
+Usage: python tools/bench_ab.py [passes] [query ...]
+(default 7 passes over the r9-flagged pair; pass query names to A/B
+any registry entries; idle machine!)
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FLAGGED = ["ccnet_buckets", "sole_returning_supplier"]
+# default: the r9-flagged pair; override with query names on argv
+FLAGGED = sys.argv[2:] or ["ccnet_buckets", "sole_returning_supplier"]
 
 
 def plan_digest(df) -> str:
