@@ -112,4 +112,129 @@ def score_linear(
     return expr
 
 
-__all__ = ["fit_linear_probe", "score_linear"]
+def fit_logistic_probe(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 2,
+    beta_round: int = 10,
+) -> list[float]:
+    """Logistic probe via IRLS (iteratively reweighted least squares)
+    -> [intercept, beta_1, ..., beta_k] after ``iterations`` Newton
+    steps from beta = 0. This is the ACTUAL shape of the
+    FineWeb-Edu-style quality classifiers (a logistic head over cheap
+    features); the linear probe above is its one-pass cousin.
+
+    Each iteration is ONE aggregation pass (same scan-and-reduce
+    posture as ``fit_linear_probe`` — k(k+3)/2 + k + 2 scalar sums,
+    map-side partial-aggregated) followed by a driver-side
+    (k+1)x(k+1) solve; nothing grows with corpus size except the
+    per-iteration scan.
+
+    Cross-engine determinism (what makes the fixed-iteration oracle
+    hash-replayable): per row the probability is quantized to 1e-6
+    fixed point (P = round(p * 1e6), clamped to [1, 999999]) and every
+    aggregated term is an exact INTEGER in that fixed-point domain —
+    w_s = P(1e6 - P), w_s*x_i*x_j, x_i*(y*1e6 - P) — summed as
+    decimal(38,0), which both Spark and DuckDB aggregate exactly, so
+    the sums are bit-identical REGARDLESS of summation order (a plain
+    double sum diverges between a parallel and a sequential engine by
+    ~n*ulp, which feeds back through the iteration). The working
+    response never materializes: X'Wz = X'WX . beta + X'(y - p),
+    assembled from those sums driver-side. k = 1 solves with the
+    explicit 2x2 closed form (the same formula text the SQL oracle
+    uses — bit-identical); k > 1 uses numpy (deterministic, but not
+    claimed bit-equal to a SQL replay). Betas are rounded to
+    ``beta_round`` decimals between iterations so both engines feed
+    identical literals forward.
+    """
+    try:
+        import numpy as np
+    except ImportError as exc:  # pragma: no cover - numpy ships in image
+        raise RuntimeError("fit_logistic_probe needs numpy driver-side") from exc
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("fit_logistic_probe needs at least one feature")
+    if iterations < 1:
+        raise ValueError("fit_logistic_probe needs at least one iteration")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    y6 = (F.col(label_col).cast("double") * 1_000_000).cast("long")
+    clean = df.na.drop(subset=list(feature_cols) + [label_col])
+    beta = [0.0] * (k + 1)
+    for _ in range(iterations):
+        eta = F.lit(float(beta[0]))
+        for b, x in zip(beta[1:], xs):
+            eta = eta + F.lit(float(b)) * x
+        p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        P = F.round(p_raw * 1_000_000, 0).cast("long")
+        P = F.least(F.greatest(P, F.lit(1)), F.lit(999_999))
+        ws = (P * (F.lit(1_000_000) - P)).cast("decimal(38,0)")
+        xl = [F.lit(1)] + [x.cast("long") for x in xs]
+        aggs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                aggs.append(
+                    F.sum(ws * xl[i] * xl[j]).alias(f"a_{i}_{j}")
+                )
+        resid = y6 - P  # exact long in the 1e-6 domain
+        for i in range(k + 1):
+            aggs.append(F.sum(xl[i] * resid).alias(f"c_{i}"))
+        row = clean.agg(*aggs).collect()[0]
+        if row["a_0_0"] is None:
+            raise ValueError(
+                "fit_logistic_probe: no rows survive the NULL drop"
+            )
+        a = np.empty((k + 1, k + 1))
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                a[i, j] = a[j, i] = float(row[f"a_{i}_{j}"])
+        c = np.array([float(row[f"c_{i}"]) for i in range(k + 1)])
+        if k == 1:
+            # explicit 2x2 closed form, formula text mirrored by the
+            # SQL oracle (ORACLE_PROBE_LOGISTIC_FIT) so the float ops
+            # run in the same order on both engines
+            s0, s1, s2 = a[0, 0], a[0, 1], a[1, 1]
+            b0, b1 = beta
+            t0 = (s0 * b0 + s1 * b1) * 1e-12 + c[0] * 1e-6
+            t1 = (s1 * b0 + s2 * b1) * 1e-12 + c[1] * 1e-6
+            det = s0 * s2 - s1 * s1
+            if det == 0.0:
+                raise ValueError(
+                    "fit_logistic_probe: singular IRLS system"
+                )
+            beta = [
+                round(((s2 * t0 - s1 * t1) / det) * 1e12, beta_round),
+                round(((s0 * t1 - s1 * t0) / det) * 1e12, beta_round),
+            ]
+        else:
+            xtwx = a * 1e-12
+            xtwz = xtwx @ np.array(beta) + c * 1e-6
+            try:
+                nb = np.linalg.solve(xtwx, xtwz)
+            except np.linalg.LinAlgError as exc:
+                raise ValueError(
+                    "fit_logistic_probe: singular IRLS system — "
+                    "collinear features"
+                ) from exc
+            beta = [round(float(b), beta_round) for b in nb]
+    return [float(b) for b in beta]
+
+
+def score_logistic(
+    feature_cols: list[str | Column],
+    betas: list[float],
+) -> Column:
+    """``sigmoid(betas . [1, features])`` as one codegen'd column
+    expression — the probability scoring pass, map-only at any
+    corpus size (coefficients are plan literals)."""
+    eta = score_linear(feature_cols, betas)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+
+
+__all__ = [
+    "fit_linear_probe",
+    "fit_logistic_probe",
+    "score_linear",
+    "score_logistic",
+]

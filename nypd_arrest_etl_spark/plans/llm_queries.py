@@ -2410,6 +2410,97 @@ FROM f CROSS JOIN b
 """
 
 
+def q_probe_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRLS logistic probe (the FineWeb-Edu quality-classifier shape:
+    a logistic head over a cheap engine-computed feature): 2 Newton
+    steps of ``(n_chars > 250) ~ whitespace-token count``, one
+    aggregation pass per step, then a map-only sigmoid scoring pass.
+    Cross-engine bit-determinism comes from the fixed-point IRLS in
+    operators/probe.py — per-row probabilities quantize to 1e-6 and
+    every aggregated term is an exact integer summed as decimal, so
+    the sums match DuckDB's regardless of summation order; the oracle
+    replays both Newton steps as chained CTEs with the same 2x2
+    closed form."""
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe,
+        score_logistic,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x"),
+        F.when(F.col("n_chars") > 250, 1.0).otherwise(0.0).alias("y"),
+    )
+    b0, b1 = fit_logistic_probe(base, ["x"], "y", iterations=2)
+    p = score_logistic(["x"], [b0, b1])
+    return base.select(
+        "doc_id",
+        F.round(F.lit(b0), 6).alias("intercept"),
+        F.round(F.lit(b1), 6).alias("slope"),
+        F.round(p, 6).alias("p_hat"),
+        (p >= 0.5).alias("pred"),
+    )
+
+
+# One IRLS Newton step as SQL: quantize p to 1e-6 fixed point, sum the
+# exact integer terms as HUGEINT, rebuild X'Wz from X'WX.beta + X'(y-p),
+# solve the 2x2 with the SAME formula text as fit_logistic_probe's
+# k=1 branch. {b0}/{b1} are "0" for the first step, scalar subqueries
+# against the previous step's b{p} CTE after.
+_LOGIT_ITER = """
+i{i} AS (
+  SELECT x, y6,
+    CAST(least(greatest(round((1/(1+exp(-({b0} + {b1} * x)))) * 1000000, 0),
+               1), 999999) AS HUGEINT) AS P
+  FROM f
+),
+s{i} AS (
+  SELECT CAST(sum(P * (1000000 - P)) AS DOUBLE) AS s0,
+         CAST(sum(P * (1000000 - P) * CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(P * (1000000 - P) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y6 AS HUGEINT) - P) AS DOUBLE) AS c0,
+         CAST(sum(CAST(x AS HUGEINT) * (CAST(y6 AS HUGEINT) - P)) AS DOUBLE) AS c1
+  FROM i{i}
+),
+b{i} AS (
+  SELECT round(((s2 * t0 - s1 * t1) / det) * 1e12, 10) AS b0,
+         round(((s0 * t1 - s1 * t0) / det) * 1e12, 10) AS b1
+  FROM (SELECT s0, s1, s2,
+               (s0 * ({b0}) + s1 * ({b1})) * 1e-12 + c0 * 1e-6 AS t0,
+               (s1 * ({b0}) + s2 * ({b1})) * 1e-12 + c1 * 1e-6 AS t1,
+               s0 * s2 - s1 * s1 AS det
+        FROM s{i})
+)"""
+
+ORACLE_PROBE_LOGISTIC_FIT = (
+    r"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::DOUBLE AS x,
+         CASE WHEN n_chars > 250 THEN 1000000 ELSE 0 END::BIGINT AS y6
+  FROM documents WHERE text IS NOT NULL
+),
+"""
+    + ",".join(
+        _LOGIT_ITER.format(
+            i=i,
+            b0="0" if i == 0 else f"(SELECT b0 FROM b{i - 1})",
+            b1="0" if i == 0 else f"(SELECT b1 FROM b{i - 1})",
+        )
+        for i in (0, 1)
+    )
+    + """
+SELECT f.doc_id,
+       round(b.b0, 6) AS intercept,
+       round(b.b1, 6) AS slope,
+       round(1/(1+exp(-(b.b0 + b.b1 * f.x))), 6) AS p_hat,
+       (1/(1+exp(-(b.b0 + b.b1 * f.x))) >= 0.5) AS pred
+FROM f CROSS JOIN b1 b
+"""
+)
+
+
 def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-core-plus-sparse-periphery graph, stable at EVERY scale:
     a complete 25-clique over the constant nation table (internal
@@ -2668,4 +2759,5 @@ LLM_OPS: dict[str, tuple] = {
     "web_html_parsed": (q_web_html_parsed, None),
     "warc_ingest": (q_warc_ingest, ORACLE_WARC_INGEST),
     "web_robots_policy": (q_web_robots_policy, ORACLE_WEB_ROBOTS_POLICY),
+    "probe_logistic_fit": (q_probe_logistic_fit, ORACLE_PROBE_LOGISTIC_FIT),
 }

@@ -67,3 +67,103 @@ def test_score_linear_is_map_only_literal_plan(spark):
 def test_score_linear_beta_arity_checked():
     with pytest.raises(ValueError, match="betas"):
         score_linear(["a"], [1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------------------
+# Logistic probe (IRLS)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_irls_twin(x, y, iterations=2):
+    """Pure-numpy twin of fit_logistic_probe's quantized k=1 IRLS —
+    same 1e-6 fixed-point quantization, same 2x2 closed form, same
+    per-iteration rounding — for exact-equality testing."""
+    import numpy as np
+
+    b0 = b1 = 0.0
+    for _ in range(iterations):
+        eta = b0 + b1 * x
+        p_raw = 1.0 / (1.0 + np.exp(-eta))
+        P = np.clip(np.floor(p_raw * 1_000_000 + 0.5), 1, 999_999)
+        ws = P * (1_000_000 - P)
+        s0, s1, s2 = ws.sum(), (ws * x).sum(), (ws * x * x).sum()
+        resid = y * 1_000_000 - P
+        c0, c1 = resid.sum(), (x * resid).sum()
+        t0 = (s0 * b0 + s1 * b1) * 1e-12 + c0 * 1e-6
+        t1 = (s1 * b0 + s2 * b1) * 1e-12 + c1 * 1e-6
+        det = s0 * s2 - s1 * s1
+        b0 = round(((s2 * t0 - s1 * t1) / det) * 1e12, 10)
+        b1 = round(((s0 * t1 - s1 * t0) / det) * 1e12, 10)
+    return [b0, b1]
+
+
+def test_logistic_probe_matches_numpy_twin_exactly(spark):
+    import numpy as np
+
+    from nypd_arrest_etl_spark.operators.probe import fit_logistic_probe
+
+    rng = [(i, float(5 + (i * 37) % 60), 1.0 if (i * 37) % 60 > 30 else 0.0)
+           for i in range(200)]
+    df = spark.createDataFrame(rng, "id long, x double, y double")
+    got = fit_logistic_probe(df, ["x"], "y", iterations=2)
+    x = np.array([r[1] for r in rng])
+    y = np.array([r[2] for r in rng])
+    want = _numpy_irls_twin(x, y)
+    # exact: the quantized sums are integers, the solve is the same
+    # formula text, the rounding grid is identical
+    assert got == want
+
+
+def test_logistic_probe_separates_and_scores_monotonically(spark):
+    from pyspark.sql import functions as F
+
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe,
+        score_logistic,
+    )
+
+    rows = [(i, float(i), 1.0 if i >= 10 else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    b = fit_logistic_probe(df, ["x"], "y", iterations=4)
+    assert b[1] > 0  # larger x -> higher probability
+    scored = df.select("id", score_logistic(["x"], b).alias("p")).collect()
+    ps = {r.id: r.p for r in scored}
+    assert all(0.0 < p < 1.0 for p in ps.values())
+    assert ps[19] > ps[10] > ps[0]
+    assert ps[19] > 0.5 > ps[0]
+
+
+def test_logistic_probe_multifeature_numpy_path(spark):
+    from nypd_arrest_etl_spark.operators.probe import fit_logistic_probe
+
+    rows = [(i, float(i % 7), float((i * 3) % 5),
+             1.0 if (i % 7) + ((i * 3) % 5) > 5 else 0.0) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    b = fit_logistic_probe(df, ["x1", "x2"], "y", iterations=3)
+    assert len(b) == 3
+    assert b[1] > 0 and b[2] > 0
+
+
+def test_logistic_probe_degenerate_labels_still_solve(spark):
+    from nypd_arrest_etl_spark.operators.probe import fit_logistic_probe
+
+    rows = [(i, float(i), 1.0) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    # all-positive labels: P clamps keep the weights nonzero, the
+    # intercept runs positive, no crash
+    b = fit_logistic_probe(df, ["x"], "y", iterations=2)
+    assert b[0] > 0
+
+
+def test_logistic_probe_guards(spark):
+    import pytest as _pytest
+
+    from nypd_arrest_etl_spark.operators.probe import fit_logistic_probe
+
+    df = spark.createDataFrame([(1, 1.0, None)], "id long, x double, y double")
+    with _pytest.raises(ValueError, match="no rows"):
+        fit_logistic_probe(df, ["x"], "y")
+    with _pytest.raises(ValueError, match="at least one feature"):
+        fit_logistic_probe(df, [], "y")
+    with _pytest.raises(ValueError, match="iteration"):
+        fit_logistic_probe(df, ["x"], "y", iterations=0)

@@ -78,6 +78,8 @@ QUERIES = [
     "web_robots",               # per-host parse + per-path match joins (r10)
     "graph_kcore",              # 3 degree-filter/semi-join peel rounds (r10)
     "probe_linear_fit",         # one-pass normal-equation sums + map scoring (r10)
+    "probe_logistic_fit",       # 2 IRLS passes of fixed-point integer sums +
+                                # sigmoid map scoring (r11)
     "warc_ingest",              # WARC DataSource read: partition-per-file,
                                 # streaming gzip decode (r11). The warm pass
                                 # builds the fixture once (marker-gated); the
