@@ -49,14 +49,16 @@ _GATE_PRIORITY = [
     # task 8 — "the ledger now makes this mechanical"). The 50 entries
     # below are exactly the 50 full-oracle registry entries with the
     # OLDEST last-gated round in COVERAGE.md's ledger, ties broken by
-    # name: the round's three new entries (probe_logistic_fit + warc_ingest +
-    # web_robots_policy, birth-round verification) + the 23 relational staples last gated in r1 +
+    # name: the round's four new entries (crawl_batch_chain +
+    # probe_logistic_fit + warc_ingest + web_robots_policy,
+    # birth-round verification) + the 23 relational staples last gated in r1 +
     # the r4-r8 cohorts whose turn has come back around. Recompute
     # next round with tools/gate_ledger.py (sort full-oracle entries
     # by (last_gated, name), take 50). Bench timing order is
     # independent (bench.py times in sorted-name order), so rotation
     # no longer perturbs per-query timings.
-    "probe_logistic_fit", "warc_ingest", "web_robots_policy",
+    "crawl_batch_chain", "probe_logistic_fit", "warc_ingest",
+    "web_robots_policy",
     "customer_distribution",
     "disjunctive_revenue",
     "forecast_revenue", "idle_rich_customers", "important_stock",
@@ -73,7 +75,7 @@ _GATE_PRIORITY = [
     "sliding_daily", "dedup_simhash_pairs", "grouped_distinct",
     "sample_fixed_per_source", "sessionize", "text_lm_score",
     "trailing_week_revenue", "dedup_jaccard_pairs", "drift_sources",
-    "histogram_chars", "multimodal_manifest", "range_pairs_5min",
+    "histogram_chars", "multimodal_manifest",
 ]
 
 

@@ -2613,7 +2613,15 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_warc_fixture(spark, sf_dir, out)
     register_warc(spark)
-    df = spark.read.format("warc").option("path", out).load()
+    # types=response: the interleaved warcinfo/request records are
+    # dropped AT DECODE (reader option), never materializing as rows;
+    # the residual filter is a no-op belt-and-braces.
+    df = (
+        spark.read.format("warc")
+        .option("path", out)
+        .option("types", "response")
+        .load()
+    )
     return df.filter(F.col("warc_type") == "response").select(
         "url",
         F.date_format("fetch_ts", "yyyy-MM-dd HH:mm:ss").alias("fetch_ts"),
@@ -2673,6 +2681,115 @@ SELECT host,
             ELSE '' END AS sitemaps,
        CASE WHEN p = 0 THEN 2 ELSE 0 END AS n_sitemaps
 FROM par
+"""
+
+
+def q_crawl_batch_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of streaming/curation.py's crawl_curate_pipeline
+    as ONE declarative plan: WARC capture (decode-filtered to
+    ``response`` records via the reader option) -> RFC 9309 robots
+    admission (with a ``/doc/*7$`` wildcard-anchor rule doing real
+    work: it outranks ``Allow: /doc/`` on octet length) -> token-count
+    quality gate -> per-host admission/quality accounting. Everything
+    after the Python-source scan is codegen'd relational algebra; the
+    oracle recomputes the whole chain from the documents table."""
+    import os as _os
+
+    from nypd_arrest_etl_spark.operators.web import (
+        robots_allowed,
+        robots_rules,
+    )
+    from nypd_arrest_etl_spark.sources.warc import (
+        build_warc_fixture,
+        register_warc,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    out = _os.path.join(
+        repo,
+        "spark-warehouse",
+        f"warc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_warc_fixture(spark, sf_dir, out)
+    register_warc(spark)
+    docs = t(spark, sf_dir, "documents")
+    robots = (
+        docs.select(F.concat(F.col("source"), F.lit(".example")).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.lit(
+                "User-agent: *\nDisallow: /doc/9\nAllow: /doc/\n"
+                "Disallow: /doc/*7$\n"
+            ).alias("txt"),
+        )
+    )
+    rules = robots_rules(robots, "host", "txt", agent="trainbot")
+    cap = (
+        spark.read.format("warc")
+        .option("path", out)
+        .option("types", "response")
+        .load()
+        .select(
+            "url",
+            F.decode(F.col("body"), "UTF-8").alias("text"),
+        )
+    )
+    gated = robots_allowed(cap, "url", rules)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    scored = gated.select(
+        F.regexp_extract("url", r"^http://([^/]*)/", 1).alias("host"),
+        F.col("allowed"),
+        toks.alias("tokens"),
+    ).withColumn("kept", F.col("allowed") & (F.col("tokens") >= 30))
+    return scored.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("allowed").cast("int")).alias("n_allowed"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.round(
+            F.when(
+                F.sum(F.col("kept").cast("int")) > 0,
+                F.sum(F.when(F.col("kept"), F.col("tokens")).otherwise(0))
+                / F.sum(F.col("kept").cast("int")),
+            ),
+            6,
+        ).alias("avg_kept_tokens"),
+    )
+
+
+ORACLE_CRAWL_BATCH_CHAIN = r"""
+WITH f AS (
+  SELECT source || '.example' AS host,
+         CAST(doc_id AS VARCHAR) AS id,
+         len(string_split_regex(trim(text), '\s+')) AS tokens
+  FROM documents
+),
+g AS (
+  SELECT host, tokens,
+         -- longest-match in octets over the normalized rules:
+         -- /doc/9 (6, disallow) > /doc/ (5, allow); /doc/*7$ (8,
+         -- disallow) > /doc/ — so ids starting '9' OR ending '7'
+         -- are blocked, everything else rides Allow: /doc/.
+         NOT (starts_with(id, '9') OR id LIKE '%7') AS allowed
+  FROM f
+),
+k AS (
+  SELECT host, allowed, tokens,
+         (allowed AND tokens >= 30) AS kept
+  FROM g
+)
+SELECT host,
+       count(*)::BIGINT AS n_records,
+       sum(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
+                  THEN sum(CASE WHEN kept THEN tokens ELSE 0 END)::DOUBLE
+                       / sum(CASE WHEN kept THEN 1 ELSE 0 END)
+             END, 6) AS avg_kept_tokens
+FROM k
+GROUP BY host
 """
 
 
@@ -2760,4 +2877,5 @@ LLM_OPS: dict[str, tuple] = {
     "warc_ingest": (q_warc_ingest, ORACLE_WARC_INGEST),
     "web_robots_policy": (q_web_robots_policy, ORACLE_WEB_ROBOTS_POLICY),
     "probe_logistic_fit": (q_probe_logistic_fit, ORACLE_PROBE_LOGISTIC_FIT),
+    "crawl_batch_chain": (q_crawl_batch_chain, ORACLE_CRAWL_BATCH_CHAIN),
 }

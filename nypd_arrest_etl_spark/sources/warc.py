@@ -253,6 +253,20 @@ class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.batch_rows = int(options.get("batchrows", "512"))
+        # option("types", "response[,request,...]"): filter record
+        # types AT DECODE, before any row materializes — an explicit
+        # reader option rather than Catalyst pushFilters because of
+        # the Spark 4.1 Python-source plan-reuse quirk that made
+        # pushdown opt-in everywhere else in this repo (analysis in
+        # sources/pg_source.py). A crawl pipeline reads `response`
+        # records ~exclusively; request/warcinfo/metadata records are
+        # framing overhead it should never pay Arrow transfer for.
+        types = options.get("types", "")
+        self.types = (
+            {t.strip() for t in types.split(",") if t.strip()}
+            if types
+            else None
+        )
 
     def partitions(self):
         paths = _expand_paths(self.path)
@@ -293,6 +307,8 @@ class WarcReader(DataSourceReader):
         with opener(path, "rb") as fh:
             for rec in iter_warc_records(fh):
                 wtype = rec.get("warc-type", "")
+                if self.types is not None and wtype not in self.types:
+                    continue
                 block = rec["body"]
                 ctype = rec.get("content-type", "")
                 if wtype == "response" and ctype.startswith(
@@ -324,8 +340,11 @@ class WarcReader(DataSourceReader):
 
 class WarcDataSource(DataSource):
     """Registered as ``warc``; requires option ``path`` (file,
-    directory, or glob). One partition per file; Arrow-batched rows;
-    see module docstring for the scale argument."""
+    directory, or glob). Optional ``types`` (comma-separated
+    WARC-Type allowlist, e.g. ``"response"``) filters records at
+    decode so skipped types never materialize as rows. One partition
+    per file; Arrow-batched rows; see module docstring for the scale
+    argument."""
 
     @classmethod
     def name(cls) -> str:

@@ -114,6 +114,28 @@ def test_datasource_partition_per_file(spark, tmp_path):
     assert sorted(files) == ["p0.warc.gz", "p1.warc.gz", "p2.warc.gz"]
 
 
+def test_datasource_types_option_filters_at_decode(spark, tmp_path):
+    p = str(tmp_path / "a.warc.gz")
+    write_warc(p, RECS)
+    register_warc(spark)
+    df = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("types", "response")
+        .load()
+    )
+    got = df.collect()
+    assert len(got) == 2
+    assert {r.warc_type for r in got} == {"response"}
+    both = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path))
+        .option("types", "response, warcinfo")
+        .load()
+    )
+    assert both.count() == 3
+
+
 def test_datasource_missing_path_raises(spark, tmp_path):
     register_warc(spark)
     df = spark.read.format("warc").option(

@@ -80,6 +80,7 @@ QUERIES = [
     "probe_linear_fit",         # one-pass normal-equation sums + map scoring (r10)
     "probe_logistic_fit",       # 2 IRLS passes of fixed-point integer sums +
                                 # sigmoid map scoring (r11)
+    "crawl_batch_chain",        # WARC -> robots -> quality, one plan (r11)
     "warc_ingest",              # WARC DataSource read: partition-per-file,
                                 # streaming gzip decode (r11). The warm pass
                                 # builds the fixture once (marker-gated); the
