@@ -460,7 +460,16 @@ def pct_normalize(col: Column | str) -> Column:
     followed by two hex digits) through literally. Applied to BOTH the
     rule path-pattern and the URL path so '%70ub' and 'p%75b' compare
     equal. Zero Python in the row path — split/transform/array_join
-    all codegen."""
+    all codegen.
+
+    Contract: apply EXACTLY ONCE per side (which robots_allowed,
+    robots_allowed_rowwise and the SQL oracle all do). On well-formed
+    input the function is idempotent (property-tested); on MALFORMED
+    input a stray '%' can absorb a decoded character on a second pass
+    ('/%7%41' -> '/%7A', which a second pass would read as a valid
+    %7A escape) — single-pass determinism, not idempotence, is the
+    guarantee there, and RFC 3986 assigns malformed escapes no
+    semantics to preserve anyway."""
     col = F.col(col) if isinstance(col, str) else col
     parts = F.split(col, "%")
     head = F.element_at(parts, 1)

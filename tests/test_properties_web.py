@@ -94,3 +94,111 @@ def test_html_to_text_whitespace_discipline(spark, values):
         assert "\n\n" not in txt
         assert txt == txt.strip("\n")
         assert not txt.startswith(" ") and not txt.endswith(" ")
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 percent normalization + rule-regex translation (round 11)
+# ---------------------------------------------------------------------------
+
+# path-shaped fuzz: slashes, unreserved + reserved chars, %-escapes
+# (well-formed, uppercase, lowercase, and STRAY ones), wildcards
+_pathish = st.lists(
+    st.one_of(
+        st.text(alphabet="abcZ09./_~-*$?=&", min_size=1, max_size=4),
+        st.sampled_from(
+            ["%2F", "%2f", "%41", "%61", "%7e", "%aF", "%", "%z", "%7"]
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+).map(lambda parts: "/" + "".join(parts))
+
+
+def _pct_norm_py(s):
+    """Driver-side twin of pct_normalize for property checks."""
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and re.match(r"[0-9A-Fa-f]{2}", s[i + 1: i + 3] or ""):
+            h = s[i + 1: i + 3].upper()
+            ch = chr(int(h, 16))
+            if re.match(r"[A-Za-z0-9._~-]", ch):
+                out.append(ch)
+            else:
+                out.append("%" + h)
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_pathish, min_size=1, max_size=6))
+def test_pct_normalize_matches_sequential_twin(spark, values):
+    """ALL inputs, malformed escapes included: the column expression
+    equals a sequential reference implementation character-for-
+    character — the single-pass determinism both admission paths and
+    the SQL oracle rely on."""
+    from nypd_arrest_etl_spark.operators.web import pct_normalize
+
+    df = spark.createDataFrame([(v,) for v in values], ["p"])
+    got = df.select("p", pct_normalize(F.col("p")).alias("n")).collect()
+    for r in got:
+        assert r.n == _pct_norm_py(r.p), (r.p, r.n)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_pathish.filter(
+    lambda p: not re.search(r"%(?![0-9A-Fa-f]{2})", p)
+), min_size=1, max_size=6))
+def test_pct_normalize_idempotent_on_wellformed(spark, values):
+    """WELL-FORMED inputs (every '%' starts a two-hex escape):
+    normalization is idempotent. Malformed input is deliberately out
+    of scope — a stray '%' can absorb a decoded char on a second pass
+    ('/%7%41' -> '/%7A' -> '/z', found BY this property test in r11)
+    — so pct_normalize's contract is apply-exactly-once, documented
+    in its docstring."""
+    from nypd_arrest_etl_spark.operators.web import pct_normalize
+
+    df = spark.createDataFrame([(v,) for v in values], ["p"])
+    got = (
+        df.select("p", pct_normalize(F.col("p")).alias("n"))
+        .select("p", "n", pct_normalize(F.col("n")).alias("nn"))
+        .collect()
+    )
+    for r in got:
+        assert r.nn == r.n, (r.p, r.n, r.nn)
+
+
+@settings(**SETTINGS)
+@given(st.lists(_pathish, min_size=1, max_size=4))
+def test_robots_batch_and_rowwise_agree_under_fuzz(spark, paths):
+    """The streaming-safe rowwise admission and the batch
+    distinct-machinery admission are the SAME RFC decision — fuzzed
+    over wildcard/anchor/escape-bearing rules and paths."""
+    from nypd_arrest_etl_spark.operators.web import (
+        robots_allowed,
+        robots_allowed_rowwise,
+        robots_rules,
+    )
+
+    body = (
+        "User-agent: *\n"
+        + "".join(
+            f"{'Allow' if i % 2 else 'Disallow'}: {p}\n"
+            for i, p in enumerate(paths)
+        )
+        + "Disallow: /*.pdf$\n"
+    )
+    robots = spark.createDataFrame([("ex.com", body)], ["h", "txt"])
+    rules = robots_rules(robots, "h", "txt", agent="any")
+    urls = [(i, "http://ex.com" + p) for i, p in enumerate(paths)] + [
+        (len(paths), "http://ex.com/x.pdf"),
+        (len(paths) + 1, "http://ex.com/other"),
+    ]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    a = {r.id: r.allowed for r in robots_allowed(df, "url", rules).collect()}
+    b = {r.id: r.allowed
+         for r in robots_allowed_rowwise(df, "url", rules).collect()}
+    assert a == b
