@@ -141,7 +141,20 @@ def fit_logistic_probe(
     double sum diverges between a parallel and a sequential engine by
     ~n*ulp, which feeds back through the iteration). The working
     response never materializes: X'Wz = X'WX . beta + X'(y - p),
-    assembled from those sums driver-side. k = 1 solves with the
+    assembled from those sums driver-side.
+
+    Features must be INTEGRAL-VALUED (token counts, byte lengths,
+    0/1 flags — the natural engine-computed probe features): the
+    fixed-point scheme quantizes the PROBABILITY, and keeps the
+    features exact by summing them as integers, which only works if
+    they are integers to begin with. A fractional feature would have
+    to be truncated or rounded — Spark's cast truncates toward zero
+    while DuckDB's rounds to nearest, so the cross-engine
+    bit-agreement the oracle relies on would silently break. The fit
+    therefore VALIDATES integrality inside the same aggregation pass
+    (k extra counting sums, no additional scan) and raises on the
+    first fractional feature instead of guessing. Scale features to
+    an integer grid first (e.g. ``round(ratio * 1e6)``) if needed. k = 1 solves with the
     explicit 2x2 closed form (the same formula text the SQL oracle
     uses — bit-identical); k > 1 uses numpy (deterministic, but not
     claimed bit-equal to a SQL replay). Betas are rounded to
@@ -177,13 +190,38 @@ def fit_logistic_probe(
                 aggs.append(
                     F.sum(ws * xl[i] * xl[j]).alias(f"a_{i}_{j}")
                 )
-        resid = y6 - P  # exact long in the 1e-6 domain
+        # exact long in the 1e-6 domain; widened to decimal(38,0)
+        # BEFORE the sum so the gradient terms carry the same
+        # no-silent-wrap guarantee as the a_ij terms (a plain BIGINT
+        # sum wraps at ~1e19 corpus x feature mass under non-ANSI
+        # mode, diverging from the oracle's HUGEINT sum)
+        resid = (y6 - P).cast("decimal(19,0)")
         for i in range(k + 1):
-            aggs.append(F.sum(xl[i] * resid).alias(f"c_{i}"))
+            aggs.append(
+                F.sum(xl[i].cast("decimal(19,0)") * resid).alias(f"c_{i}")
+            )
+        # integrality guard, same pass: a fractional feature would be
+        # truncated by the long cast (DuckDB rounds — cross-engine
+        # divergence), so refuse it outright
+        for i, x in enumerate(xs):
+            aggs.append(
+                F.sum((x != F.floor(x)).cast("int")).alias(f"frac_{i}")
+            )
         row = clean.agg(*aggs).collect()[0]
         if row["a_0_0"] is None:
             raise ValueError(
                 "fit_logistic_probe: no rows survive the NULL drop"
+            )
+        bad = [
+            feature_cols[i]
+            for i in range(k)
+            if (row[f"frac_{i}"] or 0) > 0
+        ]
+        if bad:
+            raise ValueError(
+                "fit_logistic_probe: non-integral feature values in "
+                f"{bad} — features must be integer-valued (scale to an "
+                "integer grid, e.g. round(ratio * 1e6), first)"
             )
         a = np.empty((k + 1, k + 1))
         for i in range(k + 1):
