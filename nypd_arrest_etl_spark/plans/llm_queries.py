@@ -2805,6 +2805,85 @@ FROM documents
 """
 
 
+def q_warc_decode_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP body decoding proof over the four real-capture shapes
+    (round 12): the fixture capture frames each document's response
+    body by ``doc_id % 4`` — plain / Content-Encoding: gzip /
+    Transfer-Encoding: chunked / chunked AROUND gzip — and the reader
+    (sources/warc.py:decode_http_body) must undo exactly what each
+    record declares. The query reconstructs the shape label from the
+    surviving HTTP headers, so the grouping itself proves the headers
+    were parsed, and the per-shape md5 extremes + byte totals against
+    the documents table prove the payloads came back byte-exact
+    through gzip member decode, chunk de-framing, and both stacked.
+    ``all_decoded`` asserts the body_decoded flag end-to-end."""
+    import os as _os
+
+    from nypd_arrest_etl_spark.sources.warc import (
+        build_warc_fixture,
+        register_warc,
+    )
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    out = _os.path.join(
+        repo,
+        "spark-warehouse",
+        f"warc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_warc_fixture(spark, sf_dir, out)
+    register_warc(spark)
+    cap = (
+        spark.read.format("warc")
+        .option("path", out)
+        .option("types", "response")
+        .load()
+    )
+    te = F.element_at("http_headers", F.lit("transfer-encoding"))
+    ce = F.element_at("http_headers", F.lit("content-encoding"))
+    shape = (
+        F.when(te.isNotNull() & ce.isNotNull(), "chunked+gzip")
+        .when(te.isNotNull(), "chunked")
+        .when(ce.isNotNull(), "gzip")
+        .otherwise("plain")
+    )
+    return (
+        cap.select(
+            shape.alias("shape"),
+            F.length("body").cast("bigint").alias("nbytes"),
+            F.md5("body").alias("m"),
+            F.col("body_decoded"),
+        )
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nbytes").alias("sum_bytes"),
+            F.min("m").alias("md5_min"),
+            F.max("m").alias("md5_max"),
+            F.count_distinct(F.col("m")).alias("n_md5"),
+            F.bool_and("body_decoded").alias("all_decoded"),
+        )
+    )
+
+
+ORACLE_WARC_DECODE_MIX = r"""
+SELECT CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 'plain'
+         WHEN 1 THEN 'gzip'
+         WHEN 2 THEN 'chunked'
+         ELSE 'chunked+gzip' END AS shape,
+       count(*)::BIGINT AS n_docs,
+       sum(octet_length(encode(text)))::BIGINT AS sum_bytes,
+       min(md5(text)) AS md5_min,
+       max(md5(text)) AS md5_max,
+       count(DISTINCT md5(text))::BIGINT AS n_md5,
+       TRUE AS all_decoded
+FROM documents
+GROUP BY 1
+"""
+
+
 LLM_OPS: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_jaccard_pairs, ORACLE_JACCARD_PAIRS),
@@ -2878,4 +2957,5 @@ LLM_OPS: dict[str, tuple] = {
     "web_robots_policy": (q_web_robots_policy, ORACLE_WEB_ROBOTS_POLICY),
     "probe_logistic_fit": (q_probe_logistic_fit, ORACLE_PROBE_LOGISTIC_FIT),
     "crawl_batch_chain": (q_crawl_batch_chain, ORACLE_CRAWL_BATCH_CHAIN),
+    "warc_decode_mix": (q_warc_decode_mix, ORACLE_WARC_DECODE_MIX),
 }

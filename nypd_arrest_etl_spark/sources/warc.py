@@ -44,6 +44,7 @@ from datetime import datetime, timezone
 __all__ = [
     "WARC_SCHEMA_DDL",
     "WarcDataSource",
+    "decode_http_body",
     "iter_warc_records",
     "parse_http_response",
     "register_warc",
@@ -53,11 +54,17 @@ __all__ = [
 _CRLF = b"\r\n"
 
 # Output schema of the `warc` DataSource (one row per WARC record).
+# ``body`` is the DECODED payload for response records (chunked
+# framing removed, Content-Encoding decompressed); ``body_decoded``
+# is false only when a declared encoding could not be fully removed
+# (truncated gzip member, malformed chunk framing, unknown coding) —
+# the body then carries the best-effort partial decode so downstream
+# text/quality/dedup stages can still gate on the flag.
 WARC_SCHEMA_DDL = (
     "file string, record_id string, warc_type string, url string, "
     "fetch_ts timestamp, content_type string, http_status int, "
     "http_content_type string, http_headers map<string,string>, "
-    "body binary"
+    "body binary, body_decoded boolean"
 )
 
 
@@ -77,15 +84,42 @@ def _record_id(url: str, date: str, seq: int) -> str:
     )
 
 
+def _chunk_frame(payload: bytes, chunk_size: int = 1024) -> bytes:
+    """Frame ``payload`` as Transfer-Encoding: chunked (hex size
+    lines, terminating 0-chunk, no trailers)."""
+    out = []
+    for i in range(0, len(payload), chunk_size):
+        piece = payload[i : i + chunk_size]
+        out.append(b"%x" % len(piece) + _CRLF + piece + _CRLF)
+    out.append(b"0" + _CRLF + _CRLF)
+    return b"".join(out)
+
+
 def _http_response_block(
     status: int,
     headers: list[tuple[str, str]],
     body: bytes,
+    chunked: bool = False,
+    gzip_content: bool = False,
 ) -> bytes:
+    """HTTP/1.1 response message. ``gzip_content`` compresses the
+    payload and declares ``Content-Encoding: gzip``; ``chunked``
+    frames the (possibly compressed) payload as chunked transfer
+    coding and OMITS Content-Length per RFC 9112 §6.2 (a message with
+    Transfer-Encoding must not rely on Content-Length). Both together
+    produce the real-capture worst case: gzip inside chunk framing."""
     head = [f"HTTP/1.1 {status} OK".encode()]
     head += [f"{k}: {v}".encode() for k, v in headers]
-    head.append(b"Content-Length: %d" % len(body))
-    return _CRLF.join(head) + _CRLF + _CRLF + body
+    payload = body
+    if gzip_content:
+        payload = gzip.compress(payload, 6)
+        head.append(b"Content-Encoding: gzip")
+    if chunked:
+        payload = _chunk_frame(payload)
+        head.append(b"Transfer-Encoding: chunked")
+    else:
+        head.append(b"Content-Length: %d" % len(payload))
+    return _CRLF.join(head) + _CRLF + _CRLF + payload
 
 
 def write_warc(
@@ -97,7 +131,10 @@ def write_warc(
 
     Each record dict: ``url``, ``date`` (ISO 8601 Z), ``body`` bytes,
     optional ``warc_type`` ('response' default), ``http_status``
-    (200), ``http_headers`` (list of (name, value)). For a ``.gz``
+    (200), ``http_headers`` (list of (name, value)), ``chunked``
+    (frame the response payload as Transfer-Encoding: chunked) and
+    ``gzip_content`` (Content-Encoding: gzip the payload) — the two
+    real-capture body shapes the reader must undo. For a ``.gz``
     path each record becomes its OWN gzip member per the spec annex —
     which is also what exercises the reader's multi-member handling.
     """
@@ -114,6 +151,8 @@ def write_warc(
                 rec.get("http_status", 200),
                 rec.get("http_headers", []),
                 body,
+                chunked=rec.get("chunked", False),
+                gzip_content=rec.get("gzip_content", False),
             )
             ctype = "application/http; msgtype=response"
         elif wtype == "request":
@@ -207,6 +246,116 @@ def parse_http_response(block: bytes):
     return status, headers, body
 
 
+def _decode_chunked(body: bytes) -> tuple[bytes, bool]:
+    """Remove Transfer-Encoding: chunked framing -> (payload, ok).
+    Tolerant the same way the record parser is: a truncated or
+    malformed tail returns every cleanly-framed chunk accumulated so
+    far with ok=False instead of raising (real captures are cut
+    mid-record often enough that tolerance is table stakes). Chunk
+    extensions (``;name=value`` after the hex size) and trailer
+    fields after the 0-chunk are parsed past per RFC 9112 §7.1."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            return b"".join(out), False  # cut before a size line
+        size_field = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return b"".join(out), False  # lost chunk sync
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out), True  # trailers (if any) ignored
+        piece = body[pos : pos + size]
+        out.append(piece)
+        if len(piece) < size:
+            return b"".join(out), False  # cut mid-chunk
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            return b"".join(out), False  # missing chunk-data CRLF
+        pos += 2
+
+
+def _inflate(body: bytes, wbits: int) -> tuple[bytes, bool]:
+    """zlib-decompress with the given window bits, looping over
+    concatenated members (multi-member gzip bodies are legal and
+    CommonCrawl-real). Truncated/corrupt input returns the bytes
+    decompressed so far with ok=False."""
+    import zlib
+
+    out: list[bytes] = []
+    data = body
+    while data:
+        d = zlib.decompressobj(wbits)
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            return b"".join(out), False
+        if not d.eof:
+            return b"".join(out), False  # truncated member
+        if d.unused_data == data:
+            return b"".join(out), False  # no progress: bail
+        data = d.unused_data
+    return b"".join(out), True
+
+
+def _decompress(body: bytes, coding: str) -> tuple[bytes, bool]:
+    if coding in ("gzip", "x-gzip"):
+        # wbits=47 auto-detects gzip/zlib headers
+        return _inflate(body, 47)
+    if coding == "deflate":
+        # RFC says zlib-wrapped, the wild sends raw deflate too:
+        # try wrapped first, fall back to raw on a clean failure
+        payload, ok = _inflate(body, 15)
+        if ok:
+            return payload, True
+        payload2, ok2 = _inflate(body, -15)
+        return (payload2, True) if ok2 else (payload, False)
+    return body, False  # unknown coding: leave bytes, flag it
+
+
+def decode_http_body(body: bytes, headers: dict) -> tuple[bytes, bool]:
+    """Undo the message-body encodings an HTTP response declares ->
+    (payload, fully_decoded). Transfer-Encoding codings are removed
+    first (right-to-left — ``chunked`` is always outermost per RFC
+    9112), then Content-Encoding codings (right-to-left). Supported:
+    chunked, identity, gzip/x-gzip, deflate. An unknown coding or a
+    decode failure stops the pipeline at that layer and returns the
+    best-effort bytes with ok=False — downstream stages gate on the
+    ``body_decoded`` column instead of silently ingesting framing or
+    compressed bytes (the exact poisoning this layer exists to stop)."""
+    ok = True
+    te = [
+        t.strip().lower()
+        for t in headers.get("transfer-encoding", "").split(",")
+        if t.strip()
+    ]
+    for coding in reversed(te):
+        if coding == "identity":
+            continue
+        if coding == "chunked":
+            body, step_ok = _decode_chunked(body)
+        else:
+            body, step_ok = _decompress(body, coding)
+        if not step_ok:
+            return body, False
+    ce = [
+        t.strip().lower()
+        for t in headers.get("content-encoding", "").split(",")
+        if t.strip()
+    ]
+    for coding in reversed(ce):
+        if coding == "identity":
+            continue
+        body, step_ok = _decompress(body, coding)
+        if not step_ok:
+            return body, False
+    return body, ok
+
+
 def _parse_warc_date(s: str):
     """WARC-Date is ISO 8601 UTC ('2020-01-01T00:00:00Z', optional
     fractional seconds in 1.1). Returns a tz-aware datetime or None."""
@@ -290,6 +439,7 @@ class WarcReader(DataSourceReader):
             pa.field("http_content_type", pa.string()),
             pa.field("http_headers", pa.map_(pa.string(), pa.string())),
             pa.field("body", pa.binary()),
+            pa.field("body_decoded", pa.bool_()),
         ]
         schema = pa.schema(fields)
         path = partition.path
@@ -315,8 +465,10 @@ class WarcReader(DataSourceReader):
                     "application/http"
                 ):
                     status, hheaders, body = parse_http_response(block)
+                    body, decoded = decode_http_body(body, hheaders)
                 else:
                     status, hheaders, body = None, {}, block
+                    decoded = True  # nothing declared, nothing to undo
                 rows.append(
                     (
                         fname,
@@ -329,6 +481,7 @@ class WarcReader(DataSourceReader):
                         hheaders.get("content-type"),
                         list(hheaders.items()),
                         body,
+                        decoded,
                     )
                 )
                 if len(rows) >= self.batch_rows:
@@ -379,15 +532,28 @@ def build_warc_fixture(
     + doc_id seconds); every 16th document also gets a paired
     ``request`` record and each file opens with a ``warcinfo`` record,
     so readers must actually FILTER record types, as on real crawl
-    segments. Distributed: ``repartition(n_files)`` + ``mapInPandas``,
-    each task writing ONE ``.warc.gz`` with per-record gzip members.
-    A ``_done`` marker keyed on (row count, n_files) skips
-    regeneration on reruns. Returns ``out_dir``."""
+    segments. The HTTP body SHAPE cycles by ``doc_id % 4`` — plain /
+    Content-Encoding: gzip / Transfer-Encoding: chunked / chunked
+    AROUND gzip — so every oracle run proves the reader's body
+    decoding byte-exact on all four real-capture shapes, not just the
+    identity one. Distributed: ``repartition(n_files)`` +
+    ``mapInPandas``, each task writing ONE ``.warc.gz`` with
+    per-record gzip members. A ``_done`` marker keyed on (fixture
+    version, row count, n_files, content fingerprint) skips
+    regeneration on reruns; the fingerprint (sum of crc32(text) +
+    doc_id, one extra column in the count pass) catches an in-place
+    regenerated documents table with the same row count, which the
+    old (rows, files) key silently reused stale captures for.
+    Returns ``out_dir``."""
     import pandas as pd  # noqa: F401 (executor-side)
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_rows = docs.count()
+    stats = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.crc32(F.col("text").cast("binary")) + F.col("doc_id")),
+    ).first()
+    n_rows, content_fp = stats[0], stats[1]
     if n_files is None:
         # File count scales with the corpus (CommonCrawl posture:
         # segment files of bounded size, parallelism = files) — the
@@ -395,7 +561,7 @@ def build_warc_fixture(
         # instead of pinning task granularity at the small-SF shape.
         n_files = max(4, n_rows // 25_000)
     marker = os.path.join(out_dir, "_done")
-    want = f"{n_rows}:{n_files}"
+    want = f"v2:{n_rows}:{n_files}:{content_fp}"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == want:
@@ -426,6 +592,7 @@ def build_warc_fixture(
                     recs.append(
                         {"warc_type": "request", "url": url, "date": date}
                     )
+                shape = int(doc_id) % 4
                 recs.append(
                     {
                         "url": url,
@@ -435,6 +602,8 @@ def build_warc_fixture(
                             ("Content-Type", "text/html"),
                             ("X-Doc", str(doc_id)),
                         ],
+                        "gzip_content": shape in (1, 3),
+                        "chunked": shape in (2, 3),
                     }
                 )
         n = 0
