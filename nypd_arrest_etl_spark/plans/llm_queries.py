@@ -2443,6 +2443,47 @@ def q_probe_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_probe_logistic_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-to-tolerance IRLS logistic probe (rows-only: the data-
+    dependent iteration count is not SQL-expressible — the same
+    registry posture as graph_*_converged; exact convergence
+    semantics are unit-tested against the numpy twin in
+    tests/test_probe.py). The label mixes a deterministic doc_id hash
+    into the n_chars threshold — ``(n_chars + doc_id*37 % 300) > 400``
+    — because the fixed-step entry's clean threshold is near-separable
+    against the token count, and the logistic MLE on separable data
+    DIVERGES (the converged fit would honestly cap out at 25 steps
+    with converged=False; measured before choosing this target). The
+    noisy band creates real class overlap, so the fit converges in
+    7-8 Newton steps at every test scale. iterations_run and the
+    converged flag ride every row so the contract is visible in the
+    output, not swallowed driver-side."""
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe_converged,
+        score_logistic,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("x"),
+        F.when(
+            (F.col("n_chars") + (F.col("doc_id") * 37) % 300) > 400, 1.0
+        ).otherwise(0.0).alias("y"),
+    )
+    betas, its, converged = fit_logistic_probe_converged(base, ["x"], "y")
+    p = score_logistic(["x"], betas)
+    return base.select(
+        "doc_id",
+        F.round(F.lit(betas[0]), 6).alias("intercept"),
+        F.round(F.lit(betas[1]), 6).alias("slope"),
+        F.lit(its).alias("iterations_run"),
+        F.lit(converged).alias("converged"),
+        F.round(p, 6).alias("p_hat"),
+        (p >= 0.5).alias("pred"),
+    )
+
+
 # One IRLS Newton step as SQL: quantize p to 1e-6 fixed point, sum the
 # exact integer terms as HUGEINT, rebuild X'Wz from X'WX.beta + X'(y-p),
 # solve the 2x2 with the SAME formula text as fit_logistic_probe's
@@ -2958,4 +2999,5 @@ LLM_OPS: dict[str, tuple] = {
     "probe_logistic_fit": (q_probe_logistic_fit, ORACLE_PROBE_LOGISTIC_FIT),
     "crawl_batch_chain": (q_crawl_batch_chain, ORACLE_CRAWL_BATCH_CHAIN),
     "warc_decode_mix": (q_warc_decode_mix, ORACLE_WARC_DECODE_MIX),
+    "probe_logistic_converged": (q_probe_logistic_converged, None),
 }

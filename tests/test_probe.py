@@ -167,3 +167,114 @@ def test_logistic_probe_guards(spark):
         fit_logistic_probe(df, [], "y")
     with _pytest.raises(ValueError, match="iteration"):
         fit_logistic_probe(df, ["x"], "y", iterations=0)
+
+
+def _numpy_irls_converged_twin(x, y, tol=1e-6, max_iterations=25):
+    """Run the quantized twin to the same convergence contract as
+    fit_logistic_probe_converged: max|delta beta| < tol on the
+    rounded grid."""
+    import numpy as np
+
+    b0 = b1 = 0.0
+    for it in range(max_iterations):
+        eta = b0 + b1 * x
+        p_raw = 1.0 / (1.0 + np.exp(-eta))
+        P = np.clip(np.floor(p_raw * 1_000_000 + 0.5), 1, 999_999)
+        ws = P * (1_000_000 - P)
+        s0, s1, s2 = ws.sum(), (ws * x).sum(), (ws * x * x).sum()
+        resid = y * 1_000_000 - P
+        c0, c1 = resid.sum(), (x * resid).sum()
+        t0 = (s0 * b0 + s1 * b1) * 1e-12 + c0 * 1e-6
+        t1 = (s1 * b0 + s2 * b1) * 1e-12 + c1 * 1e-6
+        det = s0 * s2 - s1 * s1
+        nb0 = round(((s2 * t0 - s1 * t1) / det) * 1e12, 10)
+        nb1 = round(((s0 * t1 - s1 * t0) / det) * 1e12, 10)
+        delta = max(abs(nb0 - b0), abs(nb1 - b1))
+        b0, b1 = nb0, nb1
+        if delta < tol:
+            return [b0, b1], it + 1, True
+    return [b0, b1], max_iterations, False
+
+
+def test_logistic_converged_matches_numpy_twin_exactly(spark):
+    import numpy as np
+
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe_converged,
+    )
+
+    # classes must OVERLAP: on separable data the logistic MLE does
+    # not exist and IRLS diverges forever (the i%7 flips create the
+    # label noise a real quality probe always has)
+    rng = [(i, float(5 + (i * 37) % 60),
+            1.0 if ((i * 37) % 60 > 30) != (i % 7 == 0) else 0.0)
+           for i in range(200)]
+    df = spark.createDataFrame(rng, "id long, x double, y double")
+    x = np.array([r[1] for r in rng])
+    y = np.array([r[2] for r in rng])
+    want, want_its, want_conv = _numpy_irls_converged_twin(x, y)
+    got, its, conv = fit_logistic_probe_converged(df, ["x"], "y")
+    assert (got, its, conv) == (want, want_its, want_conv)
+    assert conv is True and 1 < its < 25  # really iterated, really stopped
+
+
+def test_logistic_converged_cap_reports_not_converged(spark):
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe,
+        fit_logistic_probe_converged,
+    )
+
+    rows = [(i, float(5 + (i * 37) % 60),
+             1.0 if ((i * 37) % 60 > 30) != (i % 7 == 0) else 0.0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    betas, its, conv = fit_logistic_probe_converged(df, ["x"], "y",
+                                                    max_iterations=1)
+    assert (its, conv) == (1, False)
+    # a truncated converged run IS the fixed-step fit, step for step
+    assert betas == fit_logistic_probe(df, ["x"], "y", iterations=1)
+
+
+def test_logistic_converged_tol_below_rounding_grid_raises(spark):
+    import pytest
+
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe_converged,
+    )
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "id long, x double, y double")
+    with pytest.raises(ValueError, match="rounding grid"):
+        fit_logistic_probe_converged(df, ["x"], "y", tol=1e-12)
+
+
+def test_logistic_probe_rejects_fractional_features(spark):
+    import pytest
+
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe,
+        fit_logistic_probe_converged,
+    )
+
+    rows = [(i, float(i) + 0.5, 1.0 if i > 5 else 0.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    with pytest.raises(ValueError, match="non-integral feature"):
+        fit_logistic_probe(df, ["x"], "y")
+    with pytest.raises(ValueError, match="non-integral feature"):
+        fit_logistic_probe_converged(df, ["x"], "y")
+
+
+def test_logistic_converged_separable_data_reports_not_converged(spark):
+    # y is a deterministic threshold of x -> the MLE does not exist;
+    # the fit must hit the cap and SAY it did not converge rather
+    # than hand back diverging betas as final
+    rows = [(i, float(5 + (i * 37) % 60), 1.0 if (i * 37) % 60 > 30 else 0.0)
+            for i in range(200)]
+    from nypd_arrest_etl_spark.operators.probe import (
+        fit_logistic_probe_converged,
+    )
+
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    _betas, its, conv = fit_logistic_probe_converged(
+        df, ["x"], "y", max_iterations=5
+    )
+    assert (its, conv) == (5, False)
