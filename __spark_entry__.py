@@ -4,12 +4,12 @@
 ``queries()`` — every implemented operator from SURVEY.md §2 (plus the
 LLM-data-pipeline extensions), as (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twins; omitted only for
-the 5 ops whose semantics are genuinely engine-internal (native
+the ops whose semantics are genuinely engine-internal (native
 HLL/KLL sketches, IVF k-means, iterative BPE, SemDeDup's driver
 k-means cells, PQ codebooks — plus the data-dependent-iteration
-graph fixed points) — those get the driver's rows-only check plus
-exact-guarantee unit tests. Every gate-window entry (first 50)
-carries a full oracle; 126 of 133 registry entries do.
+graph and IRLS fixed points) — those get the driver's rows-only
+check plus exact-guarantee unit tests. Every gate-window entry
+(first 50) carries a full oracle; 132 of 142 registry entries do.
 """
 
 from __future__ import annotations
@@ -45,37 +45,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # artifact fails the suite instead of silently shrinking coverage.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # r11 window: pure LEAST-RECENTLY-GATED rotation (VERDICT r10
-    # task 8 — "the ledger now makes this mechanical"). The 50 entries
-    # below are exactly the 50 full-oracle registry entries with the
-    # OLDEST last-gated round in COVERAGE.md's ledger, ties broken by
-    # name: the round's four new entries (crawl_batch_chain +
-    # probe_logistic_fit + warc_ingest + web_robots_policy,
-    # birth-round verification) + the 23 relational staples last gated in r1 +
-    # the r4-r8 cohorts whose turn has come back around. Recompute
-    # next round with tools/gate_ledger.py (sort full-oracle entries
-    # by (last_gated, name), take 50). Bench timing order is
-    # independent (bench.py times in sorted-name order), so rotation
-    # no longer perturbs per-query timings.
-    "crawl_batch_chain", "probe_logistic_fit", "warc_ingest",
-    "web_robots_policy",
-    "customer_distribution",
-    "disjunctive_revenue",
-    "forecast_revenue", "idle_rich_customers", "important_stock",
-    "large_orders", "late_order_priority", "local_supplier_volume",
-    "market_share", "min_cost_supplier", "ntile_quartiles",
-    "potential_promotion", "priority_lines", "product_type_profit",
-    "promo_revenue", "returned_items", "shipping_priority",
-    "small_order_revenue", "sole_returning_supplier", "supplier_counts",
-    "top_supplier", "top_terms", "volume_shipping",
-    "percentile_prices", "similarity_quantized", "text_chunks",
-    "unpivot_measures", "vector_norms", "brand_volume",
-    "cube_orders", "grouping_sets_sql", "monthly_revenue_spine",
-    "nation_accounts_reconciliation", "pivot_status_by_year", "revenue_by_nation",
-    "sliding_daily", "dedup_simhash_pairs", "grouped_distinct",
-    "sample_fixed_per_source", "sessionize", "text_lm_score",
-    "trailing_week_revenue", "dedup_jaccard_pairs", "drift_sources",
-    "histogram_chars", "multimodal_manifest",
+    # r12 window: pure LEAST-RECENTLY-GATED rotation via
+    # tools/gate_ledger.py's gate_rounds() — sort full-oracle registry
+    # entries by (last_gated_round, name), take 50. This round:
+    # warc_decode_mix (birth-round verification of the new HTTP body
+    # decoding), the r8 cohort whose turn came back around, then the
+    # full r9 cohort and the leading half of the r10 cohort. The r11
+    # birth-gated four (crawl_batch_chain/probe_logistic_fit/
+    # warc_ingest/web_robots_policy) and the r1-staple cohort rotate
+    # out after their r11 gate. Bench timing order is independent
+    # (bench.py times in sorted-name order), so rotation no longer
+    # perturbs per-query timings.
+    "warc_decode_mix",
+    "range_pairs_5min", "text_containment_pairs", "top_orders_per_customer",
+    "corpus_vocabulary", "corpus_zipf", "curate_quality_top_frac",
+    "dedup_contamination", "dedup_embedding_pairs", "dedup_keep_best",
+    "dedup_neardup_clusters", "dedup_source_overlap", "dedup_span_trim",
+    "graph_pagerank", "median_price", "mixture_temperature",
+    "multimodal_features", "pack_sequences", "pii_scrub",
+    "profile_documents", "quality_constraints", "salted_revenue",
+    "sample_importance_dsir", "similarity_topk", "sketch_overlap_sources",
+    "text_bm25_topk", "text_containment_capped", "text_stats_docs",
+    "text_tfidf_topk", "top_customers", "web_domain_cap",
+    "web_html_extract",
+    "arrow_group_stats", "asof_click_before_purchase", "bloom_pruned_join",
+    "ccnet_buckets", "cdc_orders_diff", "corpus_shuffle",
+    "curate_corpus", "dedup_exact_docs", "dedup_minhash_pairs",
+    "dedup_span_stats", "embedding_centroids", "event_transitions",
+    "events_clean", "events_funnel", "fuzzy_name_matches",
+    "graph_components", "graph_kcore", "graph_ppr_seeded",
 ]
 
 

@@ -45,6 +45,14 @@ sorted-name order regardless of registry/gate-window order (round
 11): rotation used to change which queries ran first and absorbed
 residual session first-touch cost, confounding the deltas.
 
+Intra-session drift (round 12): every 20 queries the loop triggers a
+JVM full GC (bounding the accumulated block-manager/GC state that
+inflated r11's mid-sweep dedup readings up to 12x) and re-measures
+both anchors; the series lands in BENCH_DETAIL.anchor_samples and a
+single worst/best pinned-query ratio rides the stdout line as
+``anchor_drift`` — above ~2, heavy-family readings need the
+tools/bench_ab.py fresh-session protocol before being believed.
+
 The HEADLINE value is the sum of per-query MEDIAN steady passes
 ($SPARK_GRAFT_STEADY_RUNS, default 3) — every pass re-executes the
 full pipeline with nothing cached, compile cost excluded; the median
@@ -187,7 +195,42 @@ def main() -> None:
     # to produce (sliding_daily read +510% on a byte-identical plan).
     # Gate order still decides WHICH entries the driver checks; bench
     # timing order never changes again.
-    for name in sorted(qs):
+    # Intra-session drift instrumentation (round 12, VERDICT r11 task
+    # 4): the 22 s/248 s dedup readings of r11 came from block-manager/
+    # GC state accumulated over a 140-query session and were only
+    # caught by manual fresh-session A/B arbitration. Every 20 queries
+    # the loop now (a) asks the JVM for a full GC — bounding the
+    # accumulated-garbage cliff the r5 prepass experiment first
+    # documented — and (b) re-measures BOTH calibration anchors, so
+    # session drift is a committed artifact series
+    # (BENCH_DETAIL.anchor_samples), not a spelunking discovery. The
+    # pinned-query sample uses the same cleared-cache protocol as the
+    # up-front anchor; the hash sample is reps=1 (raw-CPU drift needs
+    # no median — it is the JVM-side series that moves).
+    anchor_samples: list[dict] = []
+
+    def _sample_anchor(after_n: int) -> None:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        anchor_samples.append(
+            {
+                "after_queries": after_n,
+                "query_sec": round(time.perf_counter() - t0, 3),
+                "hash_sec": cpu_anchor_sec(reps=1),
+            }
+        )
+        spark.catalog.clearCache()
+
+    for qi, name in enumerate(sorted(qs)):
+        if qi and qi % 20 == 0:
+            _sample_anchor(qi)
         fn = qs[name]
         if do_prepass:
             fn(spark, prepass_dir).write.format("noop").mode("overwrite").save()
@@ -218,6 +261,13 @@ def main() -> None:
             f"  {name}: steady {steady}s (runs {runs}, cold {cold[name]}s)",
             file=sys.stderr,
         )
+
+    _sample_anchor(len(qs))  # closing sample bounds the series
+    # one scalar for the stdout line: worst/best pinned-query sample
+    # ratio — >2 means the session drifted enough that heavy-family
+    # readings need fresh-session A/B before being believed
+    _aq = [s["query_sec"] for s in anchor_samples] + [cal_query]
+    anchor_drift = round(max(_aq) / min(_aq), 2) if min(_aq) > 0 else None
 
     total = round(sum(timings.values()), 3)
     total_best2 = round(sum(best2.values()), 3)
@@ -257,6 +307,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "calibration": calibration,
+                "anchor_samples": anchor_samples,
+                "anchor_drift": anchor_drift,
                 "normalized_delta_vs_prev": normalized_delta_vs_prev,
                 "queries": timings,
                 "steady_runs": spread,
@@ -295,6 +347,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "calibration": calibration,
+                "anchor_drift": anchor_drift,
                 "queries": compact,
                 "n_steady": n_steady,
                 "steady_min": total_min,

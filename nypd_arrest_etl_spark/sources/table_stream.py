@@ -428,7 +428,14 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 writer = pq.ParquetWriter(
                     os.path.join(self.table_path, rel), arrow_schema
                 )
-            writer.write_table(pa.Table.from_batches([batch], arrow_schema))
+            # cast rather than require schema identity: Spark marks
+            # provably-non-null columns (e.g. coalesce over xxhash64)
+            # as not-null in the incoming Arrow batch, which
+            # from_batches(schema=...) rejects against the table's
+            # nullable declaration even though the VALUES fit
+            writer.write_table(
+                pa.Table.from_batches([batch]).cast(arrow_schema)
+            )
             rows += batch.num_rows
         if writer is None:
             return StreamWriteMessage(None, 0)

@@ -44,6 +44,7 @@ from datetime import datetime, timezone
 __all__ = [
     "WARC_SCHEMA_DDL",
     "WarcDataSource",
+    "WarcStreamReader",
     "decode_http_body",
     "iter_warc_records",
     "parse_http_response",
@@ -398,24 +399,95 @@ class WarcFilePartition(InputPartition):
         self.path = path
 
 
+def _parse_types_option(options: dict):
+    # option("types", "response[,request,...]"): filter record
+    # types AT DECODE, before any row materializes — an explicit
+    # reader option rather than Catalyst pushFilters because of
+    # the Spark 4.1 Python-source plan-reuse quirk that made
+    # pushdown opt-in everywhere else in this repo (analysis in
+    # sources/pg_source.py). A crawl pipeline reads `response`
+    # records ~exclusively; request/warcinfo/metadata records are
+    # framing overhead it should never pay Arrow transfer for.
+    types = options.get("types", "")
+    return (
+        {t.strip() for t in types.split(",") if t.strip()}
+        if types
+        else None
+    )
+
+
+def _read_warc_file(path: str, types, batch_rows: int):
+    """One WARC file -> Arrow record batches (the shared task body of
+    the batch and streaming readers): streaming O(record)-memory
+    parse, record-type filter at decode, HTTP envelope split, body
+    transfer/content decoding."""
+    import pyarrow as pa
+
+    fields = [
+        pa.field("file", pa.string()),
+        pa.field("record_id", pa.string()),
+        pa.field("warc_type", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("fetch_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("content_type", pa.string()),
+        pa.field("http_status", pa.int32()),
+        pa.field("http_content_type", pa.string()),
+        pa.field("http_headers", pa.map_(pa.string(), pa.string())),
+        pa.field("body", pa.binary()),
+        pa.field("body_decoded", pa.bool_()),
+    ]
+    schema = pa.schema(fields)
+    fname = os.path.basename(path)
+    opener = gzip.open if path.endswith(".gz") else open
+    rows: list[tuple] = []
+
+    def flush():
+        cols = list(zip(*rows)) if rows else [[]] * len(fields)
+        arrays = [pa.array(c, type=f.type) for c, f in zip(cols, fields)]
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    with opener(path, "rb") as fh:
+        for rec in iter_warc_records(fh):
+            wtype = rec.get("warc-type", "")
+            if types is not None and wtype not in types:
+                continue
+            block = rec["body"]
+            ctype = rec.get("content-type", "")
+            if wtype == "response" and ctype.startswith(
+                "application/http"
+            ):
+                status, hheaders, body = parse_http_response(block)
+                body, decoded = decode_http_body(body, hheaders)
+            else:
+                status, hheaders, body = None, {}, block
+                decoded = True  # nothing declared, nothing to undo
+            rows.append(
+                (
+                    fname,
+                    rec.get("warc-record-id"),
+                    wtype,
+                    rec.get("warc-target-uri"),
+                    _parse_warc_date(rec.get("warc-date", "")),
+                    ctype,
+                    status,
+                    hheaders.get("content-type"),
+                    list(hheaders.items()),
+                    body,
+                    decoded,
+                )
+            )
+            if len(rows) >= batch_rows:
+                yield flush()
+                rows = []
+    if rows:
+        yield flush()
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.batch_rows = int(options.get("batchrows", "512"))
-        # option("types", "response[,request,...]"): filter record
-        # types AT DECODE, before any row materializes — an explicit
-        # reader option rather than Catalyst pushFilters because of
-        # the Spark 4.1 Python-source plan-reuse quirk that made
-        # pushdown opt-in everywhere else in this repo (analysis in
-        # sources/pg_source.py). A crawl pipeline reads `response`
-        # records ~exclusively; request/warcinfo/metadata records are
-        # framing overhead it should never pay Arrow transfer for.
-        types = options.get("types", "")
-        self.types = (
-            {t.strip() for t in types.split(",") if t.strip()}
-            if types
-            else None
-        )
+        self.types = _parse_types_option(options)
 
     def partitions(self):
         paths = _expand_paths(self.path)
@@ -426,69 +498,71 @@ class WarcReader(DataSourceReader):
         return [WarcFilePartition(p) for p in paths]
 
     def read(self, partition):
-        import pyarrow as pa
+        yield from _read_warc_file(
+            partition.path, self.types, self.batch_rows
+        )
 
-        fields = [
-            pa.field("file", pa.string()),
-            pa.field("record_id", pa.string()),
-            pa.field("warc_type", pa.string()),
-            pa.field("url", pa.string()),
-            pa.field("fetch_ts", pa.timestamp("us", tz="UTC")),
-            pa.field("content_type", pa.string()),
-            pa.field("http_status", pa.int32()),
-            pa.field("http_content_type", pa.string()),
-            pa.field("http_headers", pa.map_(pa.string(), pa.string())),
-            pa.field("body", pa.binary()),
-            pa.field("body_decoded", pa.bool_()),
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """File-discovery streaming head of the crawl chain: new
+    ``.warc.gz`` capture files landing in a directory become exactly
+    one microbatch partition each — the same offset discipline as
+    ``PgWireStreamReader``, with the watermark being the
+    lexicographically-greatest file NAME emitted so far instead of a
+    column value. Offset ``{"last": name}`` means "every capture file
+    with basename <= name has been emitted"; ``partitions(start,
+    end)`` plans one partition per file in ``(start, end]``, and each
+    task streams its file through the shared decode path (record
+    framing, gzip members, HTTP envelope, chunked/gzip body decode).
+
+    The watermark contract is the CommonCrawl one: capture writers
+    emit monotonically-named segment files (``part-00001`` ...) and
+    publish them atomically (write temp + rename — ``write_warc``
+    does). A file that APPEARS with a name at or below the watermark
+    after its batch closed is late data this source will not re-scan
+    — the deliberate trade for an O(1) durable offset (a seen-set
+    offset replays O(files) state into every checkpoint commit at
+    100k-file scale). Start mid-history with
+    ``option("startingAfter", name)``."""
+
+    def __init__(self, schema, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batchrows", "512"))
+        self.types = _parse_types_option(options)
+        self.starting_after = options.get("startingafter", "")
+
+    def initialOffset(self) -> dict:
+        return {"last": self.starting_after}
+
+    def latestOffset(self) -> dict:
+        names = [os.path.basename(p) for p in _expand_paths(self.path)]
+        last = max(names) if names else ""
+        return {"last": max(last, self.starting_after)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        fresh = [
+            p
+            for p in _expand_paths(self.path)
+            if lo < os.path.basename(p) <= hi
         ]
-        schema = pa.schema(fields)
-        path = partition.path
-        fname = os.path.basename(path)
-        opener = gzip.open if path.endswith(".gz") else open
-        rows: list[tuple] = []
+        if not fresh:
+            return [WarcFilePartition("")]  # no-data batch marker
+        return [WarcFilePartition(p) for p in fresh]
 
-        def flush():
-            cols = list(zip(*rows)) if rows else [[]] * len(fields)
-            arrays = [
-                pa.array(c, type=f.type) for c, f in zip(cols, fields)
-            ]
-            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+    def read(self, partition):
+        if not partition.path:
+            return
+        yield from _read_warc_file(
+            partition.path, self.types, self.batch_rows
+        )
 
-        with opener(path, "rb") as fh:
-            for rec in iter_warc_records(fh):
-                wtype = rec.get("warc-type", "")
-                if self.types is not None and wtype not in self.types:
-                    continue
-                block = rec["body"]
-                ctype = rec.get("content-type", "")
-                if wtype == "response" and ctype.startswith(
-                    "application/http"
-                ):
-                    status, hheaders, body = parse_http_response(block)
-                    body, decoded = decode_http_body(body, hheaders)
-                else:
-                    status, hheaders, body = None, {}, block
-                    decoded = True  # nothing declared, nothing to undo
-                rows.append(
-                    (
-                        fname,
-                        rec.get("warc-record-id"),
-                        wtype,
-                        rec.get("warc-target-uri"),
-                        _parse_warc_date(rec.get("warc-date", "")),
-                        ctype,
-                        status,
-                        hheaders.get("content-type"),
-                        list(hheaders.items()),
-                        body,
-                        decoded,
-                    )
-                )
-                if len(rows) >= self.batch_rows:
-                    yield flush()
-                    rows = []
-        if rows:
-            yield flush()
+    def commit(self, end: dict) -> None:
+        # Offsets are durable file names; nothing to clean up.
+        pass
 
 
 class WarcDataSource(DataSource):
@@ -497,7 +571,8 @@ class WarcDataSource(DataSource):
     WARC-Type allowlist, e.g. ``"response"``) filters records at
     decode so skipped types never materialize as rows. One partition
     per file; Arrow-batched rows; see module docstring for the scale
-    argument."""
+    argument. ``spark.readStream.format("warc")`` streams NEW capture
+    files by file-name watermark (:class:`WarcStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -508,6 +583,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(dict(self.options))
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(schema, dict(self.options))
 
 
 def register_warc(spark) -> None:

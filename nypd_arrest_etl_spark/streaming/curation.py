@@ -307,6 +307,99 @@ def curate_incremental_neardup(
     )
 
 
+def warc_capture_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    raw_table: str,
+    checkpoint: str,
+    stream_id: str = "warc-capture",
+):
+    """ONE availableNow drain of the crawl chain's FIRST link: new
+    ``.warc.gz`` capture files (discovered by the ``warc`` source's
+    file-name-watermark stream reader) -> decoded ``response``
+    records -> (doc_id, url, ts, text) rows -> the exactly-once
+    ``manifest_table`` streaming sink. doc_id comes from the
+    ``X-Doc`` HTTP header when the capture carries one (the fixture
+    convention) and falls back to ``xxhash64(url)``; records whose
+    declared body encodings could not be fully removed are gated out
+    by the ``body_decoded`` flag HERE, so chunk framing or compressed
+    bytes never enter the text pipeline. Exactly-once end to end:
+    file-name offsets make each capture file plan into exactly one
+    microbatch, and the sink's (streamId, batchId) claim makes replays
+    of that batch commit nothing. Returns the streaming query."""
+    from nypd_arrest_etl_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    register_manifest_table(spark)
+    stream = (
+        spark.readStream.format("warc")
+        .option("path", warc_dir)
+        .option("types", "response")
+        .load()
+    )
+    xdoc = F.element_at("http_headers", F.lit("x-doc"))
+    rows = (
+        stream.filter(F.col("body_decoded"))
+        .select(
+            F.coalesce(
+                xdoc.cast("long"), F.xxhash64("url")
+            ).alias("doc_id"),
+            "url",
+            F.col("fetch_ts").alias("ts"),
+            F.decode("body", "UTF-8").alias("text"),
+        )
+        .filter(F.col("url").isNotNull() & F.col("text").isNotNull())
+    )
+    return (
+        rows.writeStream.format("manifest_table")
+        .option("path", raw_table)
+        .option("streamId", stream_id)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def crawl_curate_pipeline_from_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    rules: DataFrame,
+    work_dir: str,
+    **kwargs,
+):
+    """Capture-to-curated as ONE exactly-once streaming graph
+    (r11 verdict task 2): the WARC file-discovery stream feeds the
+    raw table, then the full robots -> quota -> quality -> near-dup
+    chain runs over it. Every link is offset-checkpointed or
+    merge-idempotent, so re-running the WHOLE pipeline — same
+    work_dir, same checkpoints — commits nothing anywhere, and
+    dropping new ``.warc.gz`` files into ``warc_dir`` processes
+    exactly the new captures. Returns the table-path dict with
+    ``raw`` added."""
+    import os
+
+    raw = os.path.join(work_dir, "raw_capture")
+    q = warc_capture_stream(
+        spark,
+        warc_dir,
+        raw,
+        checkpoint=os.path.join(work_dir, "ckpt_capture"),
+    )
+    if not q.awaitTermination(300):
+        raise TimeoutError(
+            "crawl_curate_pipeline_from_warc: capture drain did not finish"
+        )
+    from nypd_arrest_etl_spark.sinks.manifest import snapshot
+
+    out = {"raw": raw}
+    snap = snapshot(raw)
+    if snap is not None and snap.n_files:
+        out.update(
+            crawl_curate_pipeline(spark, raw, rules, work_dir, **kwargs)
+        )
+    return out
+
+
 def crawl_curate_pipeline(
     spark: SparkSession,
     raw_table: str,
