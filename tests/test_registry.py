@@ -122,6 +122,9 @@ _SOAK_DENOMINATORS = {
     # warc_ingest reads record payloads that ARE the document texts —
     # byte-bound like the other per-doc ops.
     "warc_ingest": 152.8,
+    # warc_decode_mix rides the same byte-bound WARC read plus the
+    # per-record chunk/gzip body decode (r12).
+    "warc_decode_mix": 152.8,
 }
 _SOAK_DEFAULT_DENOM = 100.0
 _SOAK_FLAGSHIPS = (

@@ -85,6 +85,14 @@ QUERIES = [
                                 # streaming gzip decode (r11). The warm pass
                                 # builds the fixture once (marker-gated); the
                                 # timed pass measures the READ path only.
+    "warc_decode_mix",          # same WARC read + HTTP body decoding across
+                                # the four chunked/gzip shapes (r12) — the
+                                # decode layer's scale cost rides the same
+                                # byte-bound read path.
+    # (probe_logistic_converged is excluded by design: its iteration
+    # count is data-dependent (7-9 at test scales), so a soak ratio
+    # would mix iteration-count changes with per-pass scaling; the
+    # per-pass plan is identical to probe_logistic_fit's soaked pass)
     # (fuzzy_name_matches joins dim tables only — dims don't grow in
     # this soak, so it would be a vacuous row; its scale argument is
     # structural: constant explode factor + one equi-join)
