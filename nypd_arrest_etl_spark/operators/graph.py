@@ -32,13 +32,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _prepared(edges: DataFrame, src: str, dst: str):
+def _prepared(edges: DataFrame, src: str, dst: str, cache: bool = True):
     """Distinct edge list co-partitioned on src, out-degrees, nodes.
 
     NULL endpoints are dropped: a NULL src would silently vanish in
     the contribution join while still absorbing rank as a node, and a
     NULL dst is not a linkable target — neither is a meaningful graph
     vertex.
+
+    ``cache`` (r12 optimization): the three prepared tables are each
+    referenced from SEVERAL branches of every iteration's plan (the
+    contribution join, the dangling anti-join, the teleport join), so
+    without a materialization barrier iteration k's plan re-embeds the
+    whole edge-prep subtree (scan -> distinct -> repartition)
+    multiplicatively — a 3-iteration PageRank plan carried 350
+    Exchange nodes and 110 parquet scans (plans/r12/
+    graph_pagerank_before.txt). Caching collapses every reference to
+    an InMemoryRelation leaf: the edge list is scanned and
+    deduplicated ONCE per run, which is also the only sane posture at
+    100 TB (the edge list is the dominant input; re-deriving it per
+    plan branch re-reads the corpus). Converged variants pass
+    cache=False — they pin the same tables with localCheckpoint
+    (an RDD materialization that also truncates lineage) instead.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -46,10 +61,15 @@ def _prepared(edges: DataFrame, src: str, dst: str):
         .distinct()
     )
     e = e.repartition("src")
+    if cache:
+        e = e.cache()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("odeg"))
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
+    if cache:
+        deg = deg.cache()
+        nodes = nodes.cache()
     return e, deg, nodes
 
 
@@ -131,14 +151,18 @@ def pagerank(
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
-        # Unbounded nesting makes Catalyst's analysis cost blow up
-        # super-linearly in iteration depth; pin lineage every
-        # ``pin_every`` rounds (values unchanged — only the plan is
-        # truncated). Small iteration counts stay fully
-        # lazy/declarative; deep fixed-iteration runs should LOWER
-        # pin_every (each pin trades one materialization for resetting
-        # Catalyst's analysis cost — r9 measured 139 exchanges in a
-        # 3-iteration plan pinned at 8).
+        # Each iterate is referenced TWICE by the next step (the
+        # contribution join and the dangling-mass aggregate), so an
+        # uncached chain doubles plan size per iteration (2^k rank
+        # subtrees; exchange reuse hid most of the recompute but none
+        # of the planning/scheduling cost). The lazy cache() keeps the
+        # whole run a single action — each iterate materializes once,
+        # when iteration k+1 first scans it — and bounds the final
+        # plan to a linear chain of InMemoryRelation leaves. The
+        # localCheckpoint pin below stays for DEEP fixed-iteration
+        # runs: it additionally truncates lineage (an eager RDD job),
+        # which the cache does not.
+        ranks = ranks.cache()
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
@@ -171,7 +195,7 @@ def pagerank_converged(
     agg is the one driver-visible scalar per iteration — O(1) rows,
     the standard stopping probe for distributed power iteration.
     """
-    e, deg, nodes = _prepared(edges, src, dst)
+    e, deg, nodes = _prepared(edges, src, dst, cache=False)
     e = e.localCheckpoint(eager=True)
     deg = deg.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
@@ -235,10 +259,19 @@ def pagerank_personalized(
         raise ValueError(
             "teleport weights must sum to a positive value over the graph's nodes"
         )
-    tele = tele.select("node", (F.col("w") / F.lit(float(total))).alias("t"))
+    # Unlike the uniform case (a literal column over cached nodes), the
+    # PPR teleport table embeds a join against the seed weights and is
+    # referenced twice per iteration — cache it so the seed join runs
+    # once, not 2x per iteration (same plan-collapse rationale as
+    # _prepared).
+    tele = tele.select(
+        "node", (F.col("w") / F.lit(float(total))).alias("t")
+    ).cache()
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
+        # same per-iterate plan-collapse cache as ``pagerank``
+        ranks = ranks.cache()
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
@@ -253,7 +286,7 @@ def pagerank_personalized(
 # ---------------------------------------------------------------------------
 
 
-def _und_prepared(edges: DataFrame, src: str, dst: str):
+def _und_prepared(edges: DataFrame, src: str, dst: str, cache: bool = True):
     """Symmetrized distinct edge list (co-partitioned on src) + nodes.
 
     Components are an UNDIRECTED notion, so each input edge
@@ -262,11 +295,23 @@ def _und_prepared(edges: DataFrame, src: str, dst: str):
     a node whose only edge is a self-loop is its own singleton
     component, not a vanished vertex. NULL endpoints are dropped as in
     ``_prepared`` (not meaningful vertices).
+
+    ``cache`` (r12 optimization): the raw pair list feeds four plan
+    branches (nodes x2, both union arms of the symmetrization) and the
+    symmetrized list is referenced from every iteration/round of every
+    caller — uncached, a 3-round k-core plan re-embedded the edge-prep
+    subtree 972 times (plans/r12/graph_kcore_before.txt: 808 Exchange
+    nodes). Caching both collapses each reference to an
+    InMemoryRelation leaf: one scan + one dedup of the edge input per
+    run. Converged variants pass cache=False and localCheckpoint
+    instead (eager RDD pin that also truncates lineage).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .na.drop(subset=["src", "dst"])
     )
+    if cache:
+        e = e.cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -278,6 +323,9 @@ def _und_prepared(edges: DataFrame, src: str, dst: str):
         .distinct()
         .repartition("src")
     )
+    if cache:
+        und = und.cache()
+        nodes = nodes.cache()
     return und, nodes
 
 
@@ -343,6 +391,11 @@ def connected_components(
     comp = nodes.select("node", F.col("node").alias("comp"))
     for i in range(rounds):
         comp = _cc_round(und, comp)
+        # each label table is referenced twice by the next round (the
+        # neighbor-min join and the outer coalesce) — the lazy cache
+        # bounds the plan to a linear chain instead of 2^rounds copies
+        # (see _und_prepared's r12 note)
+        comp = comp.cache()
         if (i + 1) % pin_every == 0 and (i + 1) < rounds:
             comp = comp.localCheckpoint(eager=True)
     return comp
@@ -375,10 +428,20 @@ def k_core(
     kept = None
     for i in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
+        # ``kept`` is referenced by BOTH semi-joins and ``e`` by three
+        # branches per round (degree agg + the join base), so the
+        # uncached plan tripled per round (3^rounds edge subtrees —
+        # the 808-Exchange plan this round's fix collapsed). The lazy
+        # caches keep each round's survivor set and filtered edge list
+        # computed once, and the final plan linear in ``rounds``.
+        kept = (
+            deg.filter(F.col("d") >= k).select(F.col("src").alias("node")).cache()
+        )
         e = e.join(kept.withColumnRenamed("node", "src"), "src", "semi").join(
             kept.withColumnRenamed("node", "dst"), "dst", "semi"
         ).select("src", "dst")
+        if (i + 1) < rounds:
+            e = e.cache()
         if (i + 1) % 8 == 0 and (i + 1) < rounds:
             e = e.localCheckpoint(eager=True)
     return kept
@@ -398,7 +461,7 @@ def k_core_converged(
     cap truncated peeling (same contract as the other converged graph
     variants). An emptied graph converges immediately (the empty set
     IS the k-core)."""
-    und, _nodes = _und_prepared(edges, src, dst)
+    und, _nodes = _und_prepared(edges, src, dst, cache=False)
     e = und.localCheckpoint(eager=True)
     prev = e.select("src").distinct().count()
     it = 0
@@ -448,7 +511,12 @@ def triangle_count(
     so the DuckDB oracle can replay the plain node-id formulation.
     """
     und, nodes = _und_prepared(edges, src, dst)
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # deg feeds both endpoint-rank joins and fwd feeds three branches
+    # (both wedge sides + the closing-edge list): cache each so the
+    # degree aggregation and the orientation filter run once per call
+    # instead of once per plan branch (before: 208 Exchanges / 148
+    # scans in the uncached plan, plans/r12/graph_triangles_before.txt).
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
     ranked = und.join(deg.withColumnRenamed("src", "node"),
                       und["src"] == F.col("node")).select(
         "src", "dst", F.col("d").alias("sd")
@@ -462,7 +530,7 @@ def triangle_count(
     fwd = ranked.filter(
         (F.col("sd") < F.col("dd"))
         | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
+    ).select("src", "dst").cache()
     a, b = fwd.alias("a"), fwd.alias("b")
     wedges = a.join(
         b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
@@ -475,10 +543,11 @@ def triangle_count(
         fwd.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     tris = wedges.join(closing, ["u", "v"])  # (p,u,v) closed = one triangle
+    # one explode instead of a 3-way union of the triangle list: the
+    # same corner multiset, but ``tris`` (a join subtree) appears once
+    # in the plan instead of three times
     corner_counts = (
-        tris.select(F.col("p").alias("node"))
-        .union(tris.select(F.col("u").alias("node")))
-        .union(tris.select(F.col("v").alias("node")))
+        tris.select(F.explode(F.array("p", "u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
@@ -501,7 +570,7 @@ def connected_components_converged(
     round k's action never replays rounds 1..k-1. ``converged`` False
     means the ``max_rounds`` cap truncated propagation and labels may
     still be merging (r9 ADVICE: never make the caller guess)."""
-    und, nodes = _und_prepared(edges, src, dst)
+    und, nodes = _und_prepared(edges, src, dst, cache=False)
     und = und.localCheckpoint(eager=True)
     comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(
         eager=True
