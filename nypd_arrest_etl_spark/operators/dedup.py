@@ -622,7 +622,18 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("cluster_rep", id_type)]
     )
-    return pairs.sparkSession.createDataFrame(out, schema)
+    # Arrow path (r12): a plain list-of-tuples createDataFrame goes
+    # through applySchemaToPythonRDD — per-row pickling and an
+    # ExistingRDD scan with unknown partitioning that forces
+    # downstream joins into sort-merge. Building via pandas rides the
+    # session's Arrow serializer (one columnar batch) and keeps the
+    # label table a cheap local relation. Same rows, same schema.
+    import pandas as _pd
+
+    if out:
+        pdf = _pd.DataFrame(out, columns=["doc_id", "cluster_rep"])
+        return pairs.sparkSession.createDataFrame(pdf, schema)
+    return pairs.sparkSession.createDataFrame([], schema)
 
 
 # ---------------------------------------------------------------------------

@@ -382,13 +382,17 @@ def importance_resample_dsir(
     count) grain — at most min(n_toks, n_buckets) rows per doc — and
     everything downstream (bucket model, count-weighted scoring sum)
     works on that histogram, so shuffles move histograms, never raw
-    tokens. The plan keeps the model and scoring branches as separate
-    scans ON PURPOSE: the scoring branch's NOT-target predicate then
-    pushes into its parquet scan (caching the histogram would block
-    that); a deployment where tokenization dominates caches doc_hist
-    instead and trades the pushdown away. The model (n_buckets rows)
-    broadcasts to the scoring join, so scoring is map-side over the
-    histogram. Top-n is TakeOrderedAndProject.
+    tokens. The histogram is CACHED (r12): the model branch needs
+    every row anyway (target + raw), so the scoring branch's
+    NOT-target pushdown only ever saved re-tokenizing the raw pool —
+    and the per-token md5 hashing is the dominant kernel, so one
+    tokenize+hash pass with a filter over the cached histogram beats
+    two scans with pushdown on either side of the measurement (A/B'd
+    this round; the previous separate-scan posture is the right trade
+    only when the target slice is large and tokenization is cheap).
+    The model (n_buckets rows) broadcasts to the scoring join, so
+    scoring is map-side over the histogram. Top-n is
+    TakeOrderedAndProject.
     """
     from nypd_arrest_etl_spark.operators.dedup import portable_str_hash60
 
@@ -409,7 +413,7 @@ def importance_resample_dsir(
         )
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).cache()
     model = doc_hist.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_t"), F.col("cnt")).otherwise(0)).alias("cr"),

@@ -472,7 +472,10 @@ def repetition_stats(
 
 
 def ngram_lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Corpus-bigram language-model score per document: the mean
     log2 of the conditional bigram probability c(w1 w2)/c(w1 ·),
@@ -502,7 +505,18 @@ def ngram_lm_score(
             lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    postings = base.select("doc_id", F.explode(grams).alias("g"))
+    # Cached (r12): the postings feed TWO branches — the bigram-count
+    # aggregation and the final per-doc score join — so without a
+    # materialization barrier the tokenize+explode pipeline (the full
+    # corpus pass) executes twice per query. One pass, two readers;
+    # MEMORY_AND_DISK spills at corpus scale like the dedup postings.
+    # Loop callers pass ``unpersist_into`` (same lifecycle contract as
+    # ccnet_perplexity_buckets) to receive a handle that drops the
+    # cache; unlike the checkpoint handle this one is always safe —
+    # an unpersisted cache recomputes, it cannot fail an action.
+    postings = base.select("doc_id", F.explode(grams).alias("g")).cache()
+    if unpersist_into is not None:
+        unpersist_into.append(lambda p=postings: p.unpersist(False))
 
     big = postings.groupBy("g").agg(F.count("*").alias("c2"))
     # w1 marginal: sum bigram counts by first word — the bigram table
@@ -576,7 +590,8 @@ def ccnet_perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scores = ngram_lm_score(df, id_col, text_col)
+    _lm_caches: list = []
+    scores = ngram_lm_score(df, id_col, text_col, unpersist_into=_lm_caches)
     scored = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
@@ -602,6 +617,14 @@ def ccnet_perplexity_buckets(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # The eager checkpoint just materialized everything upstream, so
+    # the LM postings cache (which existed to serve the score op's two
+    # internal readers during that one materialization) is dead weight
+    # from here on — drop it NOW, keeping this op's storage lifecycle
+    # exactly what the unpersist_into contract documents: one
+    # checkpoint, freed by the handle.
+    for _h in _lm_caches:
+        _h()
     if unpersist_into is not None:
         # the checkpointed DataFrame's analyzed plan is a LogicalRDD
         # holding EXACTLY the persisted RDD — read its id directly, so
@@ -693,13 +716,18 @@ def corpus_vocabulary(
     per_doc = toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf_doc")
     )
+    # Cached (r12): the vocab table is read twice (top-k select + the
+    # corpus-total aggregate below) — materialize the distinct-token
+    # table (tiny vs the corpus) so the tokenize pass runs once.
     vocab = per_doc.groupBy("token").agg(
         F.sum("tf_doc").cast("long").alias("tf"),
         F.count("*").cast("long").alias("df"),
-    )
-    total = df.select(
-        F.sum(F.size(F.filter(tokens(text_col), lambda x: x != ""))).alias("_t")
-    )
+    ).cache()
+    # The corpus token total is the sum of the per-token counts — the
+    # previous formulation re-scanned and re-tokenized the whole input
+    # (sum of size(filter(tokens))) for the same integer; deriving it
+    # from the cached vocab removes a full corpus pass (guide §2.4).
+    total = vocab.agg(F.sum("tf").alias("_t"))
     return (
         vocab.crossJoin(F.broadcast(total))
         .select(
@@ -759,10 +787,18 @@ def bm25_topk(
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
+    # Cached (r12): postings feed three branches (document lengths,
+    # document frequencies, the scored join) — one corpus tokenize
+    # pass instead of two, and the (doc, term, tf) aggregation runs
+    # once instead of per branch.
     postings = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    ).cache()
+    # dl = token count per doc = sum of its term frequencies — derived
+    # from the cached postings instead of a second corpus tokenization
+    # (identical integers: count over occurrences == sum of grouped
+    # counts).
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -854,10 +890,15 @@ def quality_top_frac(
     w = Window.partitionBy(source_col).orderBy(
         F.desc("quality"), F.asc(id_col)
     )
-    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # Per-source count as a second window over the SAME partitioning
+    # instead of a separate groupBy + broadcast join (r12): the count
+    # window shares the rank window's exchange, so the quality
+    # projection is scanned once and the O(sources) side table (and
+    # its join) disappears. Identical _n per row.
+    w_n = Window.partitionBy(source_col)
     return (
         docs.withColumn("src_rank", F.row_number().over(w))
-        .join(F.broadcast(counts), source_col)
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
         .filter(F.col("src_rank") <= F.ceil(F.col("_n") * F.lit(keep_frac)))
         .select(
             id_col,
@@ -895,7 +936,12 @@ def tfidf_topk(
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # Cached (r12): tf feeds both the document-frequency aggregation
+    # and the scored join — one corpus tokenize+aggregate pass, two
+    # readers.
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (

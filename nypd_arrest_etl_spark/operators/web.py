@@ -544,7 +544,11 @@ def robots_rules(
       ``*`` matches any character sequence, a trailing ``$`` anchors
       the end of the path).
     """
-    g = _robots_grouped(df, host_col, txt_col, ("allow", "disallow"))
+    # Cached (r12): the grouped parse feeds both the record filter
+    # below and the group-selection aggregate — without the barrier
+    # the posexplode + two-window parse runs once per branch (3x).
+    # O(robots lines) rows, host-grain — tiny at any corpus scale.
+    g = _robots_grouped(df, host_col, txt_col, ("allow", "disallow")).cache()
     chosen = _robots_chosen_groups(g, agent)
     return (
         g.filter((F.col("is_ua") == 0) & (F.col("val") != ""))
@@ -639,7 +643,9 @@ def robots_policy(
 
     Same scale posture as the rule parse: everything shuffles
     O(hosts), never O(documents)."""
-    g = _robots_grouped(df, host_col, txt_col, ("crawl-delay", "sitemap"))
+    # cached for the same 3-branch reuse as robots_rules (delays,
+    # sitemaps, group selection)
+    g = _robots_grouped(df, host_col, txt_col, ("crawl-delay", "sitemap")).cache()
     hosts = df.select(F.col(host_col).alias("host")).distinct()
     chosen = _robots_chosen_groups(g, agent)
     delay_val = F.col("val").try_cast("double")

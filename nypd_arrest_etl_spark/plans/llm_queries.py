@@ -608,7 +608,11 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining data pass actually runs; each stage is narrow or a
     single selective shuffle, so composition adds no extra passes
     over the corpus."""
-    docs = t(spark, sf_dir, "documents")
+    # Cached (r12): four branches (quality, language, exact-dedup,
+    # the id/source spine) each re-scanned the corpus — one scan, four
+    # readers. Feature evaluation per branch is unchanged, so the
+    # oracle replay is byte-identical.
+    docs = t(spark, sf_dir, "documents").cache()
     quality = TX.quality_score(docs).filter(F.col("quality") >= 0.55)
     english = TX.language_id(docs).filter(F.col("lang_pred") == "en")
     keepers = D.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
@@ -1301,8 +1305,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles as the doc universe: one left join against the (tiny)
     # cluster labels instead of a doc-list scan plus two joins.
     labeled = (
+        # broadcast hint (r12): the cluster-label table is near-dup
+        # pairs only — orders of magnitude smaller than the corpus —
+        # but arrives as a local relation with no size estimate, so
+        # the planner fell back to a full sort-merge join (both sides
+        # exchanged + sorted, plans/r12/dedup_keep_best_before.txt).
         TX.quality_score(docs)
-        .join(clusters, "doc_id", "left")
+        .join(F.broadcast(clusters), "doc_id", "left")
         .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col("doc_id")))
     )
     w = Window.partitionBy("cluster_rep").orderBy(
