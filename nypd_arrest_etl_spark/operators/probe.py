@@ -171,16 +171,43 @@ def fit_logistic_probe(
         raise ValueError("fit_logistic_probe needs at least one feature")
     if iterations < 1:
         raise ValueError("fit_logistic_probe needs at least one iteration")
+    clean, xs, y6 = _irls_prepared(df, feature_cols, label_col)
+    beta = [0.0] * (k + 1)
+    try:
+        for it in range(iterations):
+            beta = _irls_step(
+                clean, xs, y6, feature_cols, beta, beta_round,
+                check_integral=(it == 0),
+            )
+    finally:
+        clean.unpersist(False)
+    return [float(b) for b in beta]
+
+
+def _irls_prepared(
+    df: DataFrame, feature_cols: list[str], label_col: str
+) -> tuple[DataFrame, list[Column], Column]:
+    """Materialize the (features, quantized label) projection ONCE for
+    the IRLS loop (r12 optimization): every Newton step is a full
+    scan-and-reduce, and the probe features are usually computed
+    expressions (token counts from a regex split, length arithmetic)
+    that would otherwise re-evaluate against the raw corpus on every
+    iteration — 7-8 re-tokenizations for a typical converged fit. The
+    cached frame is (k+1) numeric columns per surviving row (the
+    training-set caching posture MLlib's iterative optimizers use);
+    callers unpersist it when the loop finishes, which is safe because
+    each step's aggregate has already been collected driver-side.
+    Values are identical: the same expressions, evaluated once."""
     xs = [F.col(c).cast("double") for c in feature_cols]
     y6 = (F.col(label_col).cast("double") * 1_000_000).cast("long")
-    clean = df.na.drop(subset=list(feature_cols) + [label_col])
-    beta = [0.0] * (k + 1)
-    for it in range(iterations):
-        beta = _irls_step(
-            clean, xs, y6, feature_cols, beta, beta_round,
-            check_integral=(it == 0),
-        )
-    return [float(b) for b in beta]
+    clean = df.na.drop(subset=list(feature_cols) + [label_col]).select(
+        *[x.alias(f"_x{i}") for i, x in enumerate(xs)], y6.alias("_y6")
+    ).cache()
+    return (
+        clean,
+        [F.col(f"_x{i}") for i in range(len(feature_cols))],
+        F.col("_y6"),
+    )
 
 
 def _irls_step(
@@ -326,23 +353,24 @@ def fit_logistic_probe_converged(
             f"tol={tol} is below the between-step rounding grid "
             f"10^-{beta_round}; raise tol or beta_round"
         )
-    xs = [F.col(c).cast("double") for c in feature_cols]
-    y6 = (F.col(label_col).cast("double") * 1_000_000).cast("long")
-    clean = df.na.drop(subset=list(feature_cols) + [label_col])
+    clean, xs, y6 = _irls_prepared(df, feature_cols, label_col)
     beta = [0.0] * (k + 1)
     converged = False
     its = 0
-    for it in range(max_iterations):
-        nb = _irls_step(
-            clean, xs, y6, feature_cols, beta, beta_round,
-            check_integral=(it == 0),
-        )
-        its = it + 1
-        delta = max(abs(n - b) for n, b in zip(nb, beta))
-        beta = nb
-        if delta < tol:
-            converged = True
-            break
+    try:
+        for it in range(max_iterations):
+            nb = _irls_step(
+                clean, xs, y6, feature_cols, beta, beta_round,
+                check_integral=(it == 0),
+            )
+            its = it + 1
+            delta = max(abs(n - b) for n, b in zip(nb, beta))
+            beta = nb
+            if delta < tol:
+                converged = True
+                break
+    finally:
+        clean.unpersist(False)
     return [float(b) for b in beta], its, converged
 
 

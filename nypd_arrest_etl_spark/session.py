@@ -66,6 +66,43 @@ def get_spark(
         # whole registry resident (a class entry is small; heap cost is
         # negligible next to the 48g heap).
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Block-manager debris (shuffle files, broadcasts, dropped
+        # cache entries) is reclaimed by ContextCleaner, which only
+        # sees garbage after a JVM GC — and a 48g heap GCs so rarely
+        # that a many-query session accumulates hundreds of
+        # executions' worth of state before the first collection,
+        # which then lands as multi-second pauses mid-query (the
+        # r11-adjudicated 22s/248s dedup readings; reproduced twice
+        # this round with anchor_drift 8-15). Spark's own periodic-GC
+        # safety valve defaults to 30min — longer than the whole
+        # bench; 2min drains the debris continuously. Long-running
+        # production drivers (streaming, multi-query services) want
+        # exactly the same posture; per-query cost is a bounded
+        # sub-second minor pause instead of an unbounded cliff.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
+        # ReservedCodeCacheSize: a many-query session JIT-compiles
+        # thousands of generated whole-stage classes; the JVM default
+        # (240m) fills after ~100 distinct query shapes, after which
+        # compilation degrades/stops and even trivial queries run
+        # 2-3x slower for the rest of the session (measured this
+        # round: every query late in the bench's sorted order ran a
+        # consistent ~3x slow — e.g. an untouched 0.23s top-terms at
+        # 0.70s — until the reserve was raised; with 1g the same
+        # queries sit back at their r11 values). 1g keeps the whole
+        # registry's compiled code resident — the posture Spark's
+        # tuning guide recommends for long-lived SQL drivers.
+        # (ExplicitGCInvokesConcurrent was ALSO A/B'd here and
+        # rejected: concurrent cycles on a 48g heap produced sustained
+        # multi-minute mark windows that slowed whole query cohorts
+        # 5-10x; the brief periodic STW purge is strictly better for
+        # this batch shape.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         # keep the Python UDF worker pool alive between queries —
         # re-forking 32 workers (+ numpy import) costs ~12 s
