@@ -45,35 +45,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # artifact fails the suite instead of silently shrinking coverage.
 _GATE_PRIORITY = [
     # ------------------------------------------------------------------
-    # r12 window: pure LEAST-RECENTLY-GATED rotation via
+    # r13 window: pure LEAST-RECENTLY-GATED rotation via
     # tools/gate_ledger.py's gate_rounds() — sort full-oracle registry
-    # entries by (last_gated_round, name), take 50. This round:
-    # warc_decode_mix (birth-round verification of the new HTTP body
-    # decoding), the r8 cohort whose turn came back around, then the
-    # full r9 cohort and the leading half of the r10 cohort. The r11
-    # birth-gated four (crawl_batch_chain/probe_logistic_fit/
-    # warc_ingest/web_robots_policy) and the r1-staple cohort rotate
-    # out after their r11 gate. Bench timing order is independent
-    # (bench.py times in sorted-name order), so rotation no longer
+    # entries by (last_gated_round, name), take 50. This round: the
+    # tail of the r10 cohort whose turn came back around (graph_
+    # triangles through web_robots) and the leading half of the r11
+    # cohort (brand_volume through market_share). The r12 birth/rotated
+    # cohort (warc_decode_mix, the text/dedup/graph entries) rotates
+    # out after its r12 gate. Bench timing order is independent
+    # (bench.py times in sorted-name order), so rotation never
     # perturbs per-query timings.
-    "warc_decode_mix",
-    "range_pairs_5min", "text_containment_pairs", "top_orders_per_customer",
-    "corpus_vocabulary", "corpus_zipf", "curate_quality_top_frac",
-    "dedup_contamination", "dedup_embedding_pairs", "dedup_keep_best",
-    "dedup_neardup_clusters", "dedup_source_overlap", "dedup_span_trim",
-    "graph_pagerank", "median_price", "mixture_temperature",
-    "multimodal_features", "pack_sequences", "pii_scrub",
-    "profile_documents", "quality_constraints", "salted_revenue",
-    "sample_importance_dsir", "similarity_topk", "sketch_overlap_sources",
-    "text_bm25_topk", "text_containment_capped", "text_stats_docs",
-    "text_tfidf_topk", "top_customers", "web_domain_cap",
-    "web_html_extract",
-    "arrow_group_stats", "asof_click_before_purchase", "bloom_pruned_join",
-    "ccnet_buckets", "cdc_orders_diff", "corpus_shuffle",
-    "curate_corpus", "dedup_exact_docs", "dedup_minhash_pairs",
-    "dedup_span_stats", "embedding_centroids", "event_transitions",
-    "events_clean", "events_funnel", "fuzzy_name_matches",
-    "graph_components", "graph_kcore", "graph_ppr_seeded",
+    "graph_triangles", "incremental_revenue", "multimodal_frames",
+    "multimodal_resize", "null_semantics", "outlier_values",
+    "pricing_summary", "probe_linear_fit", "props_variant_stats",
+    "resample_hourly", "retention_cohorts", "rolling_distinct_users",
+    "rollup_lineitem", "running_totals", "sample_oversample_mixture",
+    "sample_stratified", "semi_anti_join", "session_window_batch",
+    "set_ops_yearly", "similarity_ann_lsh", "sketch_stats",
+    "split_train_holdout", "status_history_scd2", "text_fingerprints",
+    "text_language_id", "text_normalize", "text_quality_score",
+    "text_repetition", "tumbling_hourly", "web_psl_domains",
+    "web_quality_signals", "web_robots", "brand_volume",
+    "crawl_batch_chain", "cube_orders", "customer_distribution",
+    "dedup_jaccard_pairs", "dedup_simhash_pairs", "disjunctive_revenue",
+    "drift_sources", "forecast_revenue", "grouped_distinct",
+    "grouping_sets_sql", "histogram_chars", "idle_rich_customers",
+    "important_stock", "large_orders", "late_order_priority",
+    "local_supplier_volume", "market_share",
 ]
 
 

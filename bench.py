@@ -209,7 +209,24 @@ def main() -> None:
     # no median — it is the JVM-side series that moves).
     anchor_samples: list[dict] = []
 
+    def _storage_bytes() -> dict:
+        # Block-manager storage level (r13, VERDICT r12 task 4): cached
+        # RDD bytes in memory/on disk at sample time. A leak-free
+        # session reads ~0 here at every sample (the loop clearCache()s
+        # after each query); a rising series is an operator pinning
+        # storage without an unpersist path.
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            return {
+                "cached_rdds": len(infos),
+                "mem_bytes": int(sum(i.memSize() for i in infos)),
+                "disk_bytes": int(sum(i.diskSize() for i in infos)),
+            }
+        except Exception:
+            return {}
+
     def _sample_anchor(after_n: int) -> None:
+        storage = _storage_bytes()  # BEFORE the sample's clearCache
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
@@ -224,6 +241,7 @@ def main() -> None:
                 "after_queries": after_n,
                 "query_sec": round(time.perf_counter() - t0, 3),
                 "hash_sec": cpu_anchor_sec(reps=1),
+                "storage": storage,
             }
         )
         spark.catalog.clearCache()

@@ -572,8 +572,16 @@ def connected_components(
     # this cache the entire upstream candidate pipeline (e.g.
     # jaccard_pairs) executes twice.
     pairs = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).cache()
-    if pairs.count() <= driver_edge_threshold:
-        return _driver_union_find(pairs)
+    # ONE bounded action decides the path AND fetches the edges (r13):
+    # the old count()-then-collect() pair ran two jobs over the
+    # candidate pipeline. limit(threshold+1) keeps driver memory
+    # bounded exactly as the count guard did (we never ship more than
+    # threshold+1 rows), and when the graph is small — the normal case
+    # for near-dup edges — the single Arrow-backed fetch IS the edge
+    # list, so the whole decision costs one job.
+    probe = pairs.limit(driver_edge_threshold + 1).toPandas()
+    if len(probe) <= driver_edge_threshold:
+        return _driver_union_find_local(probe, pairs)
     from nypd_arrest_etl_spark.operators.graph import (
         connected_components_converged,
     )
@@ -588,13 +596,14 @@ def connected_components(
     )
 
 
-def _driver_union_find(pairs: DataFrame) -> DataFrame:
-    """Union-find with path compression over a collected edge list;
-    representatives are the minimum member id (matching the min-label
-    semantics of the distributed path exactly)."""
+def _driver_union_find_local(edges_pdf, pairs: DataFrame) -> DataFrame:
+    """Union-find with path compression over an already-collected edge
+    list (pandas frame with columns a, b); representatives are the
+    minimum member id (matching the min-label semantics of the
+    distributed path exactly). ``pairs`` supplies the session and the
+    id type for the result schema."""
     from pyspark.sql import types as T
 
-    edges = pairs.collect()
     parent: dict = {}
 
     def find(x):
@@ -605,8 +614,7 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges:
-        a, b = row["a"], row["b"]
+    for a, b in zip(edges_pdf["a"].tolist(), edges_pdf["b"].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

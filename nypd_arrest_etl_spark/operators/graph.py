@@ -40,20 +40,18 @@ def _prepared(edges: DataFrame, src: str, dst: str, cache: bool = True):
     NULL dst is not a linkable target — neither is a meaningful graph
     vertex.
 
-    ``cache`` (r12 optimization): the three prepared tables are each
-    referenced from SEVERAL branches of every iteration's plan (the
-    contribution join, the dangling anti-join, the teleport join), so
-    without a materialization barrier iteration k's plan re-embeds the
-    whole edge-prep subtree (scan -> distinct -> repartition)
-    multiplicatively — a 3-iteration PageRank plan carried 350
-    Exchange nodes and 110 parquet scans (plans/r12/
-    graph_pagerank_before.txt). Caching collapses every reference to
-    an InMemoryRelation leaf: the edge list is scanned and
-    deduplicated ONCE per run, which is also the only sane posture at
-    100 TB (the edge list is the dominant input; re-deriving it per
-    plan branch re-reads the corpus). Converged variants pass
-    cache=False — they pin the same tables with localCheckpoint
-    (an RDD materialization that also truncates lineage) instead.
+    ``cache``: when True the three prepared tables are materialized as
+    InMemoryRelations so every plan-branch reference is a leaf. r12
+    turned this on for the fixed-iteration operators; the driver's
+    committed-protocol measurements showed it a pessimization there
+    (pagerank 0.70x, PPR 0.23x, components 0.47x vs r11 — plan TEXT
+    shrank, but runtime exchange reuse already deduplicated the
+    execution, so the cache only added a storage materialization per
+    reference class). r13 reverts the fixed-iteration callers to
+    cache=False; converged variants also pass cache=False and pin the
+    same tables with ``localCheckpoint`` (an eager RDD materialization
+    that additionally truncates lineage, which their per-iteration
+    driver actions require).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -71,6 +69,25 @@ def _prepared(edges: DataFrame, src: str, dst: str, cache: bool = True):
         deg = deg.cache()
         nodes = nodes.cache()
     return e, deg, nodes
+
+
+def _pinned(df: DataFrame):
+    """Materialize ``df`` via ``localCheckpoint(eager=True)`` and
+    return (pinned_df, free_handle). The handle unpersists exactly the
+    checkpointed RDD's blocks (resolved by id at call time, so a block
+    already reclaimed by ContextCleaner is a no-op) — the lifecycle
+    pattern iterative loops need to keep peak storage at ~2 iterates
+    instead of O(iterations)."""
+    ck = df.localCheckpoint(eager=True)
+    rdd_id = int(ck._jdf.queryExecution().analyzed().rdd().id())
+    jsc = df.sparkSession.sparkContext._jsc
+
+    def _free(i=rdd_id, jsc=jsc):
+        r = jsc.getPersistentRDDs().get(i)
+        if r is not None:
+            r.unpersist(False)
+
+    return ck, _free
 
 
 def _step(
@@ -145,24 +162,22 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("pagerank needs at least 1 iteration")
-    e, deg, nodes = _prepared(edges, src, dst)
+    e, deg, nodes = _prepared(edges, src, dst, cache=False)
     n_nodes = float(nodes.count())
     tele = _uniform_tele(nodes, n_nodes)
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
-        # Each iterate is referenced TWICE by the next step (the
-        # contribution join and the dangling-mass aggregate), so an
-        # uncached chain doubles plan size per iteration (2^k rank
-        # subtrees; exchange reuse hid most of the recompute but none
-        # of the planning/scheduling cost). The lazy cache() keeps the
-        # whole run a single action — each iterate materializes once,
-        # when iteration k+1 first scans it — and bounds the final
-        # plan to a linear chain of InMemoryRelation leaves. The
-        # localCheckpoint pin below stays for DEEP fixed-iteration
-        # runs: it additionally truncates lineage (an eager RDD job),
-        # which the cache does not.
-        ranks = ranks.cache()
+        # Unbounded nesting makes Catalyst's analysis cost blow up
+        # super-linearly in iteration depth; pin lineage every
+        # ``pin_every`` rounds (values unchanged — only the plan is
+        # truncated). Small iteration counts stay fully lazy: runtime
+        # exchange reuse already deduplicates the repeated subtree
+        # executions, and r12's per-iterate cache() was measured a
+        # pessimization on the committed protocol (2.25 -> 3.21 s) —
+        # the plan-text collapse saved less than the per-iterate
+        # storage materialization cost. Deep fixed-iteration runs
+        # should LOWER pin_every instead.
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
@@ -245,7 +260,7 @@ def pagerank_personalized(
     """
     if iterations < 1:
         raise ValueError("pagerank needs at least 1 iteration")
-    e, deg, nodes = _prepared(edges, src, dst)
+    e, deg, nodes = _prepared(edges, src, dst, cache=False)
     w = teleport.select(
         F.col(teleport.columns[0]).alias("node"),
         F.col(teleport.columns[1]).cast("double").alias("w"),
@@ -259,19 +274,16 @@ def pagerank_personalized(
         raise ValueError(
             "teleport weights must sum to a positive value over the graph's nodes"
         )
-    # Unlike the uniform case (a literal column over cached nodes), the
-    # PPR teleport table embeds a join against the seed weights and is
-    # referenced twice per iteration — cache it so the seed join runs
-    # once, not 2x per iteration (same plan-collapse rationale as
-    # _prepared).
-    tele = tele.select(
-        "node", (F.col("w") / F.lit(float(total))).alias("t")
-    ).cache()
+    # r13: the r12 tele/per-iterate caches are reverted — PPR was the
+    # round's worst graph regression on the committed protocol (1.22
+    # -> 5.29 s, 0.23x): the eager `total` collect above forced every
+    # cache (edge list included) to materialize through storage before
+    # the query's real action even started. Exchange reuse already
+    # deduplicates the repeated seed-join and iterate subtrees.
+    tele = tele.select("node", (F.col("w") / F.lit(float(total))).alias("t"))
     ranks = tele.select("node", F.col("t").alias("rank"))
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
-        # same per-iterate plan-collapse cache as ``pagerank``
-        ranks = ranks.cache()
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
@@ -296,15 +308,18 @@ def _und_prepared(edges: DataFrame, src: str, dst: str, cache: bool = True):
     component, not a vanished vertex. NULL endpoints are dropped as in
     ``_prepared`` (not meaningful vertices).
 
-    ``cache`` (r12 optimization): the raw pair list feeds four plan
-    branches (nodes x2, both union arms of the symmetrization) and the
-    symmetrized list is referenced from every iteration/round of every
-    caller — uncached, a 3-round k-core plan re-embedded the edge-prep
-    subtree 972 times (plans/r12/graph_kcore_before.txt: 808 Exchange
-    nodes). Caching both collapses each reference to an
-    InMemoryRelation leaf: one scan + one dedup of the edge input per
-    run. Converged variants pass cache=False and localCheckpoint
-    instead (eager RDD pin that also truncates lineage).
+    ``cache``: when True the symmetrized list and node set are
+    materialized as InMemoryRelations so every reference is a leaf.
+    k_core is the one caller where this is a driver-verified win
+    (uncached, its 3-round plan re-embedded the edge-prep subtree 972
+    times — 808 Exchange nodes, plans/r12/graph_kcore_before.txt —
+    and caching took it 3.63 -> 1.92 s). connected_components and
+    triangle_count pass cache=False (r13): their reference fan-out is
+    small enough that runtime exchange reuse already deduplicates
+    execution, and the committed-protocol r12 numbers showed the cache
+    a pessimization there (0.47x / 0.68x). Converged variants pass
+    cache=False and localCheckpoint instead (eager RDD pin that also
+    truncates lineage).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -387,15 +402,10 @@ def connected_components(
     """
     if rounds < 1:
         raise ValueError("connected_components needs at least 1 round")
-    und, nodes = _und_prepared(edges, src, dst)
+    und, nodes = _und_prepared(edges, src, dst, cache=False)
     comp = nodes.select("node", F.col("node").alias("comp"))
     for i in range(rounds):
         comp = _cc_round(und, comp)
-        # each label table is referenced twice by the next round (the
-        # neighbor-min join and the outer coalesce) — the lazy cache
-        # bounds the plan to a linear chain instead of 2^rounds copies
-        # (see _und_prepared's r12 note)
-        comp = comp.cache()
         if (i + 1) % pin_every == 0 and (i + 1) < rounds:
             comp = comp.localCheckpoint(eager=True)
     return comp
@@ -407,6 +417,7 @@ def k_core(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling -> DataFrame[node] (the kept set
     after ``rounds`` peels). Each round drops every node whose CURRENT
@@ -420,30 +431,45 @@ def k_core(
     oracle-replayable form (chained CTEs, see ORACLE_GRAPH_KCORE);
     ``k_core_converged`` runs to the fixed point. Peeling strictly
     shrinks the edge set, so per-round cost only decreases.
+
+    Storage lifecycle (r13, on top of the r12 plan-collapse win):
+    ``kept`` is referenced by BOTH semi-joins and ``e`` by three
+    branches per round, so the fully lazy plan tripled per round
+    (3^rounds edge subtrees — 808 Exchanges at 3 rounds,
+    plans/r12/graph_kcore_before.txt; collapsing it took the query
+    3.63 -> 1.92 s on the driver's committed protocol). r12 collapsed
+    it with lazy caches that stayed pinned until session clearCache —
+    O(rounds) corpus-scale edge lists in storage. Now each round pins
+    its survivor edge list with ``localCheckpoint(eager=True)`` (the
+    same materialization the lazy cache paid at action time, plus
+    lineage truncation, so the final plan is a flat aggregate over one
+    pinned edge list) and immediately frees the previous round's
+    blocks, bounding peak storage at ~2 rounds' edges no matter how
+    many rounds run. The final round's pinned edges must outlive the
+    returned (lazy) ``kept``; pass ``unpersist_into`` to receive a
+    zero-arg handle that frees them after the result is fully
+    consumed (checkpoint blocks cannot be recomputed — a later action
+    on the result fails loudly, never silently wrong; same contract
+    as ccnet_perplexity_buckets).
     """
     if rounds < 1:
         raise ValueError("k_core needs at least 1 round")
-    und, _nodes = _und_prepared(edges, src, dst)
-    e = und
+    und, _nodes = _und_prepared(edges, src, dst, cache=False)
+    e, free_e = _pinned(und)
     kept = None
     for i in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        # ``kept`` is referenced by BOTH semi-joins and ``e`` by three
-        # branches per round (degree agg + the join base), so the
-        # uncached plan tripled per round (3^rounds edge subtrees —
-        # the 808-Exchange plan this round's fix collapsed). The lazy
-        # caches keep each round's survivor set and filtered edge list
-        # computed once, and the final plan linear in ``rounds``.
-        kept = (
-            deg.filter(F.col("d") >= k).select(F.col("src").alias("node")).cache()
-        )
-        e = e.join(kept.withColumnRenamed("node", "src"), "src", "semi").join(
-            kept.withColumnRenamed("node", "dst"), "dst", "semi"
-        ).select("src", "dst")
+        kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
         if (i + 1) < rounds:
-            e = e.cache()
-        if (i + 1) % 8 == 0 and (i + 1) < rounds:
-            e = e.localCheckpoint(eager=True)
+            nxt, free_nxt = _pinned(
+                e.join(kept.withColumnRenamed("node", "src"), "src", "semi")
+                .join(kept.withColumnRenamed("node", "dst"), "dst", "semi")
+                .select("src", "dst")
+            )
+            free_e()  # round i's edges are dead once round i+1 is pinned
+            e, free_e = nxt, free_nxt
+    if unpersist_into is not None:
+        unpersist_into.append(free_e)
     return kept
 
 
@@ -510,13 +536,14 @@ def triangle_count(
     nodes). The orientation changes the plan cost, never the result,
     so the DuckDB oracle can replay the plain node-id formulation.
     """
-    und, nodes = _und_prepared(edges, src, dst)
+    und, nodes = _und_prepared(edges, src, dst, cache=False)
     # deg feeds both endpoint-rank joins and fwd feeds three branches
-    # (both wedge sides + the closing-edge list): cache each so the
-    # degree aggregation and the orientation filter run once per call
-    # instead of once per plan branch (before: 208 Exchanges / 148
-    # scans in the uncached plan, plans/r12/graph_triangles_before.txt).
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d")).cache()
+    # (both wedge sides + the closing-edge list); the identical
+    # aggregation/exchange subtrees are deduplicated at runtime by
+    # exchange reuse — r12's explicit caches here were measured a
+    # pessimization on the committed protocol (1.60 -> 2.36 s) and
+    # are reverted (r13).
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranked = und.join(deg.withColumnRenamed("src", "node"),
                       und["src"] == F.col("node")).select(
         "src", "dst", F.col("d").alias("sd")
@@ -530,7 +557,7 @@ def triangle_count(
     fwd = ranked.filter(
         (F.col("sd") < F.col("dd"))
         | ((F.col("sd") == F.col("dd")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst").cache()
+    ).select("src", "dst")
     a, b = fwd.alias("a"), fwd.alias("b")
     wedges = a.join(
         b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))

@@ -475,7 +475,6 @@ def ngram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    unpersist_into: list | None = None,
 ) -> DataFrame:
     """Corpus-bigram language-model score per document: the mean
     log2 of the conditional bigram probability c(w1 w2)/c(w1 ·),
@@ -505,18 +504,16 @@ def ngram_lm_score(
             lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Cached (r12): the postings feed TWO branches — the bigram-count
-    # aggregation and the final per-doc score join — so without a
-    # materialization barrier the tokenize+explode pipeline (the full
-    # corpus pass) executes twice per query. One pass, two readers;
-    # MEMORY_AND_DISK spills at corpus scale like the dedup postings.
-    # Loop callers pass ``unpersist_into`` (same lifecycle contract as
-    # ccnet_perplexity_buckets) to receive a handle that drops the
-    # cache; unlike the checkpoint handle this one is always safe —
-    # an unpersisted cache recomputes, it cannot fail an action.
-    postings = base.select("doc_id", F.explode(grams).alias("g")).cache()
-    if unpersist_into is not None:
-        unpersist_into.append(lambda p=postings: p.unpersist(False))
+    # The postings feed two branches (bigram-count aggregation + the
+    # final per-doc score join). r12 cached them — a corpus-scale
+    # bigram table through MEMORY_AND_DISK — and the committed-protocol
+    # measurements showed the second tokenize pass was the cheaper of
+    # the two (text family 9.7 -> 36.2 s with the round's caches; the
+    # r11 two-pass shape is restored here). At 100 TB a bigram postings
+    # table is LARGER than the corpus: materializing it to local disk
+    # to save one columnar re-scan is the wrong trade at every scale
+    # we can measure.
+    postings = base.select("doc_id", F.explode(grams).alias("g"))
 
     big = postings.groupBy("g").agg(F.count("*").alias("c2"))
     # w1 marginal: sum bigram counts by first word — the bigram table
@@ -590,8 +587,7 @@ def ccnet_perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    _lm_caches: list = []
-    scores = ngram_lm_score(df, id_col, text_col, unpersist_into=_lm_caches)
+    scores = ngram_lm_score(df, id_col, text_col)
     scored = (
         spread(df)
         .select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
@@ -617,14 +613,6 @@ def ccnet_perplexity_buckets(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # The eager checkpoint just materialized everything upstream, so
-    # the LM postings cache (which existed to serve the score op's two
-    # internal readers during that one materialization) is dead weight
-    # from here on — drop it NOW, keeping this op's storage lifecycle
-    # exactly what the unpersist_into contract documents: one
-    # checkpoint, freed by the handle.
-    for _h in _lm_caches:
-        _h()
     if unpersist_into is not None:
         # the checkpointed DataFrame's analyzed plan is a LogicalRDD
         # holding EXACTLY the persisted RDD — read its id directly, so
@@ -716,13 +704,17 @@ def corpus_vocabulary(
     per_doc = toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf_doc")
     )
-    # Cached (r12): the vocab table is read twice (top-k select + the
-    # corpus-total aggregate below) — materialize the distinct-token
-    # table (tiny vs the corpus) so the tokenize pass runs once.
+    # The vocab table is read twice (top-k select + the corpus-total
+    # aggregate below). Both references share one identical aggregation
+    # subtree, so Spark's exchange reuse computes the tokenize+aggregate
+    # pass once and the second reader replays the shuffle files —
+    # the r12 `.cache()` here materialized the same table through
+    # storage memory for no extra sharing and was measured slower on
+    # the committed protocol (0.6->1.6s); removed in r13.
     vocab = per_doc.groupBy("token").agg(
         F.sum("tf_doc").cast("long").alias("tf"),
         F.count("*").cast("long").alias("df"),
-    ).cache()
+    )
     # The corpus token total is the sum of the per-token counts — the
     # previous formulation re-scanned and re-tokenized the whole input
     # (sum of size(filter(tokens))) for the same integer; deriving it
@@ -787,13 +779,17 @@ def bm25_topk(
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
-    # Cached (r12): postings feed three branches (document lengths,
-    # document frequencies, the scored join) — one corpus tokenize
-    # pass instead of two, and the (doc, term, tf) aggregation runs
-    # once instead of per branch.
+    # Postings feed three branches (document lengths, document
+    # frequencies, the scored join). All three reference one identical
+    # aggregation subtree, so exchange reuse runs the tokenize +
+    # (doc, term, tf) aggregation once and the other readers replay
+    # its shuffle output from local disk. The r12 `.cache()` here
+    # additionally materialized a postings table LARGER than the
+    # corpus through storage memory — measured slower on the committed
+    # protocol and full-spill territory at 100 TB; removed in r13.
     postings = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
-    ).cache()
+    )
     # dl = token count per doc = sum of its term frequencies — derived
     # from the cached postings instead of a second corpus tokenization
     # (identical integers: count over occurrences == sum of grouped
@@ -936,12 +932,14 @@ def tfidf_topk(
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
-    # Cached (r12): tf feeds both the document-frequency aggregation
-    # and the scored join — one corpus tokenize+aggregate pass, two
-    # readers.
+    # tf feeds both the document-frequency aggregation and the scored
+    # join; the two references share one identical aggregation subtree
+    # so exchange reuse computes it once (r13: the r12 `.cache()` of
+    # this corpus-sized table was measured slower on the committed
+    # protocol and is scale-unsafe — removed; see bm25_topk).
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).cache()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (

@@ -544,11 +544,15 @@ def robots_rules(
       ``*`` matches any character sequence, a trailing ``$`` anchors
       the end of the path).
     """
-    # Cached (r12): the grouped parse feeds both the record filter
-    # below and the group-selection aggregate — without the barrier
-    # the posexplode + two-window parse runs once per branch (3x).
-    # O(robots lines) rows, host-grain — tiny at any corpus scale.
-    g = _robots_grouped(df, host_col, txt_col, ("allow", "disallow")).cache()
+    # The grouped parse feeds both the record filter below and the
+    # group-selection aggregate. Its one shuffle (the per-host window
+    # exchange) is deduplicated across branches by runtime exchange
+    # reuse; only the O(robots lines) window arithmetic re-runs per
+    # branch — negligible at host grain. The r12 `.cache()` here had
+    # no committed-metric win (0.83x that round) and leaked storage in
+    # library sessions (no unpersist path on a lazily returned plan),
+    # so r13 removed it.
+    g = _robots_grouped(df, host_col, txt_col, ("allow", "disallow"))
     chosen = _robots_chosen_groups(g, agent)
     return (
         g.filter((F.col("is_ua") == 0) & (F.col("val") != ""))
@@ -643,9 +647,9 @@ def robots_policy(
 
     Same scale posture as the rule parse: everything shuffles
     O(hosts), never O(documents)."""
-    # cached for the same 3-branch reuse as robots_rules (delays,
-    # sitemaps, group selection)
-    g = _robots_grouped(df, host_col, txt_col, ("crawl-delay", "sitemap")).cache()
+    # same exchange-reuse posture as robots_rules (r13: r12's cache
+    # removed — leak without measured win)
+    g = _robots_grouped(df, host_col, txt_col, ("crawl-delay", "sitemap"))
     hosts = df.select(F.col(host_col).alias("host")).distinct()
     chosen = _robots_chosen_groups(g, agent)
     delay_val = F.col("val").try_cast("double")

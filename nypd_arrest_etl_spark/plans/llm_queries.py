@@ -608,11 +608,14 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining data pass actually runs; each stage is narrow or a
     single selective shuffle, so composition adds no extra passes
     over the corpus."""
-    # Cached (r12): four branches (quality, language, exact-dedup,
-    # the id/source spine) each re-scanned the corpus — one scan, four
-    # readers. Feature evaluation per branch is unchanged, so the
-    # oracle replay is byte-identical.
-    docs = t(spark, sf_dir, "documents").cache()
+    # r13: the r12 `.cache()` of the WHOLE documents table is removed —
+    # it was bench-regressed on the committed protocol (curate group
+    # 0.83x) and is the worst possible 100 TB posture (caching the full
+    # corpus per query = spill everything to local disk). The four
+    # branches re-read the parquet scan, which is columnar, pruned and
+    # OS-page-cached — cheaper than materializing the uncompressed rows
+    # through Spark storage memory.
+    docs = t(spark, sf_dir, "documents")
     quality = TX.quality_score(docs).filter(F.col("quality") >= 0.55)
     english = TX.language_id(docs).filter(F.col("lang_pred") == "en")
     keepers = D.dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))

@@ -67,21 +67,20 @@ def get_spark(
         # negligible next to the 48g heap).
         .config("spark.sql.codegen.cache.maxEntries", "4096")
         # Block-manager debris (shuffle files, broadcasts, dropped
-        # cache entries) is reclaimed by ContextCleaner, which only
-        # sees garbage after a JVM GC — and a 48g heap GCs so rarely
-        # that a many-query session accumulates hundreds of
-        # executions' worth of state before the first collection,
-        # which then lands as multi-second pauses mid-query (the
-        # r11-adjudicated 22s/248s dedup readings; reproduced twice
-        # this round with anchor_drift 8-15). Spark's own periodic-GC
-        # safety valve defaults to 30min — longer than the whole
-        # bench; 2min drains the debris continuously. Long-running
-        # production drivers (streaming, multi-query services) want
-        # exactly the same posture; per-query cost is a bounded
-        # sub-second minor pause instead of an unbounded cliff.
+        # cache entries) is reclaimed by ContextCleaner after a JVM GC.
+        # r12 forced a full STW GC every 2min on the 48g heap to drain
+        # it continuously; the driver's r12 measurements showed that
+        # default taxed every small query 0.1-0.4s (46/60 queries
+        # regressed >10%, total 108->182s) WITHOUT fixing the
+        # anchor-drift pathology it targeted (drift 2.7-8.3 across the
+        # post-change runs). Reverted to Spark's own 30min default
+        # (r13, VERDICT r12 task 1); the env override stays for
+        # experiments. The real leak the 2min GC papered over — r12's
+        # never-unpersisted operator caches — is fixed at the source
+        # this round (caches reverted or given unpersist lifecycles).
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
         )
         # ReservedCodeCacheSize: a many-query session JIT-compiles
         # thousands of generated whole-stage classes; the JVM default
@@ -99,6 +98,12 @@ def get_spark(
         # multi-minute mark windows that slowed whole query cohorts
         # 5-10x; the brief periodic STW purge is strictly better for
         # this batch shape.)
+        # NOTE: builder.config only reaches the JVM when THIS process
+        # launches it (local mode / spark-submit without a pre-existing
+        # session); under client-mode spark-submit pass the same flag
+        # via --driver-java-options. extra_conf entries for this key
+        # are MERGED below (not overwritten) so callers can add flags
+        # without silently dropping the code-cache reserve.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g",
@@ -123,6 +128,8 @@ def get_spark(
         )
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            v = f"-XX:ReservedCodeCacheSize=1g {v}"
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r12/.
+"""Capture .explain("formatted") for named queries into
+$SPARK_GRAFT_PLAN_DIR (default plans/r13/).
 
 Usage: python tools/plan_capture.py <suffix> name [name ...]
-    suffix: "before" or "after" (file becomes plans/r12/<name>_<suffix>.txt)
+    suffix: "before" or "after" (file becomes <dir>/<name>_<suffix>.txt)
 
 Also prints a one-line plan summary per query (Exchange count, join
 strategies, Python-eval nodes) so before/after diffs are quick to eyeball.
@@ -18,7 +19,12 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLAN_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    ),
+)
 
 
 def summarize(plan: str) -> str:
