@@ -251,11 +251,13 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter / (F.col("n1") + F.col("n2") - inter)
-    # The pair set itself is cached: it is corpus-selective (near-dup
-    # edges only, orders of magnitude smaller than the input), and
-    # every downstream consumer — clustering, curation, drop-list
-    # writes — re-derives the identical plan, so the cache turns the
-    # whole candidate pipeline into a one-time cost per corpus.
+    # r13: the `.cache()` that used to wrap this return is gone. Every
+    # caller either consumes the pair set exactly once (the registry
+    # query, test collects) or hands it to connected_components, which
+    # caches its own (a, b) projection — so the return-site cache only
+    # ever added a storage write nobody read back, and it leaked until
+    # session clearCache. Callers that genuinely fan out should cache
+    # at the call site where the lifecycle is visible.
     return (
         cand.join(left, "id1")
         .join(right, "id2")
@@ -265,7 +267,6 @@ def jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .cache()
     )
 
 

@@ -148,7 +148,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     round_to: int | None = 8,
-    pin_every: int = 8,
+    pin_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank -> DataFrame[node, rank].
 
@@ -166,20 +166,28 @@ def pagerank(
     n_nodes = float(nodes.count())
     tele = _uniform_tele(nodes, n_nodes)
     ranks = tele.select("node", F.col("t").alias("rank"))
+    free_prev = None
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
-        # Unbounded nesting makes Catalyst's analysis cost blow up
-        # super-linearly in iteration depth; pin lineage every
-        # ``pin_every`` rounds (values unchanged — only the plan is
-        # truncated). Small iteration counts stay fully lazy: runtime
-        # exchange reuse already deduplicates the repeated subtree
-        # executions, and r12's per-iterate cache() was measured a
-        # pessimization on the committed protocol (2.25 -> 3.21 s) —
-        # the plan-text collapse saved less than the per-iterate
-        # storage materialization cost. Deep fixed-iteration runs
-        # should LOWER pin_every instead.
+        # Each iterate is referenced twice by the next step, so the
+        # lazy plan doubles per round and Catalyst's analysis cost
+        # blows up super-linearly in the un-pinned depth; pin lineage
+        # every ``pin_every`` rounds (values unchanged — only the
+        # plan is truncated; superseded pins are freed as soon as the
+        # next pin materializes). r12 cached every iterate instead —
+        # measured a pessimization on the committed protocol (2.25 ->
+        # 3.21 s): at small iteration counts runtime exchange reuse
+        # already deduplicates execution and the plan stays tiny, so
+        # short runs (the declared queries: <= 3 iterations) remain
+        # fully lazy and byte-identical to r11. pin_every=3 bounds
+        # the lazy window to 2^3 plan copies — r12's pin_every=8 let
+        # deep runs accumulate 2^8 copies whose ANALYSIS alone took
+        # minutes (the 85-214 s graph unit tests).
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, free_now = _pinned(ranks)
+            if free_prev is not None:
+                free_prev()
+            free_prev = free_now
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
@@ -221,14 +229,17 @@ def pagerank_converged(
     )
     it = 0
     converged = False
+    free_prev = None  # iterate k-1's blocks die once k's delta is read
     for it in range(1, max_iterations + 1):
-        nxt = _step(e, deg, tele, ranks, damping).localCheckpoint(eager=True)
+        nxt, free_nxt = _pinned(_step(e, deg, tele, ranks, damping))
         delta = (
             nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
             .collect()[0].d
         )
-        ranks = nxt
+        if free_prev is not None:
+            free_prev()
+        ranks, free_prev = nxt, free_nxt
         if delta is not None and delta < tol:
             converged = True
             break
@@ -243,7 +254,7 @@ def pagerank_personalized(
     src: str = "src",
     dst: str = "dst",
     round_to: int | None = 8,
-    pin_every: int = 8,
+    pin_every: int = 3,
 ) -> DataFrame:
     """Personalized PageRank: the teleport step jumps to ``teleport``'s
     distribution (DataFrame[node, weight], normalized here) instead of
@@ -282,10 +293,16 @@ def pagerank_personalized(
     # deduplicates the repeated seed-join and iterate subtrees.
     tele = tele.select("node", (F.col("w") / F.lit(float(total))).alias("t"))
     ranks = tele.select("node", F.col("t").alias("rank"))
+    free_prev = None
     for i in range(iterations):
         ranks = _step(e, deg, tele, ranks, damping)
+        # same pin cadence + freed-superseded-pin lifecycle as
+        # ``pagerank`` (declared queries run 2 iterations — no pins)
         if (i + 1) % pin_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, free_now = _pinned(ranks)
+            if free_prev is not None:
+                free_prev()
+            free_prev = free_now
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
@@ -388,7 +405,7 @@ def connected_components(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
-    pin_every: int = 8,
+    pin_every: int = 3,
 ) -> DataFrame:
     """Fixed-round hash-min connected components ->
     DataFrame[node, comp] (comp = min node id within ``rounds`` hops).
@@ -404,10 +421,16 @@ def connected_components(
         raise ValueError("connected_components needs at least 1 round")
     und, nodes = _und_prepared(edges, src, dst, cache=False)
     comp = nodes.select("node", F.col("node").alias("comp"))
+    free_prev = None
     for i in range(rounds):
         comp = _cc_round(und, comp)
+        # same pin cadence + lifecycle as ``pagerank`` (the declared
+        # query runs 3 rounds — no pins, fully lazy, r11 shape)
         if (i + 1) % pin_every == 0 and (i + 1) < rounds:
-            comp = comp.localCheckpoint(eager=True)
+            comp, free_now = _pinned(comp)
+            if free_prev is not None:
+                free_prev()
+            free_prev = free_now
     return comp
 
 
@@ -488,19 +511,20 @@ def k_core_converged(
     variants). An emptied graph converges immediately (the empty set
     IS the k-core)."""
     und, _nodes = _und_prepared(edges, src, dst, cache=False)
-    e = und.localCheckpoint(eager=True)
+    e, free_e = _pinned(und)
     prev = e.select("src").distinct().count()
     it = 0
     converged = False
     for it in range(1, max_rounds + 1):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         kept = deg.filter(F.col("d") >= k).select(F.col("src").alias("node"))
-        e = (
+        nxt, free_nxt = _pinned(
             e.join(kept.withColumnRenamed("node", "src"), "src", "semi")
             .join(kept.withColumnRenamed("node", "dst"), "dst", "semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        free_e()  # round k-1's edges die once round k is pinned
+        e, free_e = nxt, free_nxt
         now = e.select("src").distinct().count()
         if now == prev:
             converged = True
@@ -604,14 +628,17 @@ def connected_components_converged(
     )
     it = 0
     converged = False
+    free_prev = None  # round k-1's labels die once round k's probe is read
     for it in range(1, max_rounds + 1):
-        nxt = _cc_pointer_jump(_cc_round(und, comp)).localCheckpoint(eager=True)
+        nxt, free_nxt = _pinned(_cc_pointer_jump(_cc_round(und, comp)))
         changed = (
             nxt.join(comp.withColumnRenamed("comp", "prev"), "node")
             .agg(F.sum((F.col("comp") != F.col("prev")).cast("long")).alias("d"))
             .collect()[0].d
         )
-        comp = nxt
+        if free_prev is not None:
+            free_prev()
+        comp, free_prev = nxt, free_nxt
         if not changed:
             converged = True
             break

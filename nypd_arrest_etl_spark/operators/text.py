@@ -704,22 +704,25 @@ def corpus_vocabulary(
     per_doc = toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf_doc")
     )
-    # The vocab table is read twice (top-k select + the corpus-total
-    # aggregate below). Both references share one identical aggregation
-    # subtree, so Spark's exchange reuse computes the tokenize+aggregate
-    # pass once and the second reader replays the shuffle files —
-    # the r12 `.cache()` here materialized the same table through
-    # storage memory for no extra sharing and was measured slower on
-    # the committed protocol (0.6->1.6s); removed in r13.
     vocab = per_doc.groupBy("token").agg(
         F.sum("tf_doc").cast("long").alias("tf"),
         F.count("*").cast("long").alias("df"),
     )
-    # The corpus token total is the sum of the per-token counts — the
-    # previous formulation re-scanned and re-tokenized the whole input
-    # (sum of size(filter(tokens))) for the same integer; deriving it
-    # from the cached vocab removes a full corpus pass (guide §2.4).
-    total = vocab.agg(F.sum("tf").alias("_t"))
+    # Corpus token total: a SEPARATE narrow scan (one projection + a
+    # map-side-collapsing global sum, zero extra shuffles) — the r11
+    # formulation, restored in r13. r12 derived it as sum(tf) over the
+    # cached vocab; with the cache reverted the derivation re-executes
+    # the whole tokenize -> (token, doc) -> (token) double-exchange
+    # pipeline as a second plan branch, because Catalyst column
+    # pruning strips the unused count(*) aggregate from the total
+    # branch's copy — the two subtrees are no longer canonically
+    # equal, so exchange/stage reuse can never fire (verified in the
+    # final adaptive plan: two ShuffleQueryStages with distinct
+    # plan_ids). A 2.5x measured pessimization (0.6 -> 1.5 s) vs one
+    # cheap extra scan of a columnar, OS-cached input.
+    total = df.select(
+        F.sum(F.size(F.filter(tokens(text_col), lambda x: x != ""))).alias("_t")
+    )
     return (
         vocab.crossJoin(F.broadcast(total))
         .select(
@@ -779,22 +782,21 @@ def bm25_topk(
         .filter(F.col("tok") != "")
         .select("doc_id", F.lower(F.col("tok")).alias("term"))
     )
-    # Postings feed three branches (document lengths, document
-    # frequencies, the scored join). All three reference one identical
-    # aggregation subtree, so exchange reuse runs the tokenize +
-    # (doc, term, tf) aggregation once and the other readers replay
-    # its shuffle output from local disk. The r12 `.cache()` here
-    # additionally materialized a postings table LARGER than the
-    # corpus through storage memory — measured slower on the committed
-    # protocol and full-spill territory at 100 TB; removed in r13.
     postings = toks.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    # dl = token count per doc = sum of its term frequencies — derived
-    # from the cached postings instead of a second corpus tokenization
-    # (identical integers: count over occurrences == sum of grouped
-    # counts).
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    # dl: a direct per-doc token count off the tokenize projection
+    # (map-side partial agg collapses each doc before the shuffle, so
+    # this branch moves |docs| rows with NO (doc, term) exchange) —
+    # the r11 formulation, restored in r13. r12 cached postings and
+    # derived dl = sum(tf); with the cache reverted the derivation
+    # re-executes the full (doc, term) aggregation as a second plan
+    # branch — Catalyst's column pruning gives each branch's copy a
+    # different aggregate list (dfreq's copy drops tf entirely), so
+    # the subtrees are not canonically equal and exchange/stage reuse
+    # cannot deduplicate them. The narrow count is strictly cheaper
+    # than a full postings re-aggregation at every scale.
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -868,6 +870,12 @@ def quality_top_frac(
     order, so the kept set is deterministic and engine-independent
     (no float-threshold boundary to disagree on). Output: (doc_id,
     source, quality, src_rank).
+
+    NULL-source rows form their OWN partition and compete only with
+    each other (window PARTITION BY groups NULLs together — the same
+    convention as SQL window functions and the DuckDB oracle). They
+    are kept at the same top-``keep_frac`` rule, not dropped; a
+    curation chain that wants them gone should filter upstream.
 
     Plan: quality is a single-scan projection (source rides through —
     no join back); the rank is ONE window sort partitioned by source

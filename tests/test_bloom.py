@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 from nypd_arrest_etl_spark.sinks import bloom as B
 from nypd_arrest_etl_spark.sinks import manifest as M
 
+# Long-running suite (streaming drains / live servers / storage-format
+# e2e / property fuzz / soak): excluded from the default gate run by
+# pytest.ini's `-m "not slow"`; run with -m "" or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
+
 
 def _fp(i) -> str:
     return hashlib.sha256(str(i).encode()).hexdigest()

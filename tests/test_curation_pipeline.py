@@ -6,6 +6,14 @@ from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.sinks import manifest as M
 
+import pytest
+
+# Long-running suite (streaming drains / live servers / storage-format
+# e2e / property fuzz / soak): excluded from the default gate run by
+# pytest.ini's `-m "not slow"`; run with -m "" or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")

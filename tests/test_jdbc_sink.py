@@ -9,6 +9,12 @@ import pytest
 from nypd_arrest_etl_spark.schema import TARGET_COLUMNS
 from nypd_arrest_etl_spark.sinks import build_merge_sql, merge_via_staging, retry
 
+# Long-running suite (streaming drains / live servers / storage-format
+# e2e / property fuzz / soak): excluded from the default gate run by
+# pytest.ini's `-m "not slow"`; run with -m "" or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
+
 
 def test_merge_sql_shape():
     sql = build_merge_sql()

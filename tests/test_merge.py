@@ -59,6 +59,7 @@ def test_pipeline_idempotency(spark, tmp_path, raw_jsonl):
     assert spark.read.parquet(target).count() == 5
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_high_watermark_probe(spark, tmp_path, raw_jsonl):
     target = str(tmp_path / "t")
     assert high_watermark(spark, target) == "1900-01-01"
@@ -66,6 +67,7 @@ def test_high_watermark_probe(spark, tmp_path, raw_jsonl):
     assert str(high_watermark(spark, target)) == "2025-06-05"
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_merge_rowcount_metric(spark, tmp_path):
     target = str(tmp_path / "m")
     df = clean(
@@ -77,6 +79,7 @@ def test_merge_rowcount_metric(spark, tmp_path):
     assert merge_into_parquet(spark, df, target) == 0
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_partitioned_target_layout(spark, tmp_path):
     """M1 layout: partitioned=True writes year(arrest_date) directory
     partitions; idempotency and incrementality hold across layouts."""

@@ -22,6 +22,7 @@ import pytest
 from nypd_arrest_etl_spark.schema import TARGET_COLUMNS
 from nypd_arrest_etl_spark.sinks.jdbc import build_target_ddl
 from nypd_arrest_etl_spark.sinks.pgwire import (
+
     PgError,
     PgWireClient,
     copy_field,
@@ -29,6 +30,12 @@ from nypd_arrest_etl_spark.sinks.pgwire import (
     stage_dataframe,
     staging_ddl,
 )
+
+# Long-running suite (streaming drains / live servers / storage-format
+# e2e / property fuzz / soak): excluded from the default gate run by
+# pytest.ini's `-m "not slow"`; run with -m "" or SPARK_GRAFT_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 
 PG_PORT = 54329  # non-default: never collides with a system server
 

@@ -4,6 +4,8 @@ to parquet, broadcast joins for dims, TakeOrderedAndProject for top-k,
 rank-limit pushdown for windowed top-n, no nested-loop joins anywhere
 in the declared relational set."""
 
+import pytest
+
 from nypd_arrest_etl_spark.plans import queries as Q
 
 
@@ -40,6 +42,7 @@ def test_window_top_n_pushes_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_no_nested_loop_in_declared_relational_queries(spark, sf_dir):
     for name, (fn, _sql) in Q.RELATIONAL.items():
         plan = _plan(fn(spark, sf_dir))

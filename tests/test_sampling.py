@@ -1,5 +1,6 @@
 """Deterministic sampling + profiling semantics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from nypd_arrest_etl_spark.operators import sampling as S
@@ -178,6 +179,7 @@ def test_dsir_prefers_target_like_docs(spark):
     assert ws == sorted(ws, reverse=True)
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_dsir_partitioning_invariant(spark):
     from pyspark.sql import functions as F
 

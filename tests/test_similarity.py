@@ -83,6 +83,7 @@ def test_neardup_pairs_exact_at_threshold(spark):
         assert got[k] == pytest.approx(want[k], abs=1e-6)
 
 
+@pytest.mark.slow  # >15s: excluded from the default gate run
 def test_ann_ivf_high_recall_on_clusters(spark):
     from nypd_arrest_etl_spark.operators.similarity import ann_ivf_topk
 

@@ -294,6 +294,24 @@ def test_quality_top_frac_rank_is_deterministic_on_ties(spark):
     assert sorted(r["doc_id"] for r in out) == [1, 2]
 
 
+def test_quality_top_frac_null_source_is_its_own_partition(spark):
+    """NULL-source rows group together (SQL window PARTITION BY
+    semantics, matching the DuckDB oracle) and compete only with each
+    other — they are ranked and cut like any source, never dropped.
+    Pins the contract ADVICE r12 flagged as undocumented."""
+    rows = [
+        (1, "a well formed english sentence with many distinct common words", None),
+        (2, "zz zz zz zz", None),
+        (3, "another reasonably long and varied document body with words", "A"),
+        (4, "!!!! ####", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = TX.quality_top_frac(df, keep_frac=0.5).collect()
+    kept = {(r["source"], r["doc_id"]) for r in out}
+    # each partition (NULL and A) keeps ceil(2*0.5)=1 row: its best
+    assert kept == {(None, 1), ("A", 3)}
+
+
 def test_containment_max_df_cap_consistent_denominators(spark):
     """The max_df cap must drop hot (boilerplate) fingerprints from
     BOTH the shared counts and the per-doc set sizes: a pair whose
