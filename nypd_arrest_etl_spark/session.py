@@ -35,6 +35,53 @@ def get_spark(
     cpus = int(DEFAULT_CPUS)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # -Xms pinned to -Xmx (r13): Spark only passes -Xmx for the driver
+    # JVM, leaving InitialHeapSize at ~2g and MinHeapSize at 32m — so
+    # G1 uncommits heap after every full GC (bench.py forces one every
+    # 20 queries; ContextCleaner's periodic GC does the same in
+    # production) and recommits it under the next query's allocation
+    # burst. On this paravirt host the commit/uncommit cycle is the
+    # measured session pathology: young pauses averaged 345 ms and one
+    # full GC took 18.3 s mid-bench (jstat, r13 notes), inflating
+    # whole query cohorts 3-10x. MinHeapSize=Xms stops the shrink side
+    # permanently; pages fault in once and stay. This is the same
+    # posture Spark itself uses for executors on YARN (-Xms=-Xmx) and
+    # what the tuning guide recommends for long-lived SQL drivers.
+    # SPARK_GRAFT_XMS overrides for experiments ("0" disables).
+    # -XX:+AlwaysPreTouch was TRIED here and REJECTED on measurement:
+    # this host's page-fault path intermittently collapses to tens of
+    # MB/s (host-side memory pressure; a 512 MB anonymous first-touch
+    # was timed at minutes during an episode), so eagerly zeroing the
+    # whole heap can stall session startup for half an hour. The -Xms
+    # pin alone gives the durable half of the win — a page faulted in
+    # once is NEVER given back and re-faulted — without betting
+    # startup latency on host fault bandwidth.
+    xms = os.environ.get("SPARK_GRAFT_XMS", driver_mem)
+    _builtin_java_opts = "-XX:ReservedCodeCacheSize=1g" + (
+        f" -Xms{xms}" if xms and xms != "0" else ""
+    )
+    # Transparent hugepages for the heap (madvise mode — the kernel
+    # default here): one 2 MB fault replaces 512 4 KB faults, which on
+    # this host's slow fault path (~10 us/page measured) is the
+    # difference between minutes and seconds of total first-touch
+    # stall, most of it otherwise inside young-GC pauses.
+    # SPARK_GRAFT_THP=0 disables.
+    if os.environ.get("SPARK_GRAFT_THP", "1") != "0":
+        _builtin_java_opts += " -XX:+UseTransparentHugePages"
+    # STW GC thread count, capped for virtualized hosts: with the
+    # JVM-derived default (23 threads at 32 vCPUs) every young pause
+    # needs all 23 vCPUs scheduled simultaneously; under the steal this
+    # host shows in bursts, one preempted GC thread stretches every
+    # pause to multiples of the host scheduling quantum (measured
+    # 345-522 ms average young pauses during steal episodes — 10x the
+    # healthy cost of copying the same survivors). Fewer, longer-lived
+    # GC threads trade parallel copy speed for immunity to vCPU
+    # preemption. SPARK_GRAFT_GC_THREADS overrides; "0" keeps the JVM
+    # default.
+    gc_threads = os.environ.get("SPARK_GRAFT_GC_THREADS", "8")
+    if gc_threads and gc_threads != "0":
+        _builtin_java_opts += f" -XX:ParallelGCThreads={gc_threads}"
 
     builder = (
         SparkSession.builder.master(master)
@@ -57,7 +104,7 @@ def get_spark(
         # each broadcasting/caching) sits at the GC cliff — measured
         # 167-250s for the same bench that runs in 65s at 48g. Keep
         # headroom; the host has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         # The generated-class cache defaults to 100 entries; a 120-query
         # session generates ~1000 whole-stage classes per pass, so
         # cross-query shared fragments (same scan/project shapes over
@@ -104,10 +151,7 @@ def get_spark(
         # via --driver-java-options. extra_conf entries for this key
         # are MERGED below (not overwritten) so callers can add flags
         # without silently dropping the code-cache reserve.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g",
-        )
+        .config("spark.driver.extraJavaOptions", _builtin_java_opts)
         .config("spark.ui.enabled", "false")
         # keep the Python UDF worker pool alive between queries —
         # re-forking 32 workers (+ numpy import) costs ~12 s
@@ -129,7 +173,7 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         if k == "spark.driver.extraJavaOptions":
-            v = f"-XX:ReservedCodeCacheSize=1g {v}"
+            v = f"{_builtin_java_opts} {v}"
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
