@@ -582,7 +582,14 @@ def connected_components(
     # list, so the whole decision costs one job.
     probe = pairs.limit(driver_edge_threshold + 1).toPandas()
     if len(probe) <= driver_edge_threshold:
-        return _driver_union_find_local(probe, pairs)
+        out = _driver_union_find_local(probe, pairs)
+        # The driver-path result is a local (Arrow-built) relation with
+        # NO lineage through the cached pair set — free the blocks now
+        # instead of leaking them until session clearCache (r13,
+        # VERDICT r12 task 4). Lazy unpersist: any concurrent reader
+        # of the same plan recomputes, never breaks.
+        pairs.unpersist()
+        return out
     from nypd_arrest_etl_spark.operators.graph import (
         connected_components_converged,
     )

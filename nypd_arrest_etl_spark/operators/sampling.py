@@ -355,6 +355,7 @@ def importance_resample_dsir(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    unpersist_into: list | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.
     2023): pick the raw-corpus documents whose hashed-unigram
@@ -393,6 +394,14 @@ def importance_resample_dsir(
     The model (n_buckets rows) broadcasts to the scoring join, so
     scoring is map-side over the histogram. Top-n is
     TakeOrderedAndProject.
+
+    Cache lifecycle (r13, VERDICT r12 task 4): the histogram cache is
+    operator-internal and the returned frame's lineage runs through
+    it, so it cannot be freed before return. Pass ``unpersist_into``
+    (any list) to receive a zero-arg handle that unpersists the
+    histogram blocks; call it after fully consuming the result (the
+    blocks are a lazy cache, so a later action simply recomputes —
+    never wrong, same contract as ngram_lm_score's handle).
     """
     from nypd_arrest_etl_spark.operators.dedup import portable_str_hash60
 
@@ -414,6 +423,8 @@ def importance_resample_dsir(
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count("*").alias("cnt"))
     ).cache()
+    if unpersist_into is not None:
+        unpersist_into.append(lambda d=doc_hist: d.unpersist())
     model = doc_hist.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("is_t"), F.col("cnt")).otherwise(0)).alias("cr"),
