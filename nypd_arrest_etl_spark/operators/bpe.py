@@ -134,9 +134,19 @@ def bpe_train(
     # separate actions on re-planned frames). The table is
     # vocabulary-sized (distinct words), not corpus-sized.
     words = _words(df, text_col).localCheckpoint(eager=True)
-    if words.count() <= driver_vocab_threshold:
-        rows = words.collect()
-        return _train_inmem([(r["word"], r["n"]) for r in rows], num_merges)
+    # ONE bounded Arrow-backed action decides the path AND fetches the
+    # vocab (the same shape as connected_components' r13 fix): the old
+    # count()-then-collect() pair ran two jobs over the checkpointed
+    # table. limit(threshold+1) bounds driver memory exactly as the
+    # count guard did, and when the vocab fits — the normal case — the
+    # single fetch IS the training input. _train_inmem aggregates pair
+    # counts over the whole table with a deterministic argmax
+    # tie-break, so fetch order cannot change the learned merges.
+    probe = words.limit(driver_vocab_threshold + 1).toPandas()
+    if len(probe) <= driver_vocab_threshold:
+        return _train_inmem(
+            list(zip(probe["word"].tolist(), probe["n"].tolist())), num_merges
+        )
     # initial symbols: chars, with EOW glued to the last one
     chars = F.split(F.col("word"), "")
     n_ch = F.size(chars)
